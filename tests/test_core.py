@@ -1,0 +1,83 @@
+"""Unit tests for the pure core library: stable IDs, spans, ngrams."""
+
+from fonduer_ray.core.ngrams import MentionNgrams, Ngrams, tokens_to_ngrams
+from fonduer_ray.core.spans import ImplicitSpan, Span
+from fonduer_ray.core.stable_ids import (
+    candidate_stable_id,
+    document_stable_id,
+    span_stable_id,
+)
+
+
+def make_sentence(text: str, position: int = 0, abs_base: int = 0) -> dict:
+    words, offsets = [], []
+    i = 0
+    for w in text.split(" "):
+        if w:
+            words.append(w)
+            offsets.append(i)
+        i += len(w) + 1
+    return {
+        "doc_name": "d0",
+        "position": position,
+        "text": text,
+        "words": words,
+        "char_offsets": offsets,
+        "abs_char_offsets": [abs_base + o for o in offsets],
+        "ner_tags": ["O"] * len(words),
+    }
+
+
+def test_stable_ids():
+    assert document_stable_id("u1") == "u1::document:0:0"
+    assert span_stable_id("u1", 3, 9) == "u1::span_mention:3:9"
+    assert candidate_stable_id(["a", "b"]) == "a~b"
+
+
+def test_span_math():
+    s = make_sentence("the quick brown fox", abs_base=100)
+    sp = Span(s, 4, 14)  # "quick brown"
+    assert sp.get_span() == "quick brown"
+    assert sp.get_word_start_index() == 1
+    assert sp.get_word_end_index() == 2
+    assert sp.get_attrib_tokens() == ["quick", "brown"]
+    assert sp.abs_char_start == 104 and sp.abs_char_end == 114
+    assert sp.get_stable_id() == "d0::span_mention:104:114"
+    inner = Span(s, 4, 8)
+    assert inner in sp and sp not in inner
+    assert sp[0:5].get_span() == "quick"
+
+
+def test_implicit_span():
+    s = make_sentence("parts AB10 to AB12")
+    sp = ImplicitSpan(s, 6, 17, "range", 1, "AB11")
+    assert sp.get_span() == "AB11"
+    assert "implicit_span_mention" in sp.get_stable_id()
+    assert sp.get_stable_id().endswith(":range:1")
+    rec = sp.to_record("part")
+    assert rec["implicit"] and rec["text"] == "AB11"
+
+
+def test_tokens_to_ngrams():
+    out = list(tokens_to_ngrams(["a", "b", "c"], 1, 2))
+    assert out == ["a", "a b", "b", "b c", "c"]
+
+
+def test_ngrams_longest_first_and_dedup():
+    s = make_sentence("a b c")
+    spans = list(Ngrams(1, 2).apply_sentence(s))
+    texts = [sp.get_span() for sp in spans]
+    assert texts == ["a b", "b c", "a", "b", "c"]  # reverse-n order
+
+
+def test_ngrams_split_tokens():
+    s = make_sentence("BC546-16 works")
+    spans = list(Ngrams(1, 3, split_tokens=["-"]).apply_sentence(s))
+    texts = {sp.get_span() for sp in spans}
+    assert "BC546" in texts and "16" in texts and "BC546-16" in texts
+
+
+def test_mention_ngrams_over_doc():
+    doc = {"sentences": [make_sentence("a b"), make_sentence("c d", position=1)]}
+    texts = [sp.get_span() for sp in MentionNgrams(1, 1).apply(doc)]
+    assert texts == ["a", "b", "c", "d"]
