@@ -1,0 +1,181 @@
+"""Flagship KG-construction pipeline: web pages -> canonical triple table.
+
+parse -> mention-extract -> candidate -> label/score -> link -> dedup ->
+materialize, all as a single lazy Ray Data pipeline (streaming execution;
+the only shuffles are the canonicalization aggregates and the final triple
+dedup). The relation configuration below is the hardware-datasheet-style
+(part, stg_temp_max, value) extraction used by the reference's e2e tests
+(``tests/e2e/test_e2e.py``), re-expressed in this engine's declarative spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+from fonduer_ray.core.matchers import RegexMatchSpan
+from fonduer_ray.core.ngrams import MentionNgrams
+from fonduer_ray.stages.candidate_stage import RelationSpec, extract_candidates
+from fonduer_ray.stages.label_stage import CandidateView
+from fonduer_ray.stages.linking import dedup_triples, link_triples
+from fonduer_ray.stages.materialize import write_triples
+from fonduer_ray.stages.mention_stage import MentionSpec, extract_mentions
+from fonduer_ray.stages.parse_stage import parse_webpages
+from fonduer_ray.stages.triple_stage import extract_triples
+from fonduer_ray.sources.webpages import read_webpages
+
+PRED = "stg_temp_max"
+
+
+# -- mention config ---------------------------------------------------------
+
+def part_matcher() -> RegexMatchSpan:
+    return RegexMatchSpan(rgx=r"[A-Z]{2}\d{3,4}", ignore_case=False)
+
+
+def temp_matcher() -> RegexMatchSpan:
+    return RegexMatchSpan(rgx=r"\d{2,3}")
+
+
+def mention_specs() -> list[MentionSpec]:
+    return [
+        MentionSpec("part", MentionNgrams(1, 1), part_matcher()),
+        MentionSpec("temp", MentionNgrams(1, 1), temp_matcher()),
+    ]
+
+
+# -- candidate config -------------------------------------------------------
+
+def same_row_or_sentence(spans) -> bool:
+    """Throttler: part and temp must share a table row or a sentence
+    (analog of the reference hardware throttler,
+    ``tests/shared/hardware_throttlers.py:14-19``)."""
+    a, b = spans
+    sa, sb = a.sentence, b.sentence
+    if (
+        sa.get("table_position") is not None
+        and sa.get("table_position") == sb.get("table_position")
+        and not (sa["row_end"] < sb["row_start"] or sb["row_end"] < sa["row_start"])
+    ):
+        return True
+    return sa["position"] == sb["position"]
+
+
+def relation_specs() -> list[RelationSpec]:
+    return [RelationSpec("part_temp", ("part", "temp"), throttler=same_row_or_sentence)]
+
+
+# -- labeling functions -----------------------------------------------------
+
+def lf_same_row(c: CandidateView) -> int | None:
+    a, b = c[0], c[1]
+    sa, sb = a.sentence, b.sentence
+    if sa.get("table_position") is not None and sa.get("table_position") == sb.get(
+        "table_position"
+    ):
+        overlap = not (sa["row_end"] < sb["row_start"] or sb["row_end"] < sa["row_start"])
+        return 1 if overlap else -1
+    return None
+
+
+def lf_rated_sentence(c: CandidateView) -> int | None:
+    b = c[1]
+    words = {w.lower() for w in b.sentence["words"]}
+    if {"rated", "degrees"} & words:
+        return 1
+    return None
+
+
+def lf_temp_range(c: CandidateView) -> int | None:
+    try:
+        v = int(c[1].get_span())
+    except ValueError:
+        return -1
+    return 1 if 60 <= v <= 200 else -1
+
+
+def lf_not_min_column(c: CandidateView) -> int | None:
+    """Reject temps that sit in a column whose header suggests a minimum."""
+    s = c[1].sentence
+    if s.get("table_position") is None:
+        return None
+    if c[1].get_span().lstrip("-").isdigit() and c[1].get_span().startswith("-"):
+        return -1
+    return None
+
+
+def default_lfs():
+    return [
+        ("lf_same_row", lf_same_row),
+        ("lf_rated_sentence", lf_rated_sentence),
+        ("lf_temp_range", lf_temp_range),
+        ("lf_not_min_column", lf_not_min_column),
+    ]
+
+
+@dataclass
+class KGConfig:
+    threshold: float = 0.6
+    n_salts: int = 16
+    n_buckets: int = 16
+    lf_weights: dict = field(default_factory=dict)
+
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+
+        return hashlib.md5(
+            json.dumps(
+                {
+                    "threshold": self.threshold,
+                    "n_buckets": self.n_buckets,
+                    "weights": sorted(self.lf_weights.items()),
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()[:12]
+
+
+def build_triples(
+    pages: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> "ray.data.Dataset":
+    """web pages -> deduped canonical triples (lazy; no materialization)."""
+    cfg = cfg or KGConfig()
+    docs = parse_webpages(pages)
+    docs = extract_mentions(docs, mention_specs())
+    docs = extract_candidates(docs, relation_specs())
+    triples = extract_triples(
+        docs,
+        default_lfs(),
+        pred_names={"part_temp": PRED},
+        weights=cfg.lf_weights,
+        threshold=cfg.threshold,
+    )
+    linked = link_triples(triples, n_salts=cfg.n_salts)
+    return dedup_triples(linked)
+
+
+def run_kg(
+    input_path: str, out_dir: str, cfg: KGConfig | None = None
+) -> dict:
+    """End-to-end: read -> ... -> resumable partitioned Parquet KB."""
+    cfg = cfg or KGConfig()
+    pages = read_webpages(input_path)
+    deduped = build_triples(pages, cfg)
+    return write_triples(
+        deduped, out_dir, cfg.config_hash(), n_buckets=cfg.n_buckets
+    )
+
+
+def entity_prf(
+    predicted: set[tuple], gold: set[tuple]
+) -> dict:
+    """Entity-level set confusion (reference ``learning/utils.py:77-93``)."""
+    tp = len(predicted & gold)
+    fp = len(predicted - gold)
+    fn = len(gold - predicted)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}

@@ -1,0 +1,358 @@
+"""Featurization stage: multimodal feature library over candidates.
+
+Reimplements the shape and semantics of the reference feature families
+(``features/feature_libs/{textual,structural,tabular}_features.py``) as a
+doc-local ``map_batches`` stage producing the sparse parallel-array encoding
+``(candidate_stable_id, keys: list<string>, values: list<float32>)``
+(``features/models/feature.py:15-24``). Per-entity prefixes ``e{i}_`` for
+n-ary candidates mirror ``textual_features.py:34-283``.
+
+The global feature-key vocabulary (the reference's ``FeatureKey`` table,
+``featurizer.py:285-295``) is built with the engine's only wide aggregation:
+explode keys -> distinct -> sort by name -> broadcast via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from fonduer_ray.core.ngrams import tokens_to_ngrams
+from fonduer_ray.core.spans import Span, span_from_record
+from fonduer_ray.stages.schemas import FEATURE_SCHEMA
+from fonduer_ray.stages.util import default_concurrency
+
+FeatureFn = Callable[[list[Span], dict], list[str]]
+
+
+# ---------------------------------------------------------------------------
+# per-span / per-candidate feature generators (pure functions)
+# ---------------------------------------------------------------------------
+
+_WINDOW = 3
+
+
+def textual_features(spans: list[Span], doc: dict) -> list[str]:
+    """DDLib-style sequence/window features (``textual_features.py:34-283``):
+    span word/lemma sequence, +/-window lemma unigrams, capitalization,
+    length, implicit/explicit span type; ``_NUMBER`` lemma folding."""
+    feats: list[str] = []
+    for i, span in enumerate(spans):
+        if span is None:
+            continue
+        p = f"e{i}_" if len(spans) > 1 else ""
+        words = span.get_attrib_tokens("words")
+        lemmas = [_fold_num(w) for w in span.get_attrib_tokens("lemmas") or [w.lower() for w in words]]
+        feats.append(f"{p}WORD_SEQ_[{' '.join(words)}]")
+        feats.append(f"{p}LEMMA_SEQ_[{' '.join(lemmas)}]")
+        ws, we = span.get_word_start_index(), span.get_word_end_index()
+        sent_words = span.sentence["words"]
+        for k, w in enumerate(sent_words[max(0, ws - _WINDOW) : ws]):
+            feats.append(f"{p}W_LEFT_{ws - max(0, ws - _WINDOW) - k}_[{_fold_num(w.lower())}]")
+        for k, w in enumerate(sent_words[we + 1 : we + 1 + _WINDOW]):
+            feats.append(f"{p}W_RIGHT_{k + 1}_[{_fold_num(w.lower())}]")
+        if words and words[0][:1].isupper():
+            feats.append(f"{p}STARTS_WITH_CAPITAL")
+        feats.append(f"{p}LENGTH_{len(words)}")
+        feats.append(
+            f"{p}SPAN_TYPE_[{'IMPLICIT' if getattr(span, 'expander_key', None) else 'EXPLICIT'}]"
+        )
+    if len(spans) == 2 and all(s is not None for s in spans):
+        a, b = spans
+        if a.sentence["position"] == b.sentence["position"]:
+            feats.append("SAME_SENTENCE")
+            lo = min(a.get_word_end_index(), b.get_word_end_index())
+            hi = max(a.get_word_start_index(), b.get_word_start_index())
+            between = a.sentence["words"][lo + 1 : hi]
+            for w in between[:7]:
+                feats.append(f"BETWEEN_[{_fold_num(w.lower())}]")
+            feats.append(f"WORD_DIFF_{max(hi - lo - 1, 0)}")
+    return feats
+
+
+def _fold_num(w: str) -> str:
+    return "_NUMBER" if w.replace(".", "").replace(",", "").replace("-", "").isdigit() else w
+
+
+def structural_features(spans: list[Span], doc: dict) -> list[str]:
+    """Tag/attr/ancestor features from the stored xpath
+    (``structural_features.py:26-117``)."""
+    feats: list[str] = []
+    xpaths = []
+    for i, span in enumerate(spans):
+        if span is None:
+            continue
+        p = f"e{i}_" if len(spans) > 1 else ""
+        s = span.sentence
+        tag = s.get("html_tag") or ""
+        if tag:
+            feats.append(f"{p}TAG_[{tag}]")
+        for attr in s.get("html_attrs") or []:
+            feats.append(f"{p}HTML_ATTR_[{attr}]")
+        xp = s.get("xpath") or ""
+        xpaths.append(xp)
+        parts = [seg for seg in xp.split("/") if seg]
+        if len(parts) >= 2:
+            feats.append(f"{p}PARENT_TAG_[{_strip_idx(parts[-2])}]")
+        for seg in parts[:-1]:
+            feats.append(f"{p}ANCESTOR_TAG_[{_strip_idx(seg)}]")
+    if len(xpaths) == 2:
+        common = _common_prefix_segments(xpaths[0], xpaths[1])
+        feats.append(f"COMMON_ANCESTOR_[{'/'.join(common)}]")
+        depth = min(
+            len([s for s in xp.split("/") if s]) - len(common) for xp in xpaths
+        )
+        feats.append(f"LOWEST_ANCESTOR_DEPTH_[{depth}]")
+    return feats
+
+
+def _strip_idx(seg: str) -> str:
+    return seg.split("[")[0]
+
+
+def _common_prefix_segments(a: str, b: str) -> list[str]:
+    pa_, pb = [s for s in a.split("/") if s], [s for s in b.split("/") if s]
+    out = []
+    for x, y in zip(pa_, pb):
+        if x != y:
+            break
+        out.append(x)
+    return out
+
+
+def tabular_features(spans: list[Span], doc: dict) -> list[str]:
+    """Row/col position + aligned-ngram features
+    (``tabular_features.py:24-191``); relies on the doc-local maps prepared
+    by ``_DocView``."""
+    feats: list[str] = []
+    view = _DocView.get(doc)
+    for i, span in enumerate(spans):
+        if span is None:
+            continue
+        p = f"e{i}_" if len(spans) > 1 else ""
+        s = span.sentence
+        if s.get("table_position") is None:
+            continue
+        feats.append(f"{p}ROW_NUM_[{s['row_start']}]")
+        feats.append(f"{p}COL_NUM_[{s['col_start']}]")
+        feats.append(f"{p}ROW_SPAN_[{s['row_end'] - s['row_start'] + 1}]")
+        feats.append(f"{p}COL_SPAN_[{s['col_end'] - s['col_start'] + 1}]")
+        for w in view.row_ngrams(s):
+            feats.append(f"{p}ROW_NGRAM_[{w}]")
+        for w in view.col_ngrams(s):
+            feats.append(f"{p}COL_NGRAM_[{w}]")
+        head = view.head_ngrams(s)
+        for w in head:
+            feats.append(f"{p}ROW_HEAD_NGRAM_[{w}]")
+    if len(spans) == 2 and all(sp is not None for sp in spans):
+        a, b = spans[0].sentence, spans[1].sentence
+        if a.get("table_position") is not None and a.get("table_position") == b.get("table_position"):
+            feats.append("SAME_TABLE")
+            if a.get("cell_position") == b.get("cell_position"):
+                feats.append("SAME_CELL")
+            rd = _range_diff(a["row_start"], a["row_end"], b["row_start"], b["row_end"])
+            cd = _range_diff(a["col_start"], a["col_end"], b["col_start"], b["col_end"])
+            feats.append(f"ROW_DIFF_[{rd}]")
+            feats.append(f"COL_DIFF_[{cd}]")
+            feats.append(f"MANHATTAN_DIST_[{abs(rd) + abs(cd)}]")
+            if rd == 0:
+                feats.append("SAME_ROW")
+            if cd == 0:
+                feats.append("SAME_COL")
+    return feats
+
+
+def _range_diff(a0: int, a1: int, b0: int, b1: int) -> int:
+    """Minimal signed difference between two [start,end] ranges
+    (alignment math semantics of ``utils/utils_table.py:12-146``)."""
+    if a1 < b0:
+        return b0 - a1
+    if b1 < a0:
+        return -(a0 - b1)
+    return 0
+
+
+class _DocView:
+    """Per-document lookup maps for tabular features; built once per doc
+    (replaces the reference's per-process lru caches,
+    ``data_model_utils/tabular.py:31-561``)."""
+
+    _cache_key = "__view__"
+
+    def __init__(self, doc: dict):
+        self.rows: dict[tuple[int, int], list[str]] = {}
+        self.cols: dict[tuple[int, int], list[str]] = {}
+        for s in doc["sentences"]:
+            t = s.get("table_position")
+            if t is None:
+                continue
+            for r in range(s["row_start"], s["row_end"] + 1):
+                self.rows.setdefault((t, r), []).extend(w.lower() for w in s["words"])
+            for c in range(s["col_start"], s["col_end"] + 1):
+                self.cols.setdefault((t, c), []).extend(w.lower() for w in s["words"])
+
+    @classmethod
+    def get(cls, doc: dict) -> "_DocView":
+        v = doc.get(cls._cache_key)
+        if v is None:
+            v = cls(doc)
+            doc[cls._cache_key] = v
+        return v
+
+    def row_ngrams(self, s: dict, n_max: int = 1) -> list[str]:
+        own = {w.lower() for w in s["words"]}
+        out = []
+        for r in range(s["row_start"], s["row_end"] + 1):
+            for w in self.rows.get((s["table_position"], r), []):
+                if w not in own:
+                    out.append(w)
+        return list(dict.fromkeys(out))
+
+    def col_ngrams(self, s: dict, n_max: int = 1) -> list[str]:
+        own = {w.lower() for w in s["words"]}
+        out = []
+        for c in range(s["col_start"], s["col_end"] + 1):
+            for w in self.cols.get((s["table_position"], c), []):
+                if w not in own:
+                    out.append(w)
+        return list(dict.fromkeys(out))
+
+    def head_ngrams(self, s: dict) -> list[str]:
+        """Words of the topmost cell in this sentence's column."""
+        return self.cols.get((s["table_position"], s["col_start"]), [])[:5]
+
+
+DEFAULT_FEATURE_FNS: list[FeatureFn] = [
+    textual_features,
+    structural_features,
+    tabular_features,
+]
+
+
+# ---------------------------------------------------------------------------
+# the stage
+# ---------------------------------------------------------------------------
+
+
+class FeatureStage:
+    """Doc rows (with candidates) -> sparse feature rows."""
+
+    def __init__(self, feature_fns: list[FeatureFn] | None = None):
+        self.feature_fns = feature_fns or DEFAULT_FEATURE_FNS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc in batch.to_pylist():
+            sent_by_pos = {s["position"]: s for s in doc["sentences"]}
+            for cand in doc["candidates"]:
+                spans = _candidate_spans(cand, sent_by_pos)
+                keys: dict[str, float] = {}
+                for fn in self.feature_fns:
+                    for k in fn(spans, doc):
+                        keys[k] = 1.0
+                rows.append(
+                    {
+                        "doc_name": doc["doc_name"],
+                        "candidate_stable_id": cand["stable_id"],
+                        "relation": cand["relation"],
+                        "split": cand["split"],
+                        "keys": list(keys.keys()),
+                        "values": list(keys.values()),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+def _candidate_spans(cand: dict, sent_by_pos: dict) -> list[Span | None]:
+    spans: list[Span | None] = []
+    for j in range(len(cand["arg_types"])):
+        if cand["arg_stable_ids"][j] == "":
+            spans.append(None)
+            continue
+        rec = {
+            "stable_id": cand["arg_stable_ids"][j],
+            "char_start": cand["arg_char_starts"][j],
+            "char_end": cand["arg_char_ends"][j],
+            "text": cand["arg_texts"][j],
+            "implicit": cand["arg_implicit"][j],
+            "expander_key": "x" if cand["arg_implicit"][j] else "",
+            "position": 0,
+            "expanded_words": cand["arg_texts"][j].split() if cand["arg_implicit"][j] else [],
+        }
+        spans.append(span_from_record(sent_by_pos[cand["arg_sentence_positions"][j]], rec))
+    return spans
+
+
+def featurize(
+    ds: "ray.data.Dataset",
+    feature_fns: list[FeatureFn] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FeatureStage,
+        fn_constructor_kwargs={"feature_fns": feature_fns},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def feature_key_vocab(feature_ds: "ray.data.Dataset") -> list[str]:
+    """Global sorted feature-key vocabulary — the engine's one wide
+    aggregation (replaces the ``FeatureKey`` rebuild,
+    ``featurizer.py:285-295``). Keys are sorted by name for deterministic
+    matrix columns (``utils/utils_udf.py:101-103``)."""
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        # per-block pre-dedup before the global distinct (combiner pattern)
+        uniq = set()
+        for keys in batch["keys"].to_pylist():
+            uniq.update(keys)
+        return pa.table({"key": pa.array(sorted(uniq), type=pa.string())})
+
+    uniq = feature_ds.select_columns(["keys"]).map_batches(
+        explode_keys, batch_format="pyarrow"
+    )
+    return sorted(uniq.unique("key"))
+
+
+def feature_matrix(
+    feature_ds: "ray.data.Dataset", vocab: list[str], split: int | None = None
+):
+    """Assemble a dense-ish per-block CSR-equivalent: returns (ids, indptr,
+    indices, data) numpy arrays collected to the driver — only for
+    small/test scales (matrix fit happens driver-side, like the reference's
+    ``get_sparse_matrix``, ``utils/utils_udf.py:125-193``)."""
+    index_ref = ray.put({k: i for i, k in enumerate(vocab)})
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        index = ray.get(index_ref)
+        ids, cols = [], []
+        for row in batch.to_pylist():
+            idx = sorted(index[k] for k in row["keys"] if k in index)
+            ids.append(row["candidate_stable_id"])
+            cols.append(idx)
+        return pa.table(
+            {
+                "candidate_stable_id": pa.array(ids, pa.string()),
+                "col_indices": pa.array(cols, pa.list_(pa.int64())),
+            }
+        )
+
+    ds = feature_ds
+    if split is not None:
+        ds = ds.filter(expr=f"split == {split}")
+    out = ds.map_batches(to_rows, batch_format="pyarrow").take_all()
+    ids = [r["candidate_stable_id"] for r in out]
+    indptr = np.zeros(len(out) + 1, dtype=np.int64)
+    indices = []
+    for i, r in enumerate(out):
+        indices.extend(r["col_indices"])
+        indptr[i + 1] = len(indices)
+    return ids, indptr, np.asarray(indices, dtype=np.int64), np.ones(len(indices), dtype=np.float32)

@@ -1,0 +1,167 @@
+"""Supervision stage: labeling functions, label matrices, and the LF-vote
+scorer that replaces the reference's LSTM discriminative model.
+
+LF semantics mirror ``LabelerUDF.apply`` (``supervision/labeler.py:420-495``):
+an LF returns an int label, ``None`` = ABSTAIN; the sparse encoding shifts by
++1 so 0 means abstain (dense view uses -1, ``utils/utils_udf.py:196-203``).
+
+The scorer is a weighted LF vote (the "labeling-function-style scorer
+replacing the LSTM" of the north star): votes in {-1, +1}, abstain ignored;
+``prob = (1 + sum(w*v)/sum(|w| over non-abstains)) / 2``; all-abstain -> 0.5.
+Deterministic, stateless per candidate -> plain map_batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.core.spans import Span
+from fonduer_ray.stages.feature_stage import _candidate_spans
+from fonduer_ray.stages.schemas import LABEL_SCHEMA
+from fonduer_ray.stages.util import default_concurrency
+
+ABSTAIN = None
+
+
+@dataclass
+class CandidateView:
+    """What an LF sees: the argument spans + the full document row."""
+
+    relation: str
+    stable_id: str
+    spans: list[Span | None]
+    doc: dict
+
+    def __getitem__(self, i: int) -> Span | None:
+        return self.spans[i]
+
+
+LabelingFunction = Callable[[CandidateView], int | None]
+
+
+class LabelStage:
+    """Doc rows (with candidates) -> sparse label rows, one per candidate."""
+
+    def __init__(self, lfs: list[tuple[str, LabelingFunction]]):
+        self.lfs = lfs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc in batch.to_pylist():
+            sent_by_pos = {s["position"]: s for s in doc["sentences"]}
+            for cand in doc["candidates"]:
+                view = CandidateView(
+                    cand["relation"],
+                    cand["stable_id"],
+                    _candidate_spans(cand, sent_by_pos),
+                    doc,
+                )
+                keys, values = [], []
+                for name, fn in self.lfs:
+                    y = fn(view)
+                    keys.append(name)
+                    values.append(0 if y is None else int(y) + 1)
+                rows.append(
+                    {
+                        "doc_name": doc["doc_name"],
+                        "candidate_stable_id": cand["stable_id"],
+                        "relation": cand["relation"],
+                        "split": cand["split"],
+                        "keys": keys,
+                        "values": values,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=LABEL_SCHEMA)
+
+
+def label(
+    ds: "ray.data.Dataset",
+    lfs: list[tuple[str, LabelingFunction]],
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LabelStage,
+        fn_constructor_kwargs={"lfs": lfs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def sparse_to_dense(values: list[int]) -> list[int]:
+    """Shifted sparse (0 = abstain) -> dense (-1 = abstain)."""
+    return [v - 1 for v in values]
+
+
+class VoteScorer:
+    """Weighted LF-vote scorer over sparse label rows (map_batches fn).
+
+    Emits ``(candidate_stable_id, prob)`` marginals (the reference's
+    ``Marginal`` rows, ``learning/models/marginal.py:7-35``)."""
+
+    def __init__(self, weights: dict[str, float] | None = None):
+        self.weights = weights or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probs = []
+        for row in batch.to_pylist():
+            num = 0.0
+            den = 0.0
+            for k, v in zip(row["keys"], row["values"]):
+                if v == 0:
+                    continue
+                w = self.weights.get(k, 1.0)
+                vote = 1.0 if v - 1 > 0 else -1.0
+                num += w * vote
+                den += abs(w)
+            probs.append(0.5 if den == 0 else (1.0 + num / den) / 2.0)
+        return pa.table(
+            {
+                "doc_name": batch["doc_name"],
+                "candidate_stable_id": batch["candidate_stable_id"],
+                "relation": batch["relation"],
+                "split": batch["split"],
+                "prob": pa.array(probs, pa.float64()),
+            }
+        )
+
+
+def score(
+    label_ds: "ray.data.Dataset",
+    weights: dict[str, float] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    return score_with(label_ds, VoteScorer(weights), concurrency)
+
+
+def score_with(label_ds, scorer, concurrency=None):
+    return label_ds.map_batches(
+        type(scorer),
+        fn_constructor_kwargs={"weights": scorer.weights},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def label_matrix(label_ds: "ray.data.Dataset", lf_names: list[str]):
+    """Dense label matrix (rows = candidates, cols = LFs, -1 = abstain),
+    collected driver-side for small/test scales (analog of
+    ``get_label_matrices``, ``labeler.py:309-417``)."""
+    import numpy as np
+
+    rows = label_ds.take_all()
+    ids = [r["candidate_stable_id"] for r in rows]
+    name_idx = {n: i for i, n in enumerate(lf_names)}
+    mat = -np.ones((len(rows), len(lf_names)), dtype=np.int64)
+    for i, r in enumerate(rows):
+        for k, v in zip(r["keys"], r["values"]):
+            if k in name_idx:
+                mat[i, name_idx[k]] = v - 1
+    return ids, mat

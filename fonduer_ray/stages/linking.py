@@ -1,0 +1,189 @@
+"""Entity linking & canonicalization: salted groupby-aggregate shuffles keyed
+by normalized surface form, with explicit skew mitigation for head entities.
+
+New code with no reference analog (north_rule): the reference stops at
+candidate scoring; a KG needs linked, canonicalized entities. Strategy:
+
+1. ``normalize_surface`` folds case/whitespace/punctuation/dashes — the
+   shuffle key.
+2. Canonical form per key = the most frequent raw surface (ties ->
+   lexicographically smallest), computed as a **two-phase salted aggregate**:
+   a per-block combiner first collapses duplicate ``(norm, surface)`` pairs,
+   then an explicit ``salt`` column splits head-entity groups across
+   reducers, then a final unsalted merge. A Zipfian head entity never lands
+   on a single reducer with raw rows.
+3. The canonical map is small (entity vocabulary); it is broadcast once via
+   ``ray.put`` and applied inside ``map_batches`` — a broadcast join, not a
+   shuffle join.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_PUNCT_EDGE = re.compile(r"^[\W_]+|[\W_]+$", re.UNICODE)
+_WS = re.compile(r"\s+")
+_DASH = re.compile("[‐‑‒–—―−]")
+
+
+def normalize_surface(s: str) -> str:
+    """Normalization key for entity linking (upper, dash-fold, punctuation
+    edges stripped, whitespace collapsed)."""
+    s = _DASH.sub("-", s)
+    s = _PUNCT_EDGE.sub("", s)
+    s = _WS.sub(" ", s).strip()
+    return s.upper()
+
+
+def _salt_of(surface: str, n_salts: int) -> int:
+    return zlib.crc32(surface.encode()) % n_salts
+
+
+def build_canonical_map(
+    ds: "ray.data.Dataset", columns: list[str], n_salts: int = 16
+) -> dict[str, str]:
+    """Compute {normalized form -> canonical surface} over the given surface
+    columns of ``ds`` using the salted two-phase aggregate described above.
+
+    Returns a plain dict (entity vocabulary — small by construction); callers
+    broadcast it with ``ray.put``."""
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        # per-block combiner: collapse duplicate (norm, surface) pairs early
+        counts: dict[tuple[str, str], int] = {}
+        for col in columns:
+            for v in batch[col].to_pylist():
+                if not v:
+                    continue
+                key = (normalize_surface(v), v)
+                counts[key] = counts.get(key, 0) + 1
+        norms, surfs, cnts, salts = [], [], [], []
+        for (n, s), c in counts.items():
+            norms.append(n)
+            surfs.append(s)
+            cnts.append(c)
+            salts.append(_salt_of(s, n_salts))
+        return pa.table(
+            {
+                "norm": pa.array(norms, pa.string()),
+                "surface": pa.array(surfs, pa.string()),
+                "salt": pa.array(salts, pa.int32()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    # phase 1: salted partial aggregate (head keys split across reducers)
+    from ray.data.aggregate import Sum
+
+    partial = pairs.groupby(["norm", "surface", "salt"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    # phase 2: unsalted final merge — input already collapsed to one row per
+    # (norm, surface, salt), so no head-key hotspot remains
+    final = partial.groupby(["norm", "surface"]).aggregate(Sum("cnt", alias_name="cnt"))
+    best: dict[str, tuple[int, str]] = {}
+    for batch in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for norm, surface, cnt in zip(
+            batch["norm"].to_pylist(),
+            batch["surface"].to_pylist(),
+            batch["cnt"].to_pylist(),
+        ):
+            cur = best.get(norm)
+            cand = (-cnt, surface)
+            if cur is None or cand < cur:
+                best[norm] = cand
+    return {norm: surface for norm, (_, surface) in best.items()}
+
+
+def link_triples(
+    triples: "ray.data.Dataset", n_salts: int = 16
+) -> "ray.data.Dataset":
+    """Canonicalize subj/obj of a raw triple table via a broadcast canonical
+    map; emits the same schema with canonical surfaces + ``subj_norm``/
+    ``obj_norm`` keys."""
+    canon = build_canonical_map(triples, ["subj", "obj"], n_salts=n_salts)
+    canon_ref = ray.put(canon)
+
+    def apply_canon(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(canon_ref)
+        subj_norm = [normalize_surface(s) for s in batch["subj"].to_pylist()]
+        obj_norm = [normalize_surface(s) for s in batch["obj"].to_pylist()]
+        subj_canon = [cmap.get(n, n) for n in subj_norm]
+        obj_canon = [cmap.get(n, n) for n in obj_norm]
+        out = batch.drop_columns(["subj", "obj"])
+        out = out.append_column("subj", pa.array(subj_canon, pa.string()))
+        out = out.append_column("obj", pa.array(obj_canon, pa.string()))
+        out = out.append_column("subj_norm", pa.array(subj_norm, pa.string()))
+        out = out.append_column("obj_norm", pa.array(obj_norm, pa.string()))
+        return out
+
+    return triples.map_batches(apply_canon, batch_format="pyarrow")
+
+
+def dedup_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact triple dedup + aggregation: one row per (subj, pred, obj) with
+    support count, max score and one provenance sample. A per-block combiner
+    collapses duplicates before the global groupby (partial aggregation)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple, list] = {}
+        for r in batch.select(
+            ["subj", "pred", "obj", "doc_name", "candidate_stable_id", "score"]
+        ).to_pylist():
+            key = (r["subj"], r["pred"], r["obj"])
+            cur = agg.get(key)
+            if cur is None:
+                agg[key] = [1, r["score"], r["doc_name"], r["candidate_stable_id"]]
+            else:
+                cur[0] += 1
+                if r["score"] > cur[1]:
+                    cur[1] = r["score"]
+                if r["doc_name"] < cur[2]:
+                    cur[2], cur[3] = r["doc_name"], r["candidate_stable_id"]
+        rows = [
+            {
+                "subj": k[0],
+                "pred": k[1],
+                "obj": k[2],
+                "support": v[0],
+                "score": v[1],
+                "provenance_doc": v[2],
+                "provenance_candidate": v[3],
+            }
+            for k, v in agg.items()
+        ]
+        return pa.Table.from_pylist(rows, schema=_DEDUP_SCHEMA)
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    partial = linked.map_batches(combine, batch_format="pyarrow")
+    return (
+        partial.groupby(["subj", "pred", "obj"])
+        .aggregate(
+            Sum("support", alias_name="support"),
+            Max("score", alias_name="score"),
+            Min("provenance_doc", alias_name="provenance_doc"),
+            Min("provenance_candidate", alias_name="provenance_candidate"),
+        )
+    )
+
+
+_DEDUP_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("support", pa.int64()),
+        ("score", pa.float64()),
+        ("provenance_doc", pa.string()),
+        ("provenance_candidate", pa.string()),
+    ]
+)
