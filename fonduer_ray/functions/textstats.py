@@ -1,0 +1,172 @@
+"""Text-analysis operators over a documents table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All are vectorized-per-batch ``map_batches`` transforms over Arrow blocks;
+the per-doc work is tokenization (regex, compiled once per actor) — no
+Python-level cross-row state, so stages scale embarrassingly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.stages.util import default_concurrency
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in on for with at by from is are was were be been "
+    "this that these those it its as not no but if then than so such".split()
+)
+_STOP_ES = frozenset("el la los las de del y en un una que es por con para no se su".split())
+_STOP_DE = frozenset("der die das und oder von zu in mit ist sind ein eine nicht für auf".split())
+_STOP_FR = frozenset("le la les de des et ou un une que est dans pour avec ne pas sur au".split())
+
+
+class TokenStats:
+    """(doc_id, text) -> n_tokens, n_unique, mean_token_len."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tokens, n_unique, mean_len = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            n_tokens.append(len(toks))
+            n_unique.append(len(set(toks)))
+            mean_len.append(
+                (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_unique": pa.array(n_unique, pa.int64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+            }
+        )
+
+
+class QualityScore:
+    """Heuristic quality signals: stopword ratio, mean word length, digit
+    ratio. Shape mirrors production web-text quality filters (length/punct/
+    stopword-ratio family)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stop_ratio, digit_ratio = [], []
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            if not toks:
+                stop_ratio.append(0.0)
+                digit_ratio.append(0.0)
+                continue
+            stop_ratio.append(sum(1 for t in toks if t in STOPWORDS_EN) / len(toks))
+            digit_ratio.append(
+                sum(1 for t in toks if any(c.isdigit() for c in t)) / len(toks)
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "digit_ratio": pa.array(digit_ratio, pa.float64()),
+            }
+        )
+
+
+class TokenCount:
+    """BPE-ish token counting: words + punctuation marks as separate tokens."""
+
+    def __init__(self) -> None:
+        self.rgx = _BPE_ISH
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [len(self.rgx.findall(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(counts, pa.int64())}
+        )
+
+
+class LangId:
+    """N-gram/stopword-overlap language ID over {en, es, de, fr}; deterministic
+    heuristic (no model downloads in this environment)."""
+
+    TABLES = {"en": STOPWORDS_EN, "es": _STOP_ES, "de": _STOP_DE, "fr": _STOP_FR}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in batch["text"].to_pylist():
+            toks = [t.lower() for t in (text or "").split()]
+            best_lang, best = "und", 0.0
+            for lang in sorted(self.TABLES):
+                table = self.TABLES[lang]
+                s = (sum(1 for t in toks if t in table) / len(toks)) if toks else 0.0
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+class Fingerprint:
+    """Content fingerprints: md5 hex of the raw text + a 64-bit rolling
+    (polynomial) hash over tokens."""
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        md5s, rolls = [], []
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            md5s.append(hashlib.md5(t.encode()).hexdigest())
+            h = 0
+            for tok in t.split():
+                th = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                h = (h * self.BASE + th) % self.MOD
+            rolls.append(h)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "md5": pa.array(md5s, pa.string()),
+                "rolling_hash": pa.array(rolls, pa.int64()),
+            }
+        )
+
+
+def _apply(ds: "ray.data.Dataset", cls, **kw) -> "ray.data.Dataset":
+    return ds.map_batches(
+        cls,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+        **kw,
+    )
+
+
+def token_stats(ds):
+    return _apply(ds.select_columns(["doc_id", "text"]), TokenStats)
+
+
+def quality_scores(ds):
+    return _apply(ds.select_columns(["doc_id", "text"]), QualityScore)
+
+
+def token_counts(ds):
+    return _apply(ds.select_columns(["doc_id", "text"]), TokenCount)
+
+
+def lang_id(ds):
+    return _apply(ds.select_columns(["doc_id", "text"]), LangId)
+
+
+def fingerprints(ds):
+    return _apply(ds.select_columns(["doc_id", "text"]), Fingerprint)

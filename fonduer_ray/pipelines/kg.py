@@ -56,6 +56,8 @@ def same_row_or_sentence(spans) -> bool:
     if (
         sa.get("table_position") is not None
         and sa.get("table_position") == sb.get("table_position")
+        and sa.get("row_start") is not None
+        and sb.get("row_start") is not None
         and not (sa["row_end"] < sb["row_start"] or sb["row_end"] < sa["row_start"])
     ):
         return True
@@ -71,8 +73,11 @@ def relation_specs() -> list[RelationSpec]:
 def lf_same_row(c: CandidateView) -> int | None:
     a, b = c[0], c[1]
     sa, sb = a.sentence, b.sentence
-    if sa.get("table_position") is not None and sa.get("table_position") == sb.get(
-        "table_position"
+    if (
+        sa.get("table_position") is not None
+        and sa.get("table_position") == sb.get("table_position")
+        and sa.get("row_start") is not None
+        and sb.get("row_start") is not None
     ):
         overlap = not (sa["row_end"] < sb["row_start"] or sb["row_end"] < sa["row_start"])
         return 1 if overlap else -1
@@ -138,20 +143,39 @@ class KGConfig:
 
 
 def build_triples(
-    pages: "ray.data.Dataset", cfg: KGConfig | None = None
+    pages: "ray.data.Dataset", cfg: KGConfig | None = None, fused: bool = True
 ) -> "ray.data.Dataset":
-    """web pages -> deduped canonical triples (lazy; no materialization)."""
+    """web pages -> deduped canonical triples.
+
+    ``fused=True`` (default) runs the doc-local steps (parse -> mention ->
+    candidate -> LF score) in ONE actor pool — no per-stage nested-row
+    serialization and no pool-per-stage CPU reservation. ``fused=False``
+    keeps the modular stages (useful when intermediate doc rows are needed,
+    e.g. for featurization)."""
     cfg = cfg or KGConfig()
-    docs = parse_webpages(pages)
-    docs = extract_mentions(docs, mention_specs())
-    docs = extract_candidates(docs, relation_specs())
-    triples = extract_triples(
-        docs,
-        default_lfs(),
-        pred_names={"part_temp": PRED},
-        weights=cfg.lf_weights,
-        threshold=cfg.threshold,
-    )
+    if fused:
+        from fonduer_ray.stages.fused import pages_to_triples
+
+        triples = pages_to_triples(
+            pages,
+            mention_specs(),
+            relation_specs(),
+            default_lfs(),
+            pred_names={"part_temp": PRED},
+            weights=cfg.lf_weights,
+            threshold=cfg.threshold,
+        )
+    else:
+        docs = parse_webpages(pages)
+        docs = extract_mentions(docs, mention_specs())
+        docs = extract_candidates(docs, relation_specs())
+        triples = extract_triples(
+            docs,
+            default_lfs(),
+            pred_names={"part_temp": PRED},
+            weights=cfg.lf_weights,
+            threshold=cfg.threshold,
+        )
     linked = link_triples(triples, n_salts=cfg.n_salts)
     return dedup_triples(linked)
 

@@ -1,0 +1,231 @@
+"""Relational operator pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's generic relational capabilities — vectorized
+Arrow map_batches, filters, broadcast joins (small side via ``ray.put``,
+never a shuffle join), partial-then-global aggregation, two-phase distinct,
+multi-key sort/top-k, and grouped window-style logic — each with a DuckDB
+oracle in ``__ray_entry__.oracle_sql``.
+
+Money sums use exact integer cents (``round(x*100)`` as int64) so Ray and
+the SQL oracle agree bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """Q1-style grouped aggregate with exact-cents money sums."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_c4 = pc.multiply(cents, pc.subtract(100, disc_c))  # price*disc in 1e-4 units
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_cents": cents,
+                "rev_c4": rev_c4,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("rev_c4", alias_name="rev_c4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_price": pc.divide(pc.cast(t["price_cents"], pa.float64()), 100.0),
+                "sum_revenue": pc.divide(pc.cast(t["rev_c4"], pa.float64()), 10000.0),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Q6-style scan-filter-aggregate: predicate pushed into the batch
+    (vectorized), single-row result in exact cents."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(np.datetime64("1995-01-01", "us"))),
+                pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1997-01-01", "us"))),
+            ),
+            pc.and_(
+                pc.greater_equal(disc_c, 5),
+                pc.less(t["l_quantity"], 25.0),
+            ),
+        )
+        f = t.filter(mask)
+        cents = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], 100.0)), pa.int64())
+        dc = pc.cast(pc.round(pc.multiply(f["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, dc)
+        s = pc.sum(rev).as_py() or 0
+        return pa.table(
+            {"rev_c4": pa.array([s], pa.int64()), "n": pa.array([f.num_rows], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    total = partials.aggregate(Sum("rev_c4", alias_name="rev_c4"), Sum("n", alias_name="n_rows"))
+    return pa.table(
+        {
+            "sum_revenue": pa.array([(total["rev_c4"] or 0) / 10000.0], pa.float64()),
+            "n_rows": pa.array([total["n_rows"] or 0], pa.int64()),
+        }
+    )
+
+
+def top_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Multi-key top-k: highest-value orders, deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> "ray.ObjectRef":
+    rows = _read(sf_dir, table, [key, val]).take_all()
+    return ray.put({r[key]: r[val] for r in rows})
+
+
+def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
+    """orders |x| customer |x| nation via two broadcast lookups (small sides
+    shipped once with ``ray.put``), then a partial-aggregated count."""
+    cust_ref = _broadcast_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nation_ref = _broadcast_map(sf_dir, "nation", "n_nationkey", "n_name")
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        cust = ray.get(cust_ref)
+        nation = ray.get(nation_ref)
+        names = [nation[cust[c]] for c in t["o_custkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string())})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def supplier_region(sf_dir: str) -> "ray.data.Dataset":
+    """supplier -> nation -> region multi-hop broadcast join + count."""
+    nation_rows = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    region_rows = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    region = {r["r_regionkey"]: r["r_name"] for r in region_rows}
+    n2r = {r["n_nationkey"]: region[r["n_regionkey"]] for r in nation_rows}
+    ref = ray.put(n2r)
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        return pa.table(
+            {"r_name": pa.array([lookup[n] for n in t["s_nationkey"].to_pylist()], pa.string())}
+        )
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+
+
+def part_brands(sf_dir: str) -> "ray.data.Dataset":
+    """Two-phase distinct: distinct (type, brand) pairs first (combiner
+    collapses dupes in the shuffle), then count brands per type."""
+    ds = _read(sf_dir, "part", ["p_type", "p_brand"])
+    pairs = ds.groupby(["p_type", "p_brand"]).aggregate(Count(alias_name="_c"))
+    return (
+        pairs.groupby("p_type")
+        .aggregate(Count(alias_name="n_brands"), Sum("_c", alias_name="n_parts"))
+    )
+
+
+def events_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped aggregate with exact-cents min/max/count over the stream table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def user_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Top 20 most active users (count desc, user_id asc tie-break)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Sessionization (window-style): per user, count sessions delimited by
+    >gap gaps — grouped sort inside ``map_groups``, no global sort."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+        gaps = np.diff(ts) > np.timedelta64(gap_minutes * 60, "s")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(ts)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def order_priority_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Filter + groupby on orders (date-range predicate at the batch)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64("1995-01-01", "us"))),
+            pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return t.filter(mask).select(["o_orderpriority"])
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )

@@ -136,7 +136,7 @@ def tabular_features(spans: list[Span], doc: dict) -> list[str]:
             continue
         p = f"e{i}_" if len(spans) > 1 else ""
         s = span.sentence
-        if s.get("table_position") is None:
+        if s.get("table_position") is None or s.get("row_start") is None:
             continue
         feats.append(f"{p}ROW_NUM_[{s['row_start']}]")
         feats.append(f"{p}COL_NUM_[{s['col_start']}]")
@@ -151,7 +151,12 @@ def tabular_features(spans: list[Span], doc: dict) -> list[str]:
             feats.append(f"{p}ROW_HEAD_NGRAM_[{w}]")
     if len(spans) == 2 and all(sp is not None for sp in spans):
         a, b = spans[0].sentence, spans[1].sentence
-        if a.get("table_position") is not None and a.get("table_position") == b.get("table_position"):
+        if (
+            a.get("table_position") is not None
+            and a.get("table_position") == b.get("table_position")
+            and a.get("row_start") is not None
+            and b.get("row_start") is not None
+        ):
             feats.append("SAME_TABLE")
             if a.get("cell_position") == b.get("cell_position"):
                 feats.append("SAME_CELL")
@@ -189,7 +194,8 @@ class _DocView:
         self.cols: dict[tuple[int, int], list[str]] = {}
         for s in doc["sentences"]:
             t = s.get("table_position")
-            if t is None:
+            # captions live in a table but not in a cell: no grid coords
+            if t is None or s.get("row_start") is None:
                 continue
             for r in range(s["row_start"], s["row_end"] + 1):
                 self.rows.setdefault((t, r), []).extend(w.lower() for w in s["words"])

@@ -1,0 +1,124 @@
+"""Fused doc-local pipeline stage: pages -> triples in ONE actor pool.
+
+Parse, mention extraction, candidate generation and LF scoring are all
+doc-local transforms; running them as separate ``map_batches`` stages costs
+a nested-Arrow serialization round-trip per stage AND one actor pool per
+stage (which can starve a small cluster: four pools each reserving a CPU
+leave nothing for tasks). The fused stage keeps per-document Python dicts
+in memory across all four steps and emits only the small triple rows —
+the modular stages remain for featurization/labeling workflows and tests.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.parser.lingual import HeuristicLinguist
+from fonduer_ray.parser.parse import ParserConfig, parse_document
+from fonduer_ray.stages.candidate_stage import CandidateStage, RelationSpec
+from fonduer_ray.stages.mention_stage import MentionSpec, MentionStage
+from fonduer_ray.stages.schemas import TRIPLE_SCHEMA
+from fonduer_ray.stages.triple_stage import TripleStage
+from fonduer_ray.stages.util import default_concurrency
+
+
+class FusedKGStage:
+    """(url, html, lang) batches -> triple rows, one pass per document."""
+
+    def __init__(
+        self,
+        mention_specs: list[MentionSpec],
+        relation_specs: list[RelationSpec],
+        lfs,
+        pred_names: dict[str, str],
+        weights: dict[str, float] | None = None,
+        threshold: float = 0.6,
+        cfg: ParserConfig | None = None,
+        enrich: bool = True,
+    ):
+        self.cfg = cfg or ParserConfig()
+        self.linguist = HeuristicLinguist() if enrich else None
+        self.mentions = MentionStage(mention_specs)
+        self.candidates = CandidateStage(relation_specs)
+        self.triples = TripleStage(lfs, pred_names, weights, threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else [""] * batch.num_rows
+        )
+        for url, html, lang in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist(), langs
+        ):
+            if html is None:
+                continue
+            doc = parse_document(url, html, self.cfg)
+            if doc is None:
+                continue
+            if self.linguist is not None and (lang or "en").startswith("en"):
+                for s in doc["sentences"]:
+                    self.linguist.enrich(s)
+            doc["mentions"] = self.mentions.extract_doc(doc)
+            doc["candidates"] = self.candidates.extract_doc(doc)
+            sent_by_pos = {s["position"]: s for s in doc["sentences"]}
+            from fonduer_ray.stages.feature_stage import _candidate_spans
+            from fonduer_ray.stages.label_stage import CandidateView
+
+            for cand in doc["candidates"]:
+                view = CandidateView(
+                    cand["relation"],
+                    cand["stable_id"],
+                    _candidate_spans(cand, sent_by_pos),
+                    doc,
+                )
+                p = self.triples.prob(view)
+                if p < self.triples.threshold:
+                    continue
+                rows.append(
+                    {
+                        "subj": cand["arg_texts"][self.triples.subj_arg],
+                        "pred": self.triples.pred_names.get(
+                            cand["relation"], cand["relation"]
+                        ),
+                        "obj": cand["arg_texts"][self.triples.obj_arg],
+                        "doc_name": doc["doc_name"],
+                        "candidate_stable_id": cand["stable_id"],
+                        "score": p,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA)
+
+
+def pages_to_triples(
+    pages: "ray.data.Dataset",
+    mention_specs: list[MentionSpec],
+    relation_specs: list[RelationSpec],
+    lfs,
+    pred_names: dict[str, str],
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.6,
+    cfg: ParserConfig | None = None,
+    enrich: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    return pages.map_batches(
+        FusedKGStage,
+        fn_constructor_kwargs={
+            "mention_specs": mention_specs,
+            "relation_specs": relation_specs,
+            "lfs": lfs,
+            "pred_names": pred_names,
+            "weights": weights,
+            "threshold": threshold,
+            "cfg": cfg,
+            "enrich": enrich,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )

@@ -108,7 +108,15 @@ def link_triples(
 ) -> "ray.data.Dataset":
     """Canonicalize subj/obj of a raw triple table via a broadcast canonical
     map; emits the same schema with canonical surfaces + ``subj_norm``/
-    ``obj_norm`` keys."""
+    ``obj_norm`` keys.
+
+    The input is materialized first: it is consumed twice (canonical-map
+    aggregate + canonical application), and without pinning, the second pass
+    would re-execute the whole upstream parse/extract DAG. The triple table
+    is orders of magnitude smaller than the document corpus, so pinning it
+    in the object store (with spill) is the right stage boundary — the same
+    place ``checkpoint_dataset`` persists on disk for resumable runs."""
+    triples = triples.materialize()
     canon = build_canonical_map(triples, ["subj", "obj"], n_salts=n_salts)
     canon_ref = ray.put(canon)
 

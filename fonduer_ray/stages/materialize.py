@@ -74,10 +74,19 @@ def write_triples(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     if done:
-        done_list = sorted(done)
-        bucketed = bucketed.filter(
-            expr="bucket not in (" + ", ".join(str(b) for b in done_list) + ")"
-        )
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(done), pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch["bucket"], value_set=done_arr))
+            )
+
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
+    # pin: consumed twice below (manifest counts + parquet write); without
+    # this the upstream DAG would execute twice
+    bucketed = bucketed.materialize()
     # count per bucket rides along for the manifests (small aggregate)
     from ray.data.aggregate import Count
 

@@ -1,0 +1,101 @@
+"""End-to-end pipeline tests: P/R vs generated gold, linking, resume."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from fonduer_ray.pipelines.kg import KGConfig, build_triples, entity_prf, run_kg
+from fonduer_ray.sources.webpages import generate_corpus, read_webpages
+from fonduer_ray.stages.linking import (
+    build_canonical_map,
+    dedup_triples,
+    normalize_surface,
+)
+from fonduer_ray.stages.materialize import completed_buckets, write_triples
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_e2e")
+    return generate_corpus(str(out), n_docs=100)
+
+
+@pytest.fixture(scope="module")
+def kb(corpus, tmp_path_factory):
+    """One full run_kg shared by every test in this module."""
+    out = str(tmp_path_factory.mktemp("kb_out") / "kb")
+    cfg = KGConfig()
+    res = run_kg(corpus["corpus"], out, cfg)
+    return {"out": out, "cfg": cfg, "res": res}
+
+
+def gold_set(corpus):
+    g = pq.read_table(corpus["gold"]).to_pylist()
+    return {(r["subj"], r["pred"], r["obj"]) for r in g}
+
+
+def test_e2e_precision_recall(corpus, kb):
+    assert kb["res"]["rows_written"] > 0
+    rows = rd.read_parquet(kb["out"], file_extensions=["parquet"]).take_all()
+    pred = {(r["subj"], r["pred"], r["obj"]) for r in rows}
+    prf = entity_prf(pred, gold_set(corpus))
+    assert prf["precision"] >= 0.95
+    assert prf["recall"] >= 0.95
+    assert all(r["support"] >= 1 and r["provenance_doc"] for r in rows)
+
+
+def test_manifest_contents(kb):
+    mdir = os.path.join(kb["out"], "_manifests")
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert manifests
+    total = sum(m["rows"] for m in manifests)
+    data = rd.read_parquet(kb["out"], file_extensions=["parquet"])
+    assert data.count() == total
+    assert all(m["config_hash"] == kb["cfg"].config_hash() for m in manifests)
+
+
+def test_resume_skips_completed_buckets(kb, corpus, tmp_path):
+    out = kb["out"]
+    cfg = kb["cfg"]
+    done = completed_buckets(out, cfg.config_hash())
+    assert done == set(kb["res"]["written_buckets"])
+    # re-run over the same output dir: everything checkpointed -> no writes
+    pages = read_webpages(corpus["corpus"])
+    triples = build_triples(pages, cfg)
+    res2 = write_triples(triples, out, cfg.config_hash(), n_buckets=cfg.n_buckets)
+    assert res2["rows_written"] == 0
+    assert set(res2["skipped_buckets"]) == done
+
+
+def test_normalize_surface():
+    assert normalize_surface("  ab–100 ") == "AB-100"
+    assert normalize_surface("Spark.") == "SPARK"
+    assert normalize_surface("a  b") == "A B"
+
+
+def test_canonical_map(ray_session):
+    ds = rd.from_items(
+        [{"subj": "spark", "obj": "x"}] * 3
+        + [{"subj": "Spark", "obj": "x"}] * 5
+        + [{"subj": "SPARK.", "obj": "y"}]
+    )
+    cmap = build_canonical_map(ds, ["subj"], n_salts=4)
+    assert cmap["SPARK"] == "Spark"  # most frequent surface wins
+
+
+def test_dedup_triples(ray_session):
+    rows = [
+        {"subj": "A", "pred": "p", "obj": "1", "doc_name": f"d{i}",
+         "candidate_stable_id": f"c{i}", "score": 0.5 + i / 10}
+        for i in range(3)
+    ]
+    out = dedup_triples(rd.from_items(rows)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["support"] == 3
+    assert r["score"] == pytest.approx(0.7)
+    assert r["provenance_doc"] == "d0"

@@ -1,0 +1,107 @@
+"""Ray Data stage integration tests on a small deterministic corpus."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from fonduer_ray.core.matchers import RegexMatchSpan
+from fonduer_ray.core.ngrams import MentionNgrams
+from fonduer_ray.pipelines import kg
+from fonduer_ray.sources.webpages import generate_corpus, read_webpages
+from fonduer_ray.stages.candidate_stage import (
+    RelationSpec,
+    candidates_table,
+    doc_split,
+    extract_candidates,
+)
+from fonduer_ray.stages.feature_stage import feature_key_vocab, featurize
+from fonduer_ray.stages.label_stage import label, label_matrix, score
+from fonduer_ray.stages.mention_stage import extract_mentions, mentions_table
+from fonduer_ray.stages.parse_stage import parse_webpages
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    return generate_corpus(str(out), n_docs=60)
+
+
+@pytest.fixture(scope="module")
+def doc_ds(corpus):
+    ds = read_webpages(corpus["corpus"])
+    docs = parse_webpages(ds)
+    docs = extract_mentions(docs, kg.mention_specs())
+    docs = extract_candidates(docs, kg.relation_specs())
+    return docs.materialize()
+
+
+def test_parse_counts(corpus):
+    ds = read_webpages(corpus["corpus"])
+    docs = parse_webpages(ds).materialize()
+    n_in = pq.read_metadata(corpus["corpus"]).num_rows
+    # empty/faulty docs are dropped; everything else parses
+    assert 0 < docs.count() <= n_in
+    row = docs.take(1)[0]
+    assert row["text"].startswith("<html")
+    assert isinstance(row["sentences"], list)
+
+
+def test_mentions(doc_ds):
+    m = mentions_table(doc_ds)
+    rows = m.take_all()
+    assert rows, "no mentions extracted"
+    types = {r["mention_type"] for r in rows}
+    assert types == {"part", "temp"}
+    assert all(r["stable_id"].startswith(r["doc_name"]) for r in rows[:50])
+
+
+def test_candidates(doc_ds):
+    c = candidates_table(doc_ds)
+    rows = c.take_all()
+    assert rows
+    # throttler: args always share a row or a sentence
+    assert all(r["relation"] == "part_temp" for r in rows)
+    assert all(len(r["arg_types"]) == 2 for r in rows)
+    # dedup: stable ids unique per doc
+    seen = set()
+    for r in rows:
+        key = (r["doc_name"], r["stable_id"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_split_deterministic():
+    assert doc_split("abc") == doc_split("abc")
+    splits = {doc_split(f"d{i}") for i in range(200)}
+    assert splits == {0, 1, 2}
+
+
+def test_featurize_and_vocab(doc_ds):
+    f = featurize(doc_ds)
+    rows = f.take_all()
+    assert rows
+    assert all(len(r["keys"]) == len(r["values"]) for r in rows)
+    assert all(len(set(r["keys"])) == len(r["keys"]) for r in rows)
+    vocab = feature_key_vocab(f)
+    assert vocab == sorted(vocab)
+    all_keys = set()
+    for r in rows:
+        all_keys.update(r["keys"])
+    assert set(vocab) == all_keys
+    # tabular + structural + textual families all present
+    assert any(k.startswith("e0_WORD_SEQ_") for k in vocab)
+    assert any("ROW_NUM_" in k for k in vocab)
+    assert any("ANCESTOR_TAG_" in k for k in vocab)
+
+
+def test_label_and_score(doc_ds):
+    lab = label(doc_ds, kg.default_lfs())
+    rows = lab.take_all()
+    assert rows
+    names = [n for n, _ in kg.default_lfs()]
+    assert all(r["keys"] == names for r in rows)
+    assert all(all(v in (0, 1, 2) for v in r["values"]) for r in rows)
+    ids, mat = label_matrix(lab, names)
+    assert mat.shape == (len(rows), len(names))
+    assert set(mat.flatten()) <= {-1, 0, 1}
+    probs = score(lab).take_all()
+    assert all(0.0 <= r["prob"] <= 1.0 for r in probs)
