@@ -58,11 +58,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["query_id", "neighbor_id", "rank"])
 
     def embedding_dups(sf_dir: str) -> pa.Table:
-        out = similarity.embedding_dup_pairs_exact(_emb(sf_dir), threshold=0.99)
+        out = similarity.embedding_dup_pairs_exact(_emb(sf_dir), threshold=0.4)
         return out.select(["id_a", "id_b"])
 
     def embedding_dups_lsh(sf_dir: str):
-        return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.99)
+        return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
 
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
@@ -276,6 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
     }

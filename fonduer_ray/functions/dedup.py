@@ -226,9 +226,10 @@ class SimHasher:
                 out.append(0)
                 continue
             acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
-                h = _hash64(t)
-                bits = (h >> np.arange(64)) & 1
+                h = np.uint64(_hash64(t))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
                 acc += bits * 2 - 1
             sim = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
             out.append(sim - (1 << 64) if sim >= 1 << 63 else sim)
