@@ -1,0 +1,121 @@
+"""Tests for alternate sources (text/TSV/CSV/hOCR), the hOCR visual parser,
+and the multimodal stub stages."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fonduer_ray.core.spans import Span
+from fonduer_ray.functions import multimodal
+from fonduer_ray.parser.parse import parse_document
+from fonduer_ray.parser.visual import (
+    attach_word_bboxes,
+    bbox_from_sentence,
+    get_page,
+    is_horz_aligned,
+    is_vert_aligned,
+    same_page,
+)
+from fonduer_ray.sources.preprocessors import (
+    hocr_to_html,
+    pages_from_csv,
+    pages_from_text,
+    pages_from_tsv,
+)
+from fonduer_ray.stages.parse_stage import parse_webpages
+
+HOCR = """<html><body>
+<div class="ocr_page" title="image x; bbox 0 0 1000 1400; ppageno 2">
+<p class="ocr_par">
+<span class="ocr_line" title="bbox 10 20 400 40">
+<span class="ocrx_word" title="bbox 10 20 60 40">Alpha</span>
+<span class="ocrx_word" title="bbox 70 20 120 40">beta.</span>
+</span>
+<span class="ocr_line" title="bbox 10 50 400 70">
+<span class="ocrx_word" title="bbox 10 50 80 70">Gamma</span>
+</span>
+</p>
+</div>
+</body></html>"""
+
+
+def test_pages_from_text(ray_session):
+    ds = rd.from_items([{"name": "a", "body": "hello world."}])
+    pages = pages_from_text(ds, "name", "body")
+    docs = parse_webpages(pages).take_all()
+    assert len(docs) == 1
+    assert docs[0]["sentences"][0]["words"] == ["hello", "world"]
+
+
+def test_pages_from_tsv(ray_session, tmp_path):
+    p = tmp_path / "docs.tsv"
+    p.write_text("doc1\tfirst text.\ndoc2\tsecond text.\n")
+    docs = parse_webpages(pages_from_tsv(str(p))).take_all()
+    assert {d["doc_name"] for d in docs} == {"doc1", "doc2"}
+
+
+def test_pages_from_csv(ray_session, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("name,intro,specs\nd1,hello there.,max 125 C.\n")
+    rule = {"specs": lambda v: f"<p class=\"spec\">{v}</p>"}
+    docs = parse_webpages(pages_from_csv(str(p), "name", parser_rules=rule)).take_all()
+    d = docs[0]
+    assert len(d["sections"]) == 3  # html + 2 column sections
+    spec_sents = [s for s in d["sentences"] if "125" in s["text"]]
+    assert spec_sents and "class=spec" in spec_sents[0]["html_attrs"]
+
+
+def test_hocr_visual_path():
+    html = hocr_to_html(HOCR)
+    doc = parse_document("h", html.encode())
+    attach_word_bboxes(doc)
+    s0 = doc["sentences"][0]
+    assert s0["words"] == ["Alpha", "beta"]
+    assert s0["page"] == [2, 2]
+    assert s0["left"] == [10, 70]
+    assert s0["bottom"] == [40, 40]
+    # bbox attrs stripped after linking
+    assert not any(a.startswith("tokens=") for a in s0["html_attrs"])
+    # second line on its own xpath
+    s1 = [s for s in doc["sentences"] if s["words"] == ["Gamma"]][0]
+    assert s1["left"] == [10] and s1["top"] == [50]
+
+
+def test_visual_bbox_predicates():
+    html = hocr_to_html(HOCR)
+    doc = parse_document("h", html.encode())
+    attach_word_bboxes(doc)
+    s0, s1 = doc["sentences"][0], doc["sentences"][1]
+    a = Span(s0, 0, 4)  # Alpha
+    g = Span(s1, 0, 4)  # Gamma
+    assert bbox_from_sentence(s0) == (2, 20, 10, 40, 120)
+    assert same_page((a, g))
+    assert get_page(a) == 2
+    assert not is_horz_aligned((a, g))
+    assert is_vert_aligned((a, g))
+
+
+def test_multimodal_stubs(ray_session):
+    ds = rd.from_items(
+        [{"key": "img1", "data": b"abc"}, {"key": "img2", "data": b"defg"}]
+    )
+    meta = multimodal.decode_images(ds, fake=True).take_all()
+    assert {m["key"] for m in meta} == {"img1", "img2"}
+    assert all(64 <= m["width"] <= 255 for m in meta)
+    resized = multimodal.resize_images(ds, 32, 32, fake=True).take_all()
+    assert all(r["width"] == 32 and isinstance(r["data"], bytes) for r in resized)
+    emb = multimodal.embed_images(ds, dim=8, fake=True).take_all()
+    assert all(len(e["embedding"]) == 8 for e in emb)
+    frames = multimodal.sample_frames(ds, fake=True).take_all()
+    assert len(frames) == 8  # 2 videos x 4 frames
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageDecode(fake=False)
+
+
+def test_multimodal_determinism(ray_session):
+    ds = rd.from_items([{"key": "k", "data": b"payload"}])
+    a = multimodal.embed_images(ds, dim=4, fake=True).take_all()
+    b = multimodal.embed_images(ds, dim=4, fake=True).take_all()
+    assert a[0]["embedding"] == b[0]["embedding"]
