@@ -71,14 +71,39 @@ class MinHasher:
         self.mod = np.int64((1 << 61) - 1)
         self.num_perm = num_perm
         self.k = k
+        # per-actor token-hash cache: corpus vocabulary repeats heavily, so
+        # blake2b runs ~once per distinct token per actor, not per occurrence
+        self._tok_cache: dict[str, int] = {}
+
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _hash64(t)
+                if len(cache) < 2_000_000:
+                    cache[t] = h
+            out[i] = h
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
+        toks = text.split()
+        if not toks:
             return np.zeros(self.num_perm, dtype=np.int64)
-        base = np.fromiter(
-            (_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sh), dtype=np.int64, count=len(sh)
-        )
+        th = self._token_hashes(toks)
+        k = self.k
+        if len(toks) < k:
+            base = np.array([th[0]], dtype=np.uint64)
+        else:
+            # shingle hash = polynomial combine of k token hashes, fully
+            # vectorized over positions (no per-shingle string join/hash)
+            base = np.zeros(len(th) - k + 1, dtype=np.uint64)
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            for j in range(k):
+                base = base * mult + th[j : len(th) - k + 1 + j]
+            base = np.unique(base)
+        base = (base & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         # (a*x+b) mod p for every (perm, shingle) pair, vectorized
         vals = (np.outer(self.a, base) + self.b[:, None]) % self.mod
         return vals.min(axis=1)
@@ -137,7 +162,40 @@ def lsh_candidate_pairs(
             }
         )
 
-    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+    # Bucket rows are tiny (3 ints/row, ~bands rows per doc — orders of
+    # magnitude smaller than the documents). Materialize once so the count
+    # pass and the collision-filter pass don't each recompute signatures.
+    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow").materialize()
+
+    # The vast majority of LSH buckets are singletons (no near-dup): a
+    # map_groups over every bucket pays per-group overhead ~O(corpus).
+    # Instead: native Count aggregate -> keep only collision buckets
+    # (count>=2, a tiny set at realistic dup rates) -> broadcast that set ->
+    # filter the bucket rows -> pair-gen touches only actual collisions.
+    import ray
+
+    hot = (
+        buckets.groupby(["band", "bucket"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["band", "bucket"])
+        .take_all()
+    )
+    hot_set = {(r["band"], r["bucket"]) for r in hot}
+    hot_ref = ray.put(hot_set)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        bands_col = batch["band"].to_numpy(zero_copy_only=False)
+        bkt_col = batch["bucket"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((int(b), int(k)) in hs for b, k in zip(bands_col, bkt_col)),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    collisions = buckets.map_batches(keep_hot, batch_format="pyarrow")
 
     import pandas as pd
 
@@ -156,7 +214,7 @@ def lsh_candidate_pairs(
             {"doc_a": a, "doc_b": b, "truncated": [truncated] * len(a)}
         )
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
+    pairs = collisions.groupby(["band", "bucket"]).map_groups(
         emit_pairs, batch_format="pandas"
     )
     # dedup pairs found in multiple bands
@@ -185,11 +243,28 @@ def minhash_dedup(
     import ray
 
     sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
-    # broadcast the texts needed for verification (small side after LSH)
+    # Candidate pairs are tiny after LSH pruning: materialize once so the
+    # verify stage does not re-execute the signature+bucket pipeline.
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_perm // bands
+    ).materialize()
+    # broadcast ONLY the texts referenced by candidate pairs (small side
+    # after LSH pruning) — never the whole corpus.
+    pair_rows = pairs.select_columns(["doc_a", "doc_b"]).take_all()
+    needed = {r["doc_a"] for r in pair_rows} | {r["doc_b"] for r in pair_rows}
+    needed_ref = ray.put(needed)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(batch))
+        return batch.filter(pa.array(mask))
+
     texts = {
         r["doc_id"]: r["text"]
-        for r in ds.select_columns(["doc_id", "text"]).take_all()
+        for r in ds.select_columns(["doc_id", "text"])
+        .map_batches(keep_needed, batch_format="pyarrow")
+        .take_all()
     }
     texts_ref = ray.put(texts)
 
