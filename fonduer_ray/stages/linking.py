@@ -7,11 +7,12 @@ candidate scoring; a KG needs linked, canonicalized entities. Strategy:
 1. ``normalize_surface`` folds case/whitespace/punctuation/dashes — the
    shuffle key.
 2. Canonical form per key = the most frequent raw surface (ties ->
-   lexicographically smallest), computed as a **two-phase salted aggregate**:
-   a per-block combiner first collapses duplicate ``(norm, surface)`` pairs,
-   then an explicit ``salt`` column splits head-entity groups across
-   reducers, then a final unsalted merge. A Zipfian head entity never lands
-   on a single reducer with raw rows.
+   lexicographically smallest). Skew handling is two-pronged: the
+   (norm, surface)-keyed aggregate uses a **per-block combiner** (head pairs
+   collapse to <=1 row per block before the shuffle), and norm-keyed
+   aggregates that a combiner cannot bound (``entity_support``) use an
+   **explicit salted two-phase groupby** — salt splits a head norm across
+   reducers, a second tiny groupby merges the <= n_salts partials.
 3. The canonical map is small (entity vocabulary); it is broadcast once via
    ``ray.put`` and applied inside ``map_batches`` — a broadcast join, not a
    shuffle join.
@@ -64,31 +65,29 @@ def build_canonical_map(
                     continue
                 key = (normalize_surface(v), v)
                 counts[key] = counts.get(key, 0) + 1
-        norms, surfs, cnts, salts = [], [], [], []
+        norms, surfs, cnts = [], [], []
         for (n, s), c in counts.items():
             norms.append(n)
             surfs.append(s)
             cnts.append(c)
-            salts.append(_salt_of(s, n_salts))
         return pa.table(
             {
                 "norm": pa.array(norms, pa.string()),
                 "surface": pa.array(surfs, pa.string()),
-                "salt": pa.array(salts, pa.int32()),
                 "cnt": pa.array(cnts, pa.int64()),
             }
         )
 
     pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
-    # phase 1: salted partial aggregate (head keys split across reducers)
+    # single shuffle: the per-block combiner above already collapsed any
+    # head (norm, surface) pair to <=1 row per block, so rows-per-group at
+    # the reducer are bounded by the block count — a Zipfian head entity
+    # never lands raw on one reducer. (For aggregates keyed on ``norm``
+    # alone, where combining can't bound the group, see the explicitly
+    # salted ``entity_support``.)
     from ray.data.aggregate import Sum
 
-    partial = pairs.groupby(["norm", "surface", "salt"]).aggregate(
-        Sum("cnt", alias_name="cnt")
-    )
-    # phase 2: unsalted final merge — input already collapsed to one row per
-    # (norm, surface, salt), so no head-key hotspot remains
-    final = partial.groupby(["norm", "surface"]).aggregate(Sum("cnt", alias_name="cnt"))
+    final = pairs.groupby(["norm", "surface"]).aggregate(Sum("cnt", alias_name="cnt"))
     best: dict[str, tuple[int, str]] = {}
     for batch in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for norm, surface, cnt in zip(
@@ -101,6 +100,48 @@ def build_canonical_map(
             if cur is None or cand < cur:
                 best[norm] = cand
     return {norm: surface for norm, (_, surface) in best.items()}
+
+
+def entity_support(
+    linked: "ray.data.Dataset", n_salts: int = 16
+) -> "ray.data.Dataset":
+    """Per-entity mention support: one row ``(norm, support)`` per canonical
+    entity, counting every subj/obj occurrence across the triple table.
+
+    This aggregate is keyed on ``norm`` ALONE, so a head entity (e.g. a
+    Zipfian top subject at web scale) cannot be bounded by a per-block
+    combiner the way the (norm, surface) canonical-map aggregate can — this
+    is where **explicit salting** applies (north_rule skew mitigation):
+
+    phase 1: groupby ``(norm, salt)`` with ``salt = crc32(norm ^ block rows)
+    % n_salts`` — head-norm rows split across ``n_salts`` reducers;
+    phase 2: groupby ``norm`` over at most ``n_salts`` partial rows per key.
+    """
+
+    def to_salted(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, int], int] = {}
+        for col in ("subj_norm", "obj_norm"):
+            col_vals = batch[col].to_pylist()
+            for i, n in enumerate(col_vals):
+                if not n:
+                    continue
+                key = (n, (zlib.crc32(n.encode()) ^ i) % n_salts)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "norm": pa.array([k[0] for k in counts], pa.string()),
+                "salt": pa.array([k[1] for k in counts], pa.int32()),
+                "support": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    salted = linked.map_batches(to_salted, batch_format="pyarrow")
+    partial = salted.groupby(["norm", "salt"]).aggregate(
+        Sum("support", alias_name="support")
+    )
+    return partial.groupby("norm").aggregate(Sum("support", alias_name="support"))
 
 
 def link_triples(

@@ -87,6 +87,17 @@ def test_canonical_map(ray_session):
     assert cmap["SPARK"] == "Spark"  # most frequent surface wins
 
 
+def test_entity_support(ray_session):
+    from fonduer_ray.stages.linking import entity_support
+
+    rows = (
+        [{"subj_norm": "SPARK", "obj_norm": "X"}] * 7
+        + [{"subj_norm": "HASH", "obj_norm": "SPARK"}] * 2
+    )
+    out = {r["norm"]: r["support"] for r in entity_support(rd.from_items(rows), n_salts=4).take_all()}
+    assert out == {"SPARK": 9, "X": 7, "HASH": 2}
+
+
 def test_dedup_triples(ray_session):
     rows = [
         {"subj": "A", "pred": "p", "obj": "1", "doc_name": f"d{i}",
