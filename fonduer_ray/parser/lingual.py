@@ -52,6 +52,42 @@ def _tokenize_ws(text: str) -> tuple[list[str], list[int]]:
     return words, offsets
 
 
+_PUNCT_TOKEN = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
+_SENT_BOUNDARY = re.compile(r"[.!?]+(?:\s+|$)")
+
+
+class PunctSentencizer:
+    """spaCy-sentencizer-style splitting (reference ``spacy_parser.py:191-249``
+    run with only the sentencizer pipe): sentences end at ``.!?`` runs, the
+    terminal punctuation stays attached to its sentence, and punctuation-only
+    paragraphs (e.g. a bare tail ".") are emitted as their own sentence —
+    which is how the reference arrives at 45 sentences for ``md.html``
+    (``tests/parser/test_parser.py:132-146``). Tokens split word/punct
+    clusters like spaCy ("later." -> ["later", "."])."""
+
+    def split_sentences(self, text: str):
+        bounds = [m.end() for m in _SENT_BOUNDARY.finditer(text)]
+        if not bounds or bounds[-1] < len(text):
+            bounds.append(len(text))
+        start = 0
+        for end in bounds:
+            chunk = text[start:end]
+            stripped = chunk.strip()
+            if stripped:
+                lead = len(chunk) - len(chunk.lstrip())
+                words, offsets = [], []
+                for m in _PUNCT_TOKEN.finditer(stripped):
+                    words.append(m.group(0))
+                    offsets.append(m.start())
+                yield {
+                    "text": stripped,
+                    "words": words,
+                    "char_offsets": offsets,
+                    "start": start + lead,
+                }
+            start = end
+
+
 _MONTHS = frozenset(
     "january february march april may june july august september october "
     "november december jan feb mar apr jun jul aug sep oct nov dec".split()

@@ -48,6 +48,10 @@ class ParserConfig:
     structural: bool = True
     tabular: bool = True
     sentence_delim: str = "."
+    #: "simple" = reference SimpleParser (split on delim, drop empties);
+    #: "punct" = spaCy-sentencizer-like (keep terminal punctuation,
+    #: punctuation-only paragraphs become sentences)
+    sentencizer: str = "simple"
 
     def compiled_replacements(self) -> list[tuple[re.Pattern, str]]:
         return [(re.compile(rgx), repl) for rgx, repl in self.replacements]
@@ -87,7 +91,12 @@ class _DocBuilder:
         self.doc_name = doc_name
         self.cfg = cfg
         self.replacements = cfg.compiled_replacements()
-        self.sentencizer = SimpleSentencizer(cfg.sentence_delim)
+        if cfg.sentencizer == "punct":
+            from fonduer_ray.parser.lingual import PunctSentencizer
+
+            self.sentencizer = PunctSentencizer()
+        else:
+            self.sentencizer = SimpleSentencizer(cfg.sentence_delim)
         self.sections: list[dict] = []
         self.paragraphs: list[dict] = []
         self.tables: list[dict] = []
@@ -119,13 +128,16 @@ class _DocBuilder:
         html_attrs = [f"{k}={v}" for k, v in node.attrs] if self.cfg.structural else []
         for sent in self.sentencizer.split_sentences(text):
             stext = sent["text"]
+            if not sent["words"]:
+                continue
             abs_offsets = [self.abs_base + o for o in sent["char_offsets"]]
+            # reference advance: end of last word, no inter-sentence gap
+            # (parser.py:498-507: abs_offset + char_offsets[-1] + len(words[-1]))
+            abs_end = self.abs_base + sent["char_offsets"][-1] + len(sent["words"][-1])
             record = {
                 "doc_name": self.doc_name,
                 "position": len(self.sentences),
-                "stable_id": sentence_stable_id(
-                    self.doc_name, self.abs_base, self.abs_base + len(stext)
-                ),
+                "stable_id": sentence_stable_id(self.doc_name, self.abs_base, abs_end),
                 "paragraph_position": pos,
                 "section_position": ctx.section,
                 "text": stext,
@@ -153,7 +165,7 @@ class _DocBuilder:
                 "right": [],
             }
             self.sentences.append(record)
-            self.abs_base += len(stext) + 1
+            self.abs_base = abs_end
 
     # -- walk --------------------------------------------------------------
     def walk(self, node: Node, ctx: _Ctx, table_state: _TableState | None) -> None:

@@ -105,12 +105,18 @@ def generate_corpus(
     n_docs: int = 500,
     seed: int = 42,
     mega_doc_every: int = 0,
+    rows_per_file: int = 25000,
+    row_group_size: int = 1024,
 ) -> dict:
     """Write a deterministic corpus Parquet + gold triples Parquet.
 
     Returns ``{"corpus": path, "gold": path, "n_docs": int}``. Skew knob:
     ``mega_doc_every`` > 0 inserts an oversized doc every k docs (straggler
-    test). Gold triples are ``(doc, subj, pred, obj)``."""
+    test). Gold triples are ``(doc, subj, pred, obj)``.
+
+    The corpus is sharded into files of ``rows_per_file`` docs with small
+    row groups — Ray Data parallelizes ``read_parquet`` across files and
+    row groups, so a single giant row group would serialize the read."""
     rng = random.Random(seed)
     rows = []
     gold_rows = []
@@ -153,13 +159,23 @@ def generate_corpus(
             ("lang", pa.string()),
         ]
     )
-    table = pa.Table.from_pylist(rows, schema=schema)
     import os
+    import shutil
 
     os.makedirs(out_path, exist_ok=True)
     corpus = f"{out_path}/corpus.parquet"
     gold = f"{out_path}/gold.parquet"
-    pq.write_table(table, corpus)
+    if os.path.isfile(corpus):
+        os.remove(corpus)
+    shutil.rmtree(corpus, ignore_errors=True)
+    os.makedirs(corpus, exist_ok=True)
+    for shard, lo in enumerate(range(0, len(rows), rows_per_file)):
+        table = pa.Table.from_pylist(rows[lo : lo + rows_per_file], schema=schema)
+        pq.write_table(
+            table,
+            f"{corpus}/part-{shard:05d}.parquet",
+            row_group_size=row_group_size,
+        )
     gold_schema = pa.schema(
         [("doc", pa.string()), ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
     )

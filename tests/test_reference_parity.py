@@ -1,0 +1,143 @@
+"""Parity tests against the reference's OWN html fixtures and golden counts.
+
+Inputs are the read-only fixture files under ``/root/reference/tests/data/``;
+every expected value is the number the reference's test suite asserts
+(``tests/parser/test_parser.py``, cited per test). No Ray needed — the parser
+is a pure per-document function.
+"""
+
+import os
+
+import pytest
+
+from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference fixtures unavailable"
+)
+
+
+def _parse(name: str, subdir: str = "html_simple", **cfg):
+    with open(f"{DATA}/{subdir}/{name}.html", "rb") as f:
+        html = f.read()
+    return parse_document(name, html.decode("utf-8"), ParserConfig(**cfg))
+
+
+def test_md_structure():
+    """Golden structural counts for md.html (test_parser.py:85-132)."""
+    doc = _parse("md", sentencizer="punct")
+    assert len(doc["sections"]) == 1
+    assert len(doc["paragraphs"]) == 44
+    assert len(doc["figures"]) == 1
+    assert len(doc["tables"]) == 1
+    assert len(doc["cells"]) == 16
+    # figure url + stable ordering (test_parser.py:104-108)
+    assert doc["figures"][0]["url"] == "http://placebear.com/200/200"
+    assert doc["figures"][0]["position"] == 0
+    # cell grid coords (test_parser.py:117-129)
+    cells = doc["cells"]
+    assert (cells[0]["row_start"], cells[0]["col_start"], cells[0]["position"]) == (0, 0, 0)
+    assert (cells[10]["row_start"], cells[10]["col_start"], cells[10]["position"]) == (2, 2, 10)
+
+
+def test_md_sentences_spacy_like():
+    """45 sentences incl. standalone "." tails; tail-after-inner ordering
+    (#333) and the abs_char_offsets invariant (#332) — test_parser.py:131-152."""
+    doc = _parse("md", sentencizer="punct")
+    sents = doc["sentences"]
+    assert len(sents) == 45
+    assert [s["text"] for s in sents[14:18]] == ["italics and later", "bold", ".", "Even"]
+    # "Spicy" sits in the table at row 0 / col 2 (test_parser.py:133-138)
+    spicy = sents[25]
+    assert spicy["text"] == "Spicy"
+    assert spicy["table_position"] == 0
+    assert (spicy["row_start"], spicy["col_start"]) == (0, 2)
+    # abs_char_offsets index into the concatenation of sentence texts
+    text = "".join(s["text"] for s in sents)
+    for s in sents:
+        for off, word in zip(s["abs_char_offsets"], s["words"]):
+            assert text[off] == word[0]
+
+
+def test_md_structural_attrs():
+    """Header xpath/html_tag/html_attrs — test_parser.py:158-163."""
+    doc = _parse("md", sentencizer="punct")
+    header = doc["sentences"][0]
+    assert header["xpath"] == "/html/body/h1"
+    assert header["html_tag"] == "h1"
+    assert header["html_attrs"] == ["id=sample-markdown"]
+
+
+def test_md_simple_parser_no_delim():
+    """SimpleParser(delim="NoDelim") -> one sentence per paragraph = 44
+    (test_parser.py:482-523)."""
+    doc = _parse("md", sentence_delim="NoDelim")
+    assert len(doc["sentences"]) == 44
+    header = doc["sentences"][0]
+    assert header["xpath"] == "/html/body/h1"
+    assert header["html_tag"] == "h1"
+    assert header["html_attrs"] == ["id=sample-markdown"]
+
+
+def test_md_wo_tabular():
+    """tabular=False -> no tables/cells, same sections/paragraphs/figures
+    (test_parser.py:184-217)."""
+    doc = _parse("md", sentencizer="punct", tabular=False)
+    assert len(doc["sections"]) == 1
+    assert len(doc["paragraphs"]) == 44
+    assert len(doc["figures"]) == 1
+    assert len(doc["tables"]) == 0
+    assert len(doc["cells"]) == 0
+    assert len(doc["sentences"]) == 45
+    assert all(s["cell_position"] is None for s in doc["sentences"])
+
+
+def test_md_para_structure():
+    """md_para.html: 6 figures (img-in-figure collapse, multi-img
+    degradation), figcaption wiring, 46 paragraphs, 51 sentences, 16 cells
+    (test_parser.py:396-480)."""
+    doc = _parse("md_para", sentencizer="punct")
+    figs = doc["figures"]
+    assert len(figs) == 6
+    assert figs[0]["url"] == "http://placebear.com/200/200"
+    assert figs[0]["position"] == 0
+    assert figs[2]["url"] == (
+        "http://html5doctor.com/wp-content/uploads/2010/03/kookaburra.jpg"
+    )
+    assert figs[2]["position"] == 2
+    assert figs[4]["url"] == (
+        "http://html5doctor.com/wp-content/uploads/2010/03/pelican.jpg"
+    )
+    assert len(doc["tables"]) == 1
+    assert len(doc["cells"]) == 16
+    cells = doc["cells"]
+    assert (cells[0]["row_start"], cells[0]["col_start"], cells[0]["position"]) == (0, 0, 0)
+    assert (cells[10]["row_start"], cells[10]["col_start"], cells[10]["position"]) == (2, 2, 10)
+    assert len(doc["paragraphs"]) == 46
+    sents = doc["sentences"]
+    assert len(sents) == 51
+    assert sents[1]["text"] == "This is some basic, sample markdown."
+    assert sents[2]["text"] == (
+        "Unlike the other markdown document, however, "
+        "this document actually contains paragraphs of text."
+    )
+    assert sents[1]["paragraph_position"] == 1
+    assert sents[2]["paragraph_position"] == 1
+    assert sents[1]["section_position"] == 0
+    # caption sentences: "Australian Birds." is the first caption sentence
+    # of figure 2 (test_parser.py:425-432)
+    cap_sents = [
+        s
+        for s in sents
+        if doc["paragraphs"][s["paragraph_position"]].get("caption_position") is not None
+    ]
+    assert cap_sents and cap_sents[0]["text"] == "Australian Birds."
+
+
+def test_table_span():
+    """table_span.html parses and yields exactly 1 sentence
+    (test_parser.py:536-556)."""
+    doc = _parse("table_span", sentencizer="punct")
+    assert len(doc["sentences"]) == 1
