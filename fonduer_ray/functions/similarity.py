@@ -127,6 +127,119 @@ def knn_bruteforce(
     )
 
 
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (fixed init:
+    evenly spaced sample rows; no RNG so results are run-stable)."""
+    sample = _normalize(sample)
+    idx = np.linspace(0, len(sample) - 1, n_clusters).astype(int)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    query_vecs: list[list[float]],
+    k: int = 5,
+    n_clusters: int = 32,
+    nprobe: int = 8,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-style approximate top-k cosine ANN — the scale path next to
+    ``knn_bruteforce``: centroids trained once on a driver-side sample and
+    broadcast; each block assigns its vectors to their nearest centroid and
+    scores ONLY vectors falling in a query's ``nprobe`` closest clusters
+    (compute skipped for the rest — the IVF win). Same output schema as
+    ``knn_bruteforce``; recall < 1 by construction."""
+    sample_rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = _kmeans(sample, min(n_clusters, len(sample)))
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    # per-query probe sets (queries x nprobe centroid ids)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    state_ref = ray.put(
+        {"cent": cent, "qids": list(query_ids), "qmat": qmat, "probe": probe}
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        assign = np.argmax(mat @ st["cent"].T, axis=1)
+        # restrict the matmul to vectors in ANY probed cluster
+        probed = np.unique(st["probe"])
+        keep = np.isin(assign, probed)
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        sims = st["qmat"] @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(st["qids"]):
+            in_probe = np.isin(assign, st["probe"][qi])
+            if not in_probe.any():
+                continue
+            cols = np.where(in_probe)[0]
+            kk = min(k, len(cols))
+            top = cols[np.argpartition(-sims[qi, cols], kk - 1)[:kk]]
+            order = np.lexsort((ids[top], -sims[qi, top]))
+            for c in top[order]:
+                out_q.append(qid)
+                out_n.append(int(ids[c]))
+                out_s.append(float(sims[qi, c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
+    best: dict[int, list] = {qid: [] for qid in query_ids}
+    for batch in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qid, nid, sim in zip(
+            batch["query_id"].to_pylist(),
+            batch["neighbor_id"].to_pylist(),
+            batch["sim"].to_pylist(),
+        ):
+            heapq.heappush(best[qid], (sim, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+    rows = []
+    for qid in query_ids:
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_nid) in enumerate(ranked, 1):
+            rows.append(
+                {"query_id": qid, "neighbor_id": -neg_nid, "sim": sim, "rank": rank}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("sim", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        ),
+    )
+
+
 class _HyperplaneHasher:
     def __init__(self, dim: int, n_bits: int = 8, seed: int = 23):
         rng = np.random.RandomState(seed)

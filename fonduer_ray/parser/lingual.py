@@ -117,6 +117,12 @@ class HeuristicLinguist:
         self.year_rgx = re.compile(r"^(1[89]\d\d|20\d\d)$")
         self.cap_rgx = re.compile(r"^[A-Z][a-z]+")
         self.allcap_rgx = re.compile(r"^[A-Z]{2,}\d*$")
+        # per-word memos: tags are pure functions of the word (ner also of
+        # prev-word presence) and corpus vocabulary is Zipfian, so the
+        # regex cascade runs ~once per distinct word per worker
+        self._lemma_memo: dict[str, str] = {}
+        self._pos_memo: dict[str, str] = {}
+        self._ner_memo: dict[tuple[str, bool], str] = {}
 
     def lemma(self, word: str) -> str:
         w = word.lower()
@@ -165,11 +171,30 @@ class HeuristicLinguist:
     def enrich(self, sentence: dict) -> dict:
         """Fill token-aligned lingual arrays in place and return it."""
         words = sentence["words"]
-        sentence["lemmas"] = [self.lemma(w) for w in words]
-        sentence["pos_tags"] = [self.pos(w) for w in words]
-        ners = []
+        lm, pm, nm = self._lemma_memo, self._pos_memo, self._ner_memo
+        lemmas, poss, ners = [], [], []
         for i, w in enumerate(words):
-            ners.append(self.ner(w, words[i - 1] if i > 0 else None))
+            le = lm.get(w)
+            if le is None:
+                le = self.lemma(w)
+                if len(lm) < 1_000_000:
+                    lm[w] = le
+            lemmas.append(le)
+            p = pm.get(w)
+            if p is None:
+                p = self.pos(w)
+                if len(pm) < 1_000_000:
+                    pm[w] = p
+            poss.append(p)
+            nk = (w, i > 0)
+            ne = nm.get(nk)
+            if ne is None:
+                ne = self.ner(w, words[i - 1] if i > 0 else None)
+                if len(nm) < 1_000_000:
+                    nm[nk] = ne
+            ners.append(ne)
+        sentence["lemmas"] = lemmas
+        sentence["pos_tags"] = poss
         sentence["ner_tags"] = ners
         # flat deterministic dependency tree: token 0 is root, rest attach to it
         n = len(words)

@@ -184,8 +184,11 @@ def run_kg(
     input_path: str, out_dir: str, cfg: KGConfig | None = None
 ) -> dict:
     """End-to-end: read -> ... -> resumable partitioned Parquet KB."""
+    import ray
+
     cfg = cfg or KGConfig()
-    pages = read_webpages(input_path)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    pages = read_webpages(input_path, override_num_blocks=cpus * 8)
     deduped = build_triples(pages, cfg)
     return write_triples(
         deduped, out_dir, cfg.config_hash(), n_buckets=cfg.n_buckets

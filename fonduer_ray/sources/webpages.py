@@ -26,9 +26,19 @@ import ray.data
 INPUT_COLUMNS = ["url", "html", "lang"]
 
 
-def read_webpages(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Read the input table with column pruning at the read."""
-    return ray.data.read_parquet(path, columns=columns or INPUT_COLUMNS)
+def read_webpages(
+    path: str,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Read the input table with column pruning at the read.
+
+    ``override_num_blocks``: Ray's default block split can land near the
+    CPU count, which quantizes a CPU-bound downstream map into 1-2 uneven
+    task waves; pass ~8x the cluster CPUs for smooth scheduling."""
+    return ray.data.read_parquet(
+        path, columns=columns or INPUT_COLUMNS, override_num_blocks=override_num_blocks
+    )
 
 
 # ---------------------------------------------------------------------------

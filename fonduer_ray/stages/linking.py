@@ -158,6 +158,15 @@ def link_triples(
     in the object store (with spill) is the right stage boundary — the same
     place ``checkpoint_dataset`` persists on disk for resumable runs."""
     triples = triples.materialize()
+    # The upstream parse stage runs best over many small input blocks
+    # (fine-grained task scheduling), but the triple table is ~100-1000x
+    # smaller than the corpus — carrying the corpus' block count into the
+    # groupby shuffles below pays per-block overhead on near-empty blocks.
+    # Coalesce fragmented output before the shuffle stages.
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    n_blocks = triples.num_blocks()
+    if n_blocks > 2 * cpus and triples.count() / max(n_blocks, 1) < 50_000:
+        triples = triples.repartition(2 * cpus).materialize()
     canon = build_canonical_map(triples, ["subj", "obj"], n_salts=n_salts)
     canon_ref = ray.put(canon)
 

@@ -87,6 +87,10 @@ def write_triples(
     # pin: consumed twice below (manifest counts + parquet write); without
     # this the upstream DAG would execute twice
     bucketed = bucketed.materialize()
+    # dedup output inherits the upstream shuffle's block count; coalesce so
+    # the partitioned write emits ~one file per bucket, not one per block
+    if bucketed.num_blocks() > 2 * n_buckets:
+        bucketed = bucketed.repartition(n_buckets).materialize()
     # count per bucket rides along for the manifests (small aggregate)
     from ray.data.aggregate import Count
 

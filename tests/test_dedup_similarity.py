@@ -1,0 +1,118 @@
+"""Tests for the similarity-join / ANN operators added on top of the
+reference surface (dedup + similarity training-data ops)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from fonduer_ray.functions import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "the quick brown fox jumps over the lazy dog again and again yes",
+        "a completely different document about ray data pipelines here",
+        "another unrelated text on arrow batches and parquet files now",
+        "the quick brown fox jumps over the lazy dog again and again ok",
+    ]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session, doc_ds):
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(doc_ds, threshold=0.5, n=3).take_all()
+    }
+    # brute force the same semantics
+    texts = {r["doc_id"]: r["text"] for r in doc_ds.take_all()}
+    expect = set()
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            sa = set(dedup._word_ngrams(texts[a], 3))
+            sb = set(dedup._word_ngrams(texts[b], 3))
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= 0.5:
+                expect.add((a, b))
+    assert out == expect
+    assert (0, 4) in out  # exact dup pair
+    assert (0, 1) in out  # near dup pair
+
+
+def test_simhash_pairs_exact_hamming(ray_session, doc_ds):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dup_pairs(doc_ds, max_hamming=3).take_all()
+    }
+    # identical docs 0 and 4 -> identical simhash -> hamming 0
+    assert out[(0, 4)] == 0
+    # brute-force check: every pair within hamming<=3 is found
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(doc_ds).take_all()
+    }
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                d = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                assert ((a, b) in out) == (d <= 3)
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(200)),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session, vec_ds):
+    qrows = vec_ds.take(3)
+    qids = [r["vec_id"] for r in qrows]
+    qvecs = [r["embedding"] for r in qrows]
+    exact = similarity.knn_bruteforce(
+        vec_ds, qids, qvecs, k=5, exclude_query_ids=False
+    )
+    approx = similarity.knn_ivf(
+        vec_ds, qids, qvecs, k=5, n_clusters=8, nprobe=4
+    )
+    def topsets(tbl):
+        out = {}
+        for r in tbl.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = topsets(exact), topsets(approx)
+    # each query returns k results and recall is decent with nprobe=half
+    for q in qids:
+        assert len(ap[q]) == 5
+        assert len(ex[q] & ap[q]) >= 2
+    # rank-1 self-neighbor must survive probing (query vec is in the db)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in approx.to_pylist() if r["rank"] == 1}
+    assert rank1 == {q: q for q in qids}
+
+
+def test_knn_ivf_deterministic(ray_session, vec_ds):
+    qrows = vec_ds.take(2)
+    qids = [r["vec_id"] for r in qrows]
+    qvecs = [r["embedding"] for r in qrows]
+    a = similarity.knn_ivf(vec_ds, qids, qvecs, k=3).to_pylist()
+    b = similarity.knn_ivf(vec_ds, qids, qvecs, k=3).to_pylist()
+    assert a == b
