@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_counts": docops.mention_counts,
         "candidate_counts": docops.candidate_counts,
         "triples_kg": docops.triples,
+        "lf_label_counts": docops.lf_label_counts,
+        "lf_marginals_by_doc": docops.lf_marginals_by_doc,
+        "entity_support": docops.entity_support_counts,
+        "feature_keys": docops.feature_keys,
+        "feature_stats": docops.feature_stats,
         # relational operator coverage
         "pricing_summary": relational.pricing_summary,
         "revenue_filter": relational.revenue_filter,
@@ -193,6 +198,94 @@ def oracle_sql() -> dict[str, str]:
              AND a.w IN {SUBJ_IN}
              AND b.w IN {OBJ_IN}
             GROUP BY a.w, b.w
+        """,
+        "lf_label_counts": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            cand AS (
+              SELECT a.i AS ai, b.i AS bi
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+            ),
+            votes AS (
+              SELECT 'lf_adjacent' AS lf_name,
+                     CASE WHEN abs(ai-bi) <= 1 THEN 2 ELSE 0 END AS value FROM cand
+              UNION ALL
+              SELECT 'lf_subj_first',
+                     CASE WHEN ai < bi THEN 2 ELSE 0 END FROM cand
+              UNION ALL
+              SELECT 'lf_far',
+                     CASE WHEN abs(ai-bi) = 3 THEN 1 ELSE 0 END FROM cand
+            )
+            SELECT lf_name, CAST(value AS BIGINT) AS value, count(*) AS n
+            FROM votes GROUP BY lf_name, value
+        """,
+        "lf_marginals_by_doc": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            cand AS (
+              SELECT a.doc_id, a.i AS ai, b.i AS bi
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+            ),
+            scored AS (
+              SELECT doc_id,
+                     (CASE WHEN abs(ai-bi) <= 1 THEN 1 ELSE 0 END
+                      + CASE WHEN ai < bi THEN 1 ELSE 0 END
+                      - CASE WHEN abs(ai-bi) = 3 THEN 1 ELSE 0 END) AS num,
+                     (CASE WHEN abs(ai-bi) <= 1 THEN 1 ELSE 0 END
+                      + CASE WHEN ai < bi THEN 1 ELSE 0 END
+                      + CASE WHEN abs(ai-bi) = 3 THEN 1 ELSE 0 END) AS den
+              FROM cand
+            ),
+            probs AS (
+              SELECT doc_id,
+                     CASE WHEN den = 0 THEN 0.5
+                          ELSE (1.0 + num / den) / 2 END AS prob
+              FROM scored
+            )
+            SELECT doc_id, count(*) AS n_candidates,
+                   min(prob) AS min_prob, max(prob) AS max_prob
+            FROM probs GROUP BY doc_id
+        """,
+        "entity_support": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            cand AS (
+              SELECT a.w AS subj, b.w AS obj
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+            ),
+            occ AS (
+              SELECT upper(subj) AS norm FROM cand
+              UNION ALL
+              SELECT upper(obj) FROM cand
+            )
+            SELECT norm, count(*) AS support FROM occ GROUP BY norm
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

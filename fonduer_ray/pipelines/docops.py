@@ -162,6 +162,150 @@ def _lf_cooccur(view) -> int:
     return 1
 
 
+# -- labeling-function suite with SQL-expressible semantics ----------------
+# Sparse storage follows the reference conversion (labeler.py:420-495):
+# y=None -> 0 (abstain), y=-1 -> 0, y=0 -> 1 (a -1 VOTE in the scorer),
+# y=1 -> 2 (+1 vote).
+
+def _lf_adjacent(view) -> int | None:
+    """+1 when the two mentions are adjacent tokens, else abstain."""
+    d = abs(view[0].get_word_start_index() - view[1].get_word_start_index())
+    return 1 if d <= 1 else None
+
+
+def _lf_subj_first(view) -> int | None:
+    """+1 when subj precedes obj; -1 (stored 0 = abstain-in-scorer) else."""
+    return 1 if view[0].get_word_start_index() < view[1].get_word_start_index() else -1
+
+
+def _lf_far(view) -> int | None:
+    """0 (a -1 vote) when the pair sits at the max throttler distance."""
+    d = abs(view[0].get_word_start_index() - view[1].get_word_start_index())
+    return 0 if d == WINDOW else None
+
+
+def _docops_lfs():
+    return [
+        ("lf_adjacent", _lf_adjacent),
+        ("lf_subj_first", _lf_subj_first),
+        ("lf_far", _lf_far),
+    ]
+
+
+def lf_label_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Global LF vote histogram: (lf_name, value, n) over every candidate —
+    exercises the labeler stage end-to-end (sparse int encoding included)."""
+    from fonduer_ray.stages.label_stage import label
+
+    lab = label(candidate_docs(sf_dir), _docops_lfs(), batch_size=128)
+
+    def explode(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for keys, values in zip(t["keys"].to_pylist(), t["values"].to_pylist()):
+            names.extend(keys)
+            vals.extend(values)
+        return pa.table(
+            {
+                "lf_name": pa.array(names, pa.string()),
+                "value": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return (
+        lab.map_batches(explode, batch_format="pyarrow")
+        .groupby(["lf_name", "value"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def lf_marginals_by_doc(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc LF-vote marginal summary: (doc_id, n_candidates, min_prob,
+    max_prob) — exercises labeler + VoteScorer (the LF-style scorer
+    replacing the reference's trained discriminative model). Min/max are
+    order-independent so the float comparison against the SQL oracle is
+    exact (a mean would depend on summation order)."""
+    from ray.data.aggregate import Max, Min
+
+    from fonduer_ray.stages.label_stage import label, score
+
+    sc = score(label(candidate_docs(sf_dir), _docops_lfs(), batch_size=128))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in t["doc_name"].to_pylist()], pa.int64()
+                ),
+                "prob": t["prob"],
+            }
+        )
+
+    return (
+        sc.map_batches(prep, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_candidates"),
+            Min("prob", alias_name="min_prob"),
+            Max("prob", alias_name="max_prob"),
+        )
+    )
+
+
+def entity_support_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(norm, support) per canonical entity across all scored triples —
+    the explicitly SALTED two-phase aggregate (linking.entity_support)."""
+    from fonduer_ray.stages.fused import pages_to_triples
+    from fonduer_ray.stages.linking import entity_support
+
+    t = pages_to_triples(
+        htmlize(sf_dir),
+        _mention_specs(),
+        _relation_specs(),
+        [("lf_cooccur", _lf_cooccur)],
+        pred_names={"cooccur": PRED},
+        threshold=0.6,
+        batch_size=128,
+    )
+    linked = link_triples(t, n_salts=KGConfig().n_salts)
+    return entity_support(linked, n_salts=KGConfig().n_salts)
+
+
+def feature_keys(sf_dir: str) -> pa.Table:
+    """Global sorted feature-key vocabulary over all candidates (the
+    engine's FeatureKey analog; deterministic order)."""
+    from fonduer_ray.stages.feature_stage import feature_key_vocab, featurize
+
+    vocab = feature_key_vocab(featurize(candidate_docs(sf_dir), batch_size=128))
+    return pa.table({"key": pa.array(vocab, pa.string())})
+
+
+def feature_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc featurization stats: (doc_id, n_candidates, n_keys)."""
+    from ray.data.aggregate import Sum
+
+    from fonduer_ray.stages.feature_stage import featurize
+
+    feats = featurize(candidate_docs(sf_dir), batch_size=128)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in t["doc_name"].to_pylist()], pa.int64()
+                ),
+                "n_keys": pa.array(
+                    [len(k) for k in t["keys"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        feats.map_batches(prep, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_candidates"), Sum("n_keys", alias_name="n_keys"))
+    )
+
+
 def triples(sf_dir: str) -> "ray.data.Dataset":
     """Full KG path on driver data: candidates -> LF score -> canonicalize
     (salted) -> dedup; returns (subj, pred, obj, support). Doc-local steps
