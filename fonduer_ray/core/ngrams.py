@@ -105,3 +105,156 @@ class MentionDocuments(MentionSpace):
     def apply(self, doc: dict) -> Iterator[Span]:
         for sentence in doc["sentences"][:1]:
             yield Span(sentence, 0, len(sentence["text"]) - 1)
+
+
+class FigureMention:
+    """Figure-node mention (reference ``TemporaryFigureMention``): the
+    matchable "text" is the image url. Duck-types the Span surface the
+    matchers/record layer need; ``sentence_position`` is -1 (no carrier
+    sentence — downstream span reconstruction skips these)."""
+
+    __slots__ = ("doc_name", "figure")
+
+    def __init__(self, doc_name: str, figure: dict):
+        self.doc_name = doc_name
+        self.figure = figure
+
+    def get_span(self) -> str:
+        return self.figure.get("url") or ""
+
+    def get_attrib_tokens(self, attrib: str = "words") -> list:
+        return [self.get_span()]
+
+    def get_stable_id(self) -> str:
+        return f"{self.doc_name}::figure_mention:{self.figure['position']}"
+
+    def __contains__(self, other) -> bool:
+        return self == other
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, FigureMention)
+            and self.doc_name == other.doc_name
+            and self.figure["position"] == other.figure["position"]
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.doc_name, self.figure["position"]))
+
+    def to_record(self, mention_type: str) -> dict:
+        return {
+            "mention_type": mention_type,
+            "stable_id": self.get_stable_id(),
+            "sentence_position": -1,
+            "char_start": self.figure["position"],
+            "char_end": self.figure["position"],
+            "text": self.get_span(),
+            "implicit": False,
+            "expander_key": "figure",
+            "position": self.figure["position"],
+            "expanded_words": [],
+        }
+
+
+class MentionFigures(MentionSpace):
+    """All figures of a document, optional url-suffix type filter
+    (reference ``mentions.py:164-196``)."""
+
+    def __init__(self, types: list[str] | None = None):
+        self.suffixes = tuple(f".{t.lstrip('.')}" for t in types) if types else None
+
+    def apply(self, doc: dict) -> Iterator["FigureMention"]:
+        for fig in doc.get("figures", []):
+            url = fig.get("url") or ""
+            if self.suffixes is not None and not url.lower().endswith(self.suffixes):
+                continue
+            yield FigureMention(doc["doc_name"], fig)
+
+
+class _NodeMentions(MentionSpace):
+    """One mention per context node (cell/paragraph/table/section/caption),
+    reference ``mentions.py:224-358``. A single-sentence node is a plain
+    full-sentence Span; a multi-sentence node becomes an ImplicitSpan
+    anchored at the node's first sentence carrying the node's joined text
+    (our nested-row analog of the reference's per-node Temporary*Mention)."""
+
+    #: sentence-row field(s) identifying the node; None value = not in one
+    node_fields: tuple[str, ...] = ()
+    expander_key = "node"
+
+    def node_key(self, s: dict):
+        vals = tuple(s.get(f) for f in self.node_fields)
+        return None if any(v is None for v in vals) else vals
+
+    def apply(self, doc: dict) -> Iterator[Span]:
+        from fonduer_ray.core.spans import ImplicitSpan
+
+        groups: dict[tuple, list[dict]] = {}
+        for s in doc["sentences"]:
+            k = self.node_key(s)
+            if k is not None:
+                groups.setdefault(k, []).append(s)
+        for k in sorted(groups):
+            sents = groups[k]
+            anchor = sents[0]
+            if len(sents) == 1:
+                yield Span(anchor, 0, len(anchor["text"]) - 1)
+            else:
+                text = " ".join(s["text"] for s in sents)
+                yield ImplicitSpan(
+                    anchor,
+                    0,
+                    len(anchor["text"]) - 1,
+                    self.expander_key,
+                    0,
+                    text,
+                )
+
+
+class MentionCells(_NodeMentions):
+    node_fields = ("table_position", "cell_position")
+    expander_key = "cell"
+
+
+class MentionTables(_NodeMentions):
+    node_fields = ("table_position",)
+    expander_key = "table"
+
+
+class MentionParagraphs(_NodeMentions):
+    node_fields = ("paragraph_position",)
+    expander_key = "paragraph"
+
+
+class MentionSections(_NodeMentions):
+    node_fields = ("section_position",)
+    expander_key = "section"
+
+
+class MentionNgramsRangeExpand(MentionNgrams):
+    """User-extension example mirroring the reference's hardware
+    ``MentionNgramsPart`` (``tests/shared/hardware_spaces.py:13-163``):
+    unigrams like "AB123A/B" additionally yield IMPLICIT spans "AB123A"
+    and "AB123B" whose surface text differs from the document."""
+
+    _slash_rgx = re.compile(r"^([A-Z]+\d+)([A-Z])/([A-Z])$")
+
+    def apply(self, doc: dict) -> Iterator[Span]:
+        from fonduer_ray.core.spans import ImplicitSpan
+
+        for sentence in doc["sentences"]:
+            for span in self.apply_sentence(sentence):
+                yield span
+                word = span.get_span()
+                m = self._slash_rgx.match(word)
+                if m:
+                    base, a, b = m.groups()
+                    for pos, suffix in enumerate((a, b)):
+                        yield ImplicitSpan(
+                            span.sentence,
+                            span.char_start,
+                            span.char_end,
+                            "range",
+                            pos,
+                            base + suffix,
+                        )

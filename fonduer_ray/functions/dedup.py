@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
@@ -123,12 +123,11 @@ class MinHasher:
 def minhash_signatures(
     ds: "ray.data.Dataset", num_perm: int = 64, k: int = 3
 ) -> "ray.data.Dataset":
-    return ds.select_columns(["doc_id", "text"]).map_batches(
+    return map_stage(
+        ds.select_columns(["doc_id", "text"]),
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=default_concurrency(),
+        {"num_perm": num_perm, "k": k},
+        2048,
     )
 
 
@@ -434,12 +433,7 @@ class SimHasher:
 
 
 def simhash_signatures(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher,
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=default_concurrency(),
-    )
+    return map_stage(ds.select_columns(["doc_id", "text"]), SimHasher, {}, 2048)
 
 
 def simhash_dup_pairs(

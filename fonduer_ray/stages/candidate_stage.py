@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.core.stable_ids import candidate_stable_id
@@ -75,13 +75,19 @@ class CandidateStage:
             for combo in itertools.product(*arg_lists):
                 if all(m is None for m in combo):
                     continue
+                # sentence_position -1 = non-span mention (e.g. figure):
+                # no carrier sentence, so no Span reconstruction
                 spans = tuple(
                     span_from_record(sent_by_pos[m["sentence_position"]], m)
-                    if m is not None
+                    if m is not None and m["sentence_position"] >= 0
                     else None
                     for m in combo
                 )
-                if len(combo) == 2 and combo[0] is not None and combo[1] is not None:
+                if (
+                    len(combo) == 2
+                    and spans[0] is not None
+                    and spans[1] is not None
+                ):
                     a, b = spans
                     if not rel.self_relations and a == b:
                         continue
@@ -140,13 +146,7 @@ def extract_candidates(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
-        CandidateStage,
-        fn_constructor_kwargs={"relations": relations},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-    )
+    return map_stage(ds, CandidateStage, {"relations": relations}, batch_size, concurrency)
 
 
 def candidates_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":

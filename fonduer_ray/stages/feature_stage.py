@@ -25,7 +25,7 @@ import ray.data
 from fonduer_ray.core.ngrams import tokens_to_ngrams
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.stages.schemas import FEATURE_SCHEMA
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 FeatureFn = Callable[[list[Span], dict], list[str]]
 
@@ -277,7 +277,7 @@ class FeatureStage:
 def _candidate_spans(cand: dict, sent_by_pos: dict) -> list[Span | None]:
     spans: list[Span | None] = []
     for j in range(len(cand["arg_types"])):
-        if cand["arg_stable_ids"][j] == "":
+        if cand["arg_stable_ids"][j] == "" or cand["arg_sentence_positions"][j] < 0:
             spans.append(None)
             continue
         rec = {
@@ -300,13 +300,7 @@ def featurize(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
-        FeatureStage,
-        fn_constructor_kwargs={"feature_fns": feature_fns},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-    )
+    return map_stage(ds, FeatureStage, {"feature_fns": feature_fns}, batch_size, concurrency)
 
 
 def feature_key_vocab(feature_ds: "ray.data.Dataset") -> list[str]:

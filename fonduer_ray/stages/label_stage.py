@@ -23,7 +23,7 @@ import ray.data
 from fonduer_ray.core.spans import Span
 from fonduer_ray.stages.feature_stage import _candidate_spans
 from fonduer_ray.stages.schemas import LABEL_SCHEMA
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 ABSTAIN = None
 
@@ -85,13 +85,7 @@ def label(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
-        LabelStage,
-        fn_constructor_kwargs={"lfs": lfs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-    )
+    return map_stage(ds, LabelStage, {"lfs": lfs}, batch_size, concurrency)
 
 
 def sparse_to_dense(values: list[int]) -> list[int]:
@@ -141,12 +135,8 @@ def score(
 
 
 def score_with(label_ds, scorer, concurrency=None):
-    return label_ds.map_batches(
-        type(scorer),
-        fn_constructor_kwargs={"weights": scorer.weights},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency or default_concurrency(),
+    return map_stage(
+        label_ds, type(scorer), {"weights": scorer.weights}, 1024, concurrency
     )
 
 

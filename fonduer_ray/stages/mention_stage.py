@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 from fonduer_ray.core.matchers import Matcher
 from fonduer_ray.core.ngrams import MentionSpace
@@ -62,13 +62,7 @@ def extract_mentions(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
-        MentionStage,
-        fn_constructor_kwargs={"specs": specs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-    )
+    return map_stage(ds, MentionStage, {"specs": specs}, batch_size, concurrency)
 
 
 def mentions_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":

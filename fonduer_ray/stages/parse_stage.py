@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 from fonduer_ray.parser.lingual import HeuristicLinguist
 from fonduer_ray.parser.parse import ParserConfig, parse_document
@@ -78,10 +78,6 @@ def parse_webpages(
     ``batch_size`` is small on purpose: HTML blobs are large and the output
     rows (full context trees) are larger still — keep batch x concurrency
     within worker heap."""
-    return ds.map_batches(
-        ParseStage,
-        fn_constructor_kwargs={"cfg": cfg, "enrich": enrich, **cols},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
+    return map_stage(
+        ds, ParseStage, {"cfg": cfg, "enrich": enrich, **cols}, batch_size, concurrency
     )

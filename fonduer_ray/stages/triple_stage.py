@@ -16,7 +16,7 @@ import ray.data
 from fonduer_ray.stages.feature_stage import _candidate_spans
 from fonduer_ray.stages.label_stage import CandidateView, LabelingFunction
 from fonduer_ray.stages.schemas import TRIPLE_SCHEMA
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, map_stage
 
 
 class TripleStage:
@@ -83,15 +83,15 @@ def extract_triples(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
+    return map_stage(
+        ds,
         TripleStage,
-        fn_constructor_kwargs={
+        {
             "lfs": lfs,
             "pred_names": pred_names,
             "weights": weights,
             "threshold": threshold,
         },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
+        batch_size,
+        concurrency,
     )

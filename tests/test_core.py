@@ -81,3 +81,67 @@ def test_mention_ngrams_over_doc():
     doc = {"sentences": [make_sentence("a b"), make_sentence("c d", position=1)]}
     texts = [sp.get_span() for sp in MentionNgrams(1, 1).apply(doc)]
     assert texts == ["a", "b", "c", "d"]
+
+
+def test_mention_figures():
+    from fonduer_ray.core.ngrams import FigureMention, MentionFigures
+
+    doc = {
+        "doc_name": "d0",
+        "sentences": [],
+        "figures": [
+            {"position": 0, "url": "http://x/img.png"},
+            {"position": 1, "url": "http://x/chart.jpg"},
+            {"position": 2, "url": None},
+        ],
+    }
+    all_figs = list(MentionFigures().apply(doc))
+    assert [f.get_span() for f in all_figs] == [
+        "http://x/img.png",
+        "http://x/chart.jpg",
+        "",
+    ]
+    assert all_figs[0].get_stable_id() == "d0::figure_mention:0"
+    png_only = list(MentionFigures(types=["png"]).apply(doc))
+    assert [f.get_span() for f in png_only] == ["http://x/img.png"]
+    rec = png_only[0].to_record("fig")
+    assert rec["sentence_position"] == -1 and rec["text"] == "http://x/img.png"
+
+
+def test_node_mention_spaces():
+    from fonduer_ray.core.ngrams import MentionCells, MentionParagraphs
+
+    s0 = make_sentence("cell one", position=0)
+    s0.update(table_position=0, cell_position=0, paragraph_position=0)
+    s1 = make_sentence("cell one more", position=1)
+    s1.update(table_position=0, cell_position=0, paragraph_position=1)
+    s2 = make_sentence("cell two", position=2)
+    s2.update(table_position=0, cell_position=1, paragraph_position=2)
+    s3 = make_sentence("free text", position=3)
+    s3.update(table_position=None, cell_position=None, paragraph_position=3)
+    doc = {"doc_name": "d0", "sentences": [s0, s1, s2, s3]}
+    cells = list(MentionCells().apply(doc))
+    # cell 0 has two sentences -> ImplicitSpan with joined text
+    assert [c.get_span() for c in cells] == ["cell one cell one more", "cell two"]
+    assert isinstance(cells[0], ImplicitSpan) and not isinstance(cells[1], ImplicitSpan)
+    paras = list(MentionParagraphs().apply(doc))
+    assert [p.get_span() for p in paras] == [
+        "cell one",
+        "cell one more",
+        "cell two",
+        "free text",
+    ]
+
+
+def test_range_expand_space():
+    from fonduer_ray.core.ngrams import MentionNgramsRangeExpand
+
+    doc = {"doc_name": "d0", "sentences": [make_sentence("part AB123A/B works")]}
+    spans = list(MentionNgramsRangeExpand(1, 1).apply(doc))
+    texts = [sp.get_span() for sp in spans]
+    assert "AB123A/B" in texts and "AB123A" in texts and "AB123B" in texts
+    implicit = [sp for sp in spans if isinstance(sp, ImplicitSpan)]
+    assert {sp.get_span() for sp in implicit} == {"AB123A", "AB123B"}
+    # implicit stable ids are distinct from the explicit anchor's
+    ids = {sp.get_stable_id() for sp in spans}
+    assert len(ids) == len(spans)
