@@ -246,6 +246,21 @@ def MiscMatcher(**opts) -> RegexMatchEach:
     return _ner_matcher(r"MISC", **opts)
 
 
+class LambdaFunctionFigureMatcher(Matcher):
+    """Predicate on figure mentions (reference ``matchers.py:483-506``);
+    non-figure inputs never match."""
+
+    allowed_opts = ("func",)
+
+    def init(self) -> None:
+        if "longest_match_only" not in self.opts:
+            self.longest_match_only = False
+        self.func = self.opts["func"]
+
+    def _f(self, span) -> bool:
+        return getattr(span, "figure", None) is not None and bool(self.func(span))
+
+
 class DoNothingMatcher(Matcher):
     """Pass-through."""
 

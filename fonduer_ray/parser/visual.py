@@ -155,3 +155,103 @@ def same_page(spans) -> bool:
 def get_page(span) -> int | None:
     b = bbox_from_sentence(span.sentence)
     return b[0] if b else None
+
+
+def is_vert_aligned_left(spans, tol: float = 2.0) -> bool:
+    """Same page + left edges within tolerance (``utils_visual.py:83-95``)."""
+    boxes = [bbox_from_sentence(sp.sentence) for sp in spans]
+    if any(b is None for b in boxes):
+        return False
+    return (
+        len({b[0] for b in boxes}) == 1
+        and max(b[2] for b in boxes) - min(b[2] for b in boxes) <= tol
+    )
+
+
+def is_vert_aligned_right(spans, tol: float = 2.0) -> bool:
+    """Same page + right edges within tolerance."""
+    boxes = [bbox_from_sentence(sp.sentence) for sp in spans]
+    if any(b is None for b in boxes):
+        return False
+    return (
+        len({b[0] for b in boxes}) == 1
+        and max(b[4] for b in boxes) - min(b[4] for b in boxes) <= tol
+    )
+
+
+def is_vert_aligned_center(spans, tol: float = 5.0) -> bool:
+    """Same page + horizontal centers within tolerance (±5pt,
+    ``utils_visual.py:110-123``)."""
+    boxes = [bbox_from_sentence(sp.sentence) for sp in spans]
+    if any(b is None for b in boxes):
+        return False
+    centers = [(b[2] + b[4]) / 2.0 for b in boxes]
+    return len({b[0] for b in boxes}) == 1 and max(centers) - min(centers) <= tol
+
+
+def _page_sentences(doc: dict, page: int) -> list[dict]:
+    return [s for s in doc["sentences"] if s.get("page") and s["page"][0] == page]
+
+
+def get_horz_ngrams(
+    span, doc: dict, attrib: str = "words", lower: bool = True
+):
+    """Tokens of sentences horizontally aligned with the span on its page
+    (``data_model_utils/visual.py:192-247`` semantics, doc-local)."""
+    b = bbox_from_sentence(span.sentence)
+    if b is None:
+        return
+    for s in _page_sentences(doc, b[0]):
+        if s is span.sentence:
+            continue
+        sb = bbox_from_sentence(s)
+        if sb is None or not (sb[1] <= b[3] and b[1] <= sb[3]):  # y-overlap
+            continue
+        for w in s.get(attrib) or s["words"]:
+            yield w.lower() if lower else w
+
+
+def get_vert_ngrams(
+    span, doc: dict, attrib: str = "words", lower: bool = True
+):
+    """Tokens of sentences vertically aligned (x-overlap) with the span."""
+    b = bbox_from_sentence(span.sentence)
+    if b is None:
+        return
+    for s in _page_sentences(doc, b[0]):
+        if s is span.sentence:
+            continue
+        sb = bbox_from_sentence(s)
+        if sb is None or not (sb[2] <= b[4] and b[2] <= sb[4]):  # x-overlap
+            continue
+        for w in s.get(attrib) or s["words"]:
+            yield w.lower() if lower else w
+
+
+def get_page_vert_percentile(
+    span, doc: dict, page_height: float = 792.0
+) -> float | None:
+    """Top edge as a fraction of the page height (``visual.py:311-330``)."""
+    b = bbox_from_sentence(span.sentence)
+    return None if b is None else b[1] / page_height
+
+
+def get_page_horz_percentile(
+    span, doc: dict, page_width: float = 612.0
+) -> float | None:
+    b = bbox_from_sentence(span.sentence)
+    return None if b is None else b[2] / page_width
+
+
+def get_visual_aligned_lemmas(span, doc: dict):
+    """Lemmas sharing a horizontal or vertical alignment group with the
+    span on its page (``visual.py:384-440``)."""
+    seen = set()
+    for w in get_horz_ngrams(span, doc, attrib="lemmas"):
+        if w not in seen:
+            seen.add(w)
+            yield w
+    for w in get_vert_ngrams(span, doc, attrib="lemmas"):
+        if w not in seen:
+            seen.add(w)
+            yield w

@@ -125,9 +125,9 @@ def pages_to_triples(
         "cfg": cfg,
         "enrich": enrich,
     }
-    import pickle
+    from ray import cloudpickle  # plain pickle cannot key lambda/closure state
 
-    key = hash(pickle.dumps(kwargs))
+    key = hash(cloudpickle.dumps(kwargs))
 
     def fused_fn(batch: pa.Table) -> pa.Table:
         stage = _STAGE_CACHE.get(key)

@@ -20,9 +20,9 @@ def cached_stage_fn(cls, kwargs: dict):
     warm worker processes; the instance is constructed once per worker per
     config (keyed by the pickled constructor kwargs). Reserve actor pools
     for genuinely heavy state (models, big dictionaries)."""
-    import pickle
+    from ray import cloudpickle  # plain pickle cannot key lambda/closure state
 
-    key = (cls.__module__, cls.__qualname__, pickle.dumps(kwargs))
+    key = (cls.__module__, cls.__qualname__, cloudpickle.dumps(kwargs))
 
     def stage_fn(batch):
         inst = _FN_CACHE.get(key)

@@ -119,3 +119,59 @@ def test_multimodal_determinism(ray_session):
     a = multimodal.embed_images(ds, dim=4, fake=True).take_all()
     b = multimodal.embed_images(ds, dim=4, fake=True).take_all()
     assert a[0]["embedding"] == b[0]["embedding"]
+
+
+def test_visual_alignment_helpers():
+    from fonduer_ray.core.spans import Span
+    from fonduer_ray.parser import visual as V
+
+    def vsent(pos, top, left, bottom, right, words=("w",)):
+        n = len(words)
+        return {
+            "doc_name": "d",
+            "position": pos,
+            "text": " ".join(words),
+            "words": list(words),
+            "char_offsets": [0] * n,
+            "abs_char_offsets": [0] * n,
+            "lemmas": [w.upper() for w in words],
+            "page": [1] * n,
+            "top": [top] * n,
+            "left": [left] * n,
+            "bottom": [bottom] * n,
+            "right": [right] * n,
+        }
+
+    s0 = vsent(0, 100, 50, 110, 80, ("alpha",))
+    s1 = vsent(1, 100, 200, 110, 240, ("beta",))   # same row as s0
+    s2 = vsent(2, 300, 50, 310, 80, ("gamma",))    # same column as s0
+    doc = {"doc_name": "d", "sentences": [s0, s1, s2]}
+    sp = Span(s0, 0, len(s0["text"]) - 1)
+    sp1 = Span(s1, 0, len(s1["text"]) - 1)
+    sp2 = Span(s2, 0, len(s2["text"]) - 1)
+    assert V.is_horz_aligned([sp, sp1]) and not V.is_horz_aligned([sp, sp2])
+    assert V.is_vert_aligned_left([sp, sp2]) and not V.is_vert_aligned_left([sp, sp1])
+    assert V.is_vert_aligned_center([sp, sp2])
+    assert list(V.get_horz_ngrams(sp, doc)) == ["beta"]
+    assert list(V.get_vert_ngrams(sp, doc)) == ["gamma"]
+    assert set(V.get_visual_aligned_lemmas(sp, doc)) == {"beta", "gamma"}
+    assert 0 < V.get_page_vert_percentile(sp, doc) < 1
+
+
+def test_lambda_figure_matcher():
+    from fonduer_ray.core.matchers import LambdaFunctionFigureMatcher
+    from fonduer_ray.core.ngrams import MentionFigures
+
+    doc = {
+        "doc_name": "d0",
+        "sentences": [],
+        "figures": [
+            {"position": 0, "url": "http://x/a.png"},
+            {"position": 1, "url": "http://x/b.jpg"},
+        ],
+    }
+    m = LambdaFunctionFigureMatcher(
+        func=lambda f: f.get_span().endswith(".png")
+    )
+    out = list(m.apply(MentionFigures().apply(doc)))
+    assert [f.get_span() for f in out] == ["http://x/a.png"]
