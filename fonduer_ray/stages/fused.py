@@ -1,12 +1,12 @@
-"""Fused doc-local pipeline stage: pages -> triples in ONE actor pool.
+"""Fused doc-local pipeline stage: pages -> triples in ONE map stage.
 
 Parse, mention extraction, candidate generation and LF scoring are all
 doc-local transforms; running them as separate ``map_batches`` stages costs
-a nested-Arrow serialization round-trip per stage AND one actor pool per
-stage (which can starve a small cluster: four pools each reserving a CPU
-leave nothing for tasks). The fused stage keeps per-document Python dicts
-in memory across all four steps and emits only the small triple rows —
-the modular stages remain for featurization/labeling workflows and tests.
+a nested-Arrow serialization round-trip per stage. The fused stage keeps
+per-document Python dicts in memory across all four steps and emits only
+the small triple rows — the modular stages remain for featurization/
+labeling workflows and tests. It runs as plain tasks with a per-worker
+cached stage instance (see ``_STAGE_CACHE`` below).
 """
 
 from __future__ import annotations
