@@ -233,10 +233,50 @@ class _DocView:
         return self.cols.get((s["table_position"], s["col_start"]), [])[:5]
 
 
+def visual_features(spans: list[Span], doc: dict) -> list[str]:
+    """Visual feature family (``visual_features.py:23-108``): per-span
+    ``PAGE_[n]`` and alignment-group lemma sharing ``ALIGNED_[lemma]``;
+    n-ary ``SAME_PAGE`` / ``HORZ_ALIGNED`` / ``VERT_ALIGNED{_LEFT,_RIGHT,
+    _CENTER}`` with the reference's pt tolerances. No-ops for sentences
+    without bboxes (non-visual corpora pay ~nothing)."""
+    from fonduer_ray.parser import visual as V
+
+    feats: list[str] = []
+    boxes = []
+    for i, span in enumerate(spans):
+        if span is None:
+            boxes.append(None)
+            continue
+        b = V.bbox_from_sentence(span.sentence)
+        boxes.append(b)
+        if b is None:
+            continue
+        p = f"e{i}_" if len(spans) > 1 else ""
+        feats.append(f"{p}PAGE_[{b[0]}]")
+        for lemma in V.get_visual_aligned_lemmas(span, doc):
+            feats.append(f"{p}ALIGNED_[{lemma}]")
+    live = [s for s, b in zip(spans, boxes) if s is not None and b is not None]
+    if len(live) == 2:
+        if V.same_page(live):
+            feats.append("SAME_PAGE")
+        if V.is_horz_aligned(live):
+            feats.append("HORZ_ALIGNED")
+        if V.is_vert_aligned(live):
+            feats.append("VERT_ALIGNED")
+        if V.is_vert_aligned_left(live):
+            feats.append("VERT_ALIGNED_LEFT")
+        if V.is_vert_aligned_right(live):
+            feats.append("VERT_ALIGNED_RIGHT")
+        if V.is_vert_aligned_center(live):
+            feats.append("VERT_ALIGNED_CENTER")
+    return feats
+
+
 DEFAULT_FEATURE_FNS: list[FeatureFn] = [
     textual_features,
     structural_features,
     tabular_features,
+    visual_features,
 ]
 
 

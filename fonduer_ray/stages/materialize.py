@@ -153,3 +153,50 @@ def load_checkpoint(out_dir: str, config_hash: str) -> "ray.data.Dataset | None"
     if m.get("config_hash") != config_hash:
         return None
     return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+
+
+# ---------------------------------------------------------------------------
+# incremental upsert (the reference's Featurizer.update / Labeler.update /
+# clear=False path, featurizer.py:65-146, labeler.py:72-115)
+# ---------------------------------------------------------------------------
+
+
+def append_generation(
+    ds: "ray.data.Dataset", out_dir: str, key_col: str
+) -> int:
+    """Append ``ds`` as a new numbered generation under ``out_dir``.
+    Upsert-by-key happens at READ time (``read_upserted``): re-running a
+    stage over changed documents just appends, and the newest generation
+    wins per key — no in-place mutation, every generation is immutable
+    (what Postgres upserts did for the reference, done shuffle-free on
+    write)."""
+    os.makedirs(out_dir, exist_ok=True)
+    gens = [
+        int(name.split("=")[1])
+        for name in os.listdir(out_dir)
+        if name.startswith("gen=")
+    ]
+    gen = (max(gens) + 1) if gens else 0
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_gen", pa.array([gen] * len(batch), pa.int64())
+        )
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, f"gen={gen}")
+    )
+    return gen
+
+
+def read_upserted(out_dir: str, key_col: str) -> "ray.data.Dataset":
+    """Read all generations, keeping the NEWEST row per key — one
+    hash-partitioned groupby on the key (dedup-on-read upsert)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        return group[group["_gen"] == group["_gen"].max()].drop(columns=["_gen"])
+
+    return ds.groupby(key_col).map_groups(latest, batch_format="pandas")

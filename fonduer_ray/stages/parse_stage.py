@@ -32,12 +32,14 @@ class ParseStage:
         url_col: str = "url",
         html_col: str = "html",
         lang_col: str = "lang",
+        emit_errors: bool = False,
     ):
         self.cfg = cfg or ParserConfig()
         self.linguist = HeuristicLinguist() if enrich else None
         self.url_col = url_col
         self.html_col = html_col
         self.lang_col = lang_col
+        self.emit_errors = emit_errors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch[self.url_col].to_pylist()
@@ -48,11 +50,18 @@ class ParseStage:
             else [""] * len(urls)
         )
         rows = []
+        errors: list[dict] = []
         for url, html, lang in zip(urls, htmls, langs):
             if html is None:
+                errors.append({"url": url, "error": "null_html"})
                 continue
-            doc = parse_document(url, html, self.cfg)
+            try:
+                doc = parse_document(url, html, self.cfg)
+            except Exception as exc:  # noqa: BLE001 - routed, not swallowed
+                errors.append({"url": url, "error": f"parse: {exc}"})
+                continue
             if doc is None:
+                errors.append({"url": url, "error": "unparseable_html"})
                 continue
             # lingual enrichment only for supported languages; other languages
             # keep the SimpleParser output (reference fallback,
@@ -62,7 +71,46 @@ class ParseStage:
                     self.linguist.enrich(s)
             doc["lang"] = lang or ""
             rows.append(doc)
-        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+        if not self.emit_errors:
+            return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+        out = pa.Table.from_pylist(rows, schema=PARSE_ERROR_DOC_SCHEMA)
+        if errors:
+            err_rows = [
+                {"doc_name": e["url"], "error": e["error"]} for e in errors
+            ]
+            out = pa.concat_tables(
+                [out, pa.Table.from_pylist(err_rows, schema=PARSE_ERROR_DOC_SCHEMA)]
+            )
+        return out
+
+
+#: DOC_SCHEMA + nullable ``error`` column: a doc row has error=null, an
+#: error row has every doc field null. The reference silently DROPS
+#: unparseable docs (``parser.py:257-264``); at 10^12-doc scale silent loss
+#: is unauditable, so failures ride an explicit side-channel the caller
+#: splits off with ``split_errors``.
+PARSE_ERROR_DOC_SCHEMA = DOC_SCHEMA.append(pa.field("error", pa.string()))
+
+
+def split_errors(
+    ds: "ray.data.Dataset",
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(documents, errors) from an ``emit_errors=True`` parse output; the
+    error side is projected down to ``(doc_name, error)``."""
+    import pyarrow.compute as pc
+
+    def keep_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["error"]))
+
+    def keep_errors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["error"])).select(
+            ["doc_name", "error"]
+        )
+
+    return (
+        ds.map_batches(keep_docs, batch_format="pyarrow"),
+        ds.map_batches(keep_errors, batch_format="pyarrow"),
+    )
 
 
 def parse_webpages(

@@ -110,3 +110,24 @@ def test_dedup_triples(ray_session):
     assert r["support"] == 3
     assert r["score"] == pytest.approx(0.7)
     assert r["provenance_doc"] == "d0"
+
+
+def test_incremental_upsert(ray_session, tmp_path):
+    """Featurizer.update / clear=False analog: append-generations + newest
+    key wins at read (reference tests/e2e/test_incremental.py semantics)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from fonduer_ray.stages.materialize import append_generation, read_upserted
+
+    out = str(tmp_path / "feats")
+    g0 = ray.data.from_arrow(
+        pa.table({"cid": ["a", "b", "c"], "val": [1, 2, 3]})
+    )
+    assert append_generation(g0, out, "cid") == 0
+    # re-apply over a changed doc: candidate b recomputed, d added
+    g1 = ray.data.from_arrow(pa.table({"cid": ["b", "d"], "val": [20, 40]}))
+    assert append_generation(g1, out, "cid") == 1
+    rows = {r["cid"]: r["val"] for r in read_upserted(out, "cid").take_all()}
+    assert rows == {"a": 1, "b": 20, "c": 3, "d": 40}

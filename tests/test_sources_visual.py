@@ -175,3 +175,53 @@ def test_lambda_figure_matcher():
     )
     out = list(m.apply(MentionFigures().apply(doc)))
     assert [f.get_span() for f in out] == ["http://x/a.png"]
+
+
+def test_visual_feature_family():
+    from fonduer_ray.core.spans import Span
+    from fonduer_ray.stages.feature_stage import visual_features
+
+    def vsent(pos, top, left, words):
+        n = len(words)
+        offs = []
+        i = 0
+        for w in words:
+            offs.append(i)
+            i += len(w) + 1
+        return {
+            "doc_name": "d",
+            "position": pos,
+            "text": " ".join(words),
+            "words": list(words),
+            "char_offsets": offs,
+            "abs_char_offsets": offs,
+            "lemmas": [w.upper() for w in words],
+            "page": [1] * n,
+            "top": [top] * n,
+            "left": [left] * n,
+            "bottom": [top + 10] * n,
+            "right": [left + 30] * n,
+        }
+
+    s0 = vsent(0, 100, 50, ("alpha",))
+    s1 = vsent(1, 100, 200, ("beta",))
+    doc = {"doc_name": "d", "sentences": [s0, s1]}
+    spans = [Span(s0, 0, 4), Span(s1, 0, 3)]
+    feats = visual_features(spans, doc)
+    assert "SAME_PAGE" in feats and "HORZ_ALIGNED" in feats
+    assert "e0_PAGE_[1]" in feats and "e0_ALIGNED_[beta]" in feats
+    # sentences without bboxes -> no visual features, no crash
+    bare = {
+        "doc_name": "d",
+        "position": 2,
+        "text": "x",
+        "words": ["x"],
+        "char_offsets": [0],
+        "abs_char_offsets": [0],
+        "page": [],
+        "top": [],
+        "left": [],
+        "bottom": [],
+        "right": [],
+    }
+    assert visual_features([Span(bare, 0, 0)], {"doc_name": "d", "sentences": [bare]}) == []

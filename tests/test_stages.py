@@ -107,3 +107,30 @@ def test_label_and_score(doc_ds):
     assert set(mat.flatten()) <= {-1, 0, 1}
     probs = score(lab).take_all()
     assert all(0.0 <= r["prob"] <= 1.0 for r in probs)
+
+
+def test_parse_error_side_channel(ray_session):
+    """Unparseable pages surface on an explicit error side-channel instead of
+    the reference's silent drop (parser.py:257-264)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from fonduer_ray.stages.parse_stage import ParseStage, split_errors
+    from fonduer_ray.stages.util import map_stage
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["ok", "empty", "null"],
+                "html": [b"<html><body><p>fine.</p></body></html>", b"", None],
+                "lang": ["en", "en", "en"],
+            }
+        )
+    )
+    out = map_stage(pages, ParseStage, {"emit_errors": True}, 16)
+    docs, errors = split_errors(out)
+    assert docs.count() == 1
+    err = {r["doc_name"]: r["error"] for r in errors.take_all()}
+    assert err["null"] == "null_html"
+    assert err["empty"] == "unparseable_html"
