@@ -97,6 +97,9 @@ class _DocBuilder:
             self.sentencizer = PunctSentencizer()
         else:
             self.sentencizer = SimpleSentencizer(cfg.sentence_delim)
+        #: text of <head><style>, for CSS-class style merging (set by
+        #: parse_document before the walk)
+        self.style_text: str = ""
         self.sections: list[dict] = []
         self.paragraphs: list[dict] = []
         self.tables: list[dict] = []
@@ -105,6 +108,32 @@ class _DocBuilder:
         self.captions: list[dict] = []
         self.sentences: list[dict] = []
         self.abs_base = 0
+
+    def _merge_class_styles(self, node: Node, html_attrs: list[str]) -> list[str]:
+        """Extend the style html_attr with the <head><style> CSS block of the
+        node's class (reference ``parser.py:522-561``): if the node already
+        has a style attr the block is appended raw (CR/LF/tab removed); a
+        missing style attr gains a whitespace-collapsed ``style=`` entry."""
+        html_attrs = list(html_attrs)
+        cur_style_index = None
+        for index, attr in enumerate(html_attrs):
+            if attr.find("style") >= 0:
+                cur_style_index = index
+                break
+        for k, v in node.attrs:
+            if k == "class":
+                rgx = re.compile(r"(." + re.escape(v) + r")([\n\s\r]*)\{(.*?)\}", re.DOTALL)
+                m = rgx.search(self.style_text)
+                if m is not None:
+                    body = m.group(3).replace("\r", "").replace("\n", "").replace("\t", "")
+                    if cur_style_index is not None:
+                        html_attrs[cur_style_index] += body
+                    else:
+                        html_attrs.append(
+                            "style=" + re.sub(r"\s{1,}", " ", body.strip())
+                        )
+                break
+        return html_attrs
 
     # -- paragraph + sentences --------------------------------------------
     def add_paragraph(self, raw_text: str, node: Node, ctx: _Ctx) -> None:
@@ -116,6 +145,7 @@ class _DocBuilder:
         pos = len(self.paragraphs)
         para = {
             "position": pos,
+            "name": node.get("name"),
             "section_position": ctx.section,
             "table_position": ctx.table,
             "cell_position": ctx.cell,
@@ -126,6 +156,8 @@ class _DocBuilder:
         xpath = node.xpath() if self.cfg.structural else ""
         html_tag = node.tag if self.cfg.structural else ""
         html_attrs = [f"{k}={v}" for k, v in node.attrs] if self.cfg.structural else []
+        if self.cfg.structural and self.style_text:
+            html_attrs = self._merge_class_styles(node, html_attrs)
         for sent in self.sentencizer.split_sentences(text):
             stext = sent["text"]
             if not sent["words"]:
@@ -177,7 +209,7 @@ class _DocBuilder:
 
         if tag in ("html", "section"):
             pos = len(self.sections)
-            self.sections.append({"position": pos})
+            self.sections.append({"position": pos, "name": node.get("name")})
             my_ctx = ctx.child(section=pos)
         elif tag == "table" and self.cfg.tabular:
             pos = len(self.tables)
@@ -314,6 +346,13 @@ def parse_document(
     flatten_tags(root, frozenset(cfg.flatten))
     text = serialize(root)
     builder = _DocBuilder(doc_name, cfg)
+    for head in root.children:
+        if head.tag == "head":
+            for child in head.children:
+                if child.tag == "style" and child.text:
+                    builder.style_text = child.text
+                    break
+            break
     builder.walk(root, _Ctx(), None)
     return {
         "doc_name": doc_name,

@@ -50,10 +50,11 @@ SENTENCE_STRUCT = pa.struct(
     ]
 )
 
-SECTION_STRUCT = pa.struct([("position", _i)])
+SECTION_STRUCT = pa.struct([("position", _i), ("name", _s)])
 PARAGRAPH_STRUCT = pa.struct(
     [
         ("position", _i),
+        ("name", _s),
         ("section_position", _i),
         ("table_position", _i),
         ("cell_position", _i),

@@ -141,3 +141,67 @@ def test_table_span():
     (test_parser.py:536-556)."""
     doc = _parse("table_span", sentencizer="punct")
     assert len(doc["sentences"]) == 1
+
+
+def test_diseases_structure():
+    """diseases.html golden counts + cell/xpath/attr asserts
+    (test_parser.py:561-635)."""
+    doc = _parse("diseases", sentencizer="punct")
+    assert len(doc["captions"]) == 2
+    assert len(doc["figures"]) == 0
+    assert len(doc["tables"]) == 3
+    assert len(doc["cells"]) == 25
+    assert len(doc["sentences"]) == 37
+    # caption sentence (test_parser.py:593-597)
+    cap = doc["sentences"][20]
+    assert cap["text"] == "Table 1: Infectious diseases and where to find them."
+    assert cap["paragraph_position"] == 18
+    assert doc["paragraphs"][18]["caption_position"] == 0
+    assert doc["captions"][0]["table_position"] == 0
+    # sentence 10 cell coords + structural attrs (test_parser.py:610-622)
+    s = doc["sentences"][10]
+    assert s["table_position"] == 0
+    assert (s["row_start"], s["col_start"], s["cell_position"]) == (2, 1, 4)
+    assert s["xpath"] == "/html/body/table[1]/tbody/tr[3]/td[1]/p"
+    assert s["html_tag"] == "p"
+    assert s["html_attrs"] == ["class=s6", "style=padding-top: 1pt"]
+
+
+def test_ext_diseases_style_class_merge():
+    """<head><style> CSS class blocks merge into the style html_attr
+    (test_parser.py:637-680; reference parser.py:522-561)."""
+    doc = _parse("ext_diseases", subdir="html_extended", sentencizer="punct")
+    sents = doc["sentences"]
+    assert set(sents[6]["html_attrs"]) == {
+        "class=col-header",
+        "hobbies=work:hard;play:harder",
+        "type=phenotype",
+        "style=background: #f1f1f1; color: aquamarine; font-size: 18px;",
+    }
+    assert set(sents[9]["html_attrs"]) == {
+        "class=row-header",
+        "style=background: #f1f1f1;",
+    }
+    assert set(sents[11]["html_attrs"]) == {"class=cell", "style=text-align: center;"}
+    assert len(sents) == 37
+
+
+def test_radiology_multi_sections():
+    """Multi-<section> document: counts + section/paragraph name attributes
+    (test_parser.py:702-727)."""
+    doc = _parse("radiology", subdir="pure_html", sentencizer="punct")
+    assert len(doc["sections"]) == 5
+    assert len(doc["paragraphs"]) == 30
+    assert len(doc["sentences"]) == 35
+    assert len(doc["figures"]) == 2
+    assert doc["sections"][0]["name"] is None
+    assert doc["sections"][1]["name"] == "label"
+    assert doc["sections"][2]["name"] == "content"
+    assert doc["sections"][3]["name"] == "image"
+    content = [p for p in doc["paragraphs"] if p["section_position"] == 2]
+    assert [p["name"] for p in content[:4]] == [
+        "COMPARISON",
+        "INDICATION",
+        "FINDINGS",
+        "IMPRESSION",
+    ]
