@@ -53,7 +53,9 @@ def _tokenize_ws(text: str) -> tuple[list[str], list[int]]:
 
 
 _PUNCT_TOKEN = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
-_SENT_BOUNDARY = re.compile(r"[.!?]+(?:\s+|$)")
+# terminal punctuation optionally followed by closing quotes/brackets —
+# spaCy's sentencizer keeps the closer with the sentence and splits after it
+_SENT_BOUNDARY = re.compile(r"[.!?]+[\"'”’)\]]*(?:\s+|$)")
 
 
 class PunctSentencizer:

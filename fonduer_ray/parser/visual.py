@@ -37,14 +37,17 @@ def _attr_map(html_attrs: list[str]) -> dict[str, str]:
 
 
 def attach_word_bboxes(doc: dict) -> dict:
-    """Align hOCR tokens with sentence words; fills the VisualMixin arrays.
+    """Align hOCR tokens with sentence words; fills the VisualMixin arrays
+    (reference ``hocr_visual_parser.py:15-153``, which uses spacy.gold.align
+    with one-to-many fallbacks).
 
-    Alignment: sentences produced from one hOCR line share its xpath; the
-    sentence's words are matched as a contiguous subsequence of the line's
-    token list, scanning left to right (hOCR tokens and our whitespace
-    tokenization agree because ``hocr_to_html`` writes the line text as the
-    space-joined tokens)."""
-    consumed: dict[str, int] = {}
+    Char-cursor alignment: sentences produced from one hOCR line share its
+    xpath; the line text is the space-joined hOCR token list, so every
+    sentence word is consumed from the token stream character by character —
+    several words inside one token ("bold," -> "bold" + ",") share that
+    token's bbox; a word spanning several tokens gets the min/max merge of
+    their boxes."""
+    consumed: dict[str, tuple[int, int]] = {}
     for s in doc["sentences"]:
         attrs = _attr_map(s.get("html_attrs") or [])
         if "tokens" not in attrs or not attrs.get("left"):
@@ -54,26 +57,54 @@ def attach_word_bboxes(doc: dict) -> dict:
         tops = [int(x) for x in attrs["top"].split(" ")]
         rights = [int(x) for x in attrs["right"].split(" ")]
         bottoms = [int(x) for x in attrs["bottom"].split(" ")]
-        page = int(attrs.get("ppageno", "0"))
-        start = consumed.get(s["xpath"], 0)
+        # 1-based pages (reference hocr_visual_parser.py:144)
+        page = int(attrs.get("ppageno", "0")) + 1
+        tok_idx, off = consumed.get(s["xpath"], (0, 0))
         n = len(s["words"])
-        # scan for the word subsequence (periods removed by the sentencizer
-        # may shorten words; match by prefix)
-        idx = start
         pages, l, t, r, b = [], [], [], [], []
+        ok = True
         for w in s["words"]:
-            while idx < len(tokens) and not tokens[idx].startswith(w[:1]):
-                idx += 1
-            if idx >= len(tokens):
+            # find the token whose remaining text starts this word
+            while tok_idx < len(tokens) and off >= len(tokens[tok_idx]):
+                tok_idx += 1
+                off = 0
+            if tok_idx >= len(tokens):
+                ok = False
                 break
-            pages.append(page)
-            l.append(lefts[idx])
-            t.append(tops[idx])
-            r.append(rights[idx])
-            b.append(bottoms[idx])
-            idx += 1
-        consumed[s["xpath"]] = idx
-        if len(pages) == n:
+            rem = tokens[tok_idx][off:]
+            if rem.startswith(w):
+                # word fully inside current token
+                pages.append(page)
+                l.append(lefts[tok_idx])
+                t.append(tops[tok_idx])
+                r.append(rights[tok_idx])
+                b.append(bottoms[tok_idx])
+                off += len(w)
+            elif w.startswith(rem) and rem:
+                # word spans token boundary: merge boxes min/max
+                need = len(w)
+                ml, mt, mr, mb = lefts[tok_idx], tops[tok_idx], rights[tok_idx], bottoms[tok_idx]
+                need -= len(rem)
+                j = tok_idx + 1
+                while need > 0 and j < len(tokens):
+                    ml = min(ml, lefts[j])
+                    mt = min(mt, tops[j])
+                    mr = max(mr, rights[j])
+                    mb = max(mb, bottoms[j])
+                    need -= len(tokens[j])
+                    j += 1
+                pages.append(page)
+                l.append(ml)
+                t.append(mt)
+                r.append(mr)
+                b.append(mb)
+                tok_idx = j - 1
+                off = len(tokens[tok_idx]) + need  # position inside last token
+            else:
+                ok = False
+                break
+        consumed[s["xpath"]] = (tok_idx, off)
+        if ok and len(pages) == n:
             s["page"], s["left"], s["top"], s["right"], s["bottom"] = pages, l, t, r, b
         # strip bbox attrs either way (reference strips them after linking)
         s["html_attrs"] = [

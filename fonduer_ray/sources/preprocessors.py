@@ -67,14 +67,50 @@ def pages_from_text(
     return ds.map_batches(wrap, batch_format="pyarrow")
 
 
-def pages_from_tsv(path: str, lang: str = "en") -> "ray.data.Dataset":
-    """``name\\ttext`` lines -> pages (one doc per line)."""
+def pages_from_text_files(path: str, lang: str = "en") -> "ray.data.Dataset":
+    """One plain-text FILE -> one page (reference ``TextDocPreprocessor``,
+    ``text_doc_preprocessor.py:11-26``): the whole file body becomes a single
+    ``<p>`` inside ``<html><body>``; doc name = basename sans extension."""
+    import os
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def wrap(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for p, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            base = os.path.basename(p)
+            name = base[: base.rfind(".")] if "." in base else base
+            urls.append(name)
+            text = data.decode("utf-8", errors="replace")
+            htmls.append(
+                ("<html><body>" + build_node("paragraph", "", text) + "</body></html>").encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array([lang] * len(urls), pa.string()),
+            }
+        )
+
+    return ds.map_batches(wrap, batch_format="pyarrow")
+
+
+def pages_from_tsv(
+    path: str, lang: str = "en", header: bool = False
+) -> "ray.data.Dataset":
+    """``name\\ttext`` lines -> pages (one doc per line); ``header=True``
+    drops the file's first line (reference ``tsv_doc_preprocessor.py:11-65``)."""
     ds = ray.data.read_text(path)
+    first_line = None
+    if header:
+        with open(path) as f:
+            first_line = f.readline().rstrip("\n")
 
     def parse(t: pa.Table) -> pa.Table:
         urls, htmls = [], []
         for line in t["text"].to_pylist():
-            if not line or "\t" not in line:
+            if not line or "\t" not in line or (header and line == first_line):
                 continue
             name, text = line.split("\t", 1)
             urls.append(name)
@@ -94,18 +130,27 @@ def pages_from_tsv(path: str, lang: str = "en") -> "ray.data.Dataset":
 
 def pages_from_csv(
     path: str,
-    name_col: str,
+    name_col: str | None = None,
     parser_rules: dict[str, Callable[[str], str]] | None = None,
     lang: str = "en",
+    keep_name_col: bool = False,
 ) -> "ray.data.Dataset":
-    """CSV rows -> pages; every other column becomes a ``<section>`` whose
+    """CSV rows -> pages; every non-name column becomes a ``<section>`` whose
     content may be rewritten by a per-column rule (the reference's
-    ``parser_rule`` hook, ``csv_doc_preprocessor.py:45-80``)."""
+    ``parser_rule`` hook, ``csv_doc_preprocessor.py:45-80``).
+
+    ``name_col=None`` mirrors the reference exactly: ALL columns become
+    sections and the doc name is the row's first column value;
+    ``keep_name_col=True`` keeps an explicit name column as a section too."""
     ds = ray.data.read_csv(path)
     rules = parser_rules or {}
 
     def to_pages(t: pa.Table) -> pa.Table:
-        cols = [c for c in t.column_names if c != name_col]
+        if name_col is None or keep_name_col:
+            cols = list(t.column_names)
+        else:
+            cols = [c for c in t.column_names if c != name_col]
+        nm = name_col if name_col is not None else t.column_names[0]
         urls, htmls = [], []
         for row in t.to_pylist():
             sections = []
@@ -114,7 +159,7 @@ def pages_from_csv(
                 rule = rules.get(c)
                 body = rule(v) if rule else build_node("paragraph", c, v)
                 sections.append(build_node("section", c, body))
-            urls.append(str(row[name_col]))
+            urls.append(str(row[nm]))
             htmls.append(("<html><body>" + "".join(sections) + "</body></html>").encode())
         return pa.table(
             {

@@ -205,3 +205,52 @@ def test_radiology_multi_sections():
         "FINDINGS",
         "IMPRESSION",
     ]
+
+
+def test_various_format_preprocessors(ray_session):
+    """Text/TSV/CSV preprocessor parity on the reference's various_format
+    fixtures (test_parser.py:730-788): golden doc/section/paragraph/sentence
+    counts and the TSV doc name."""
+    from fonduer_ray.sources import preprocessors as P
+
+    vf = f"{DATA}/various_format"
+
+    rows = P.pages_from_text_files(f"{vf}/text_format.txt").take_all()
+    assert len(rows) == 1 and rows[0]["url"] == "text_format"
+    d = parse_document(rows[0]["url"], rows[0]["html"], ParserConfig(sentencizer="punct"))
+    assert (len(d["sections"]), len(d["paragraphs"]), len(d["sentences"])) == (1, 1, 57)
+
+    rows = P.pages_from_tsv(f"{vf}/tsv_format.tsv", header=True).take_all()
+    assert len(rows) == 2
+    assert rows[0]["url"] == "9b28e780-ba48-4a53-8682-7c58c141a1b6"
+    d = parse_document(rows[0]["url"], rows[0]["html"], ParserConfig(sentencizer="punct"))
+    assert (len(d["sections"]), len(d["paragraphs"]), len(d["sentences"])) == (1, 1, 33)
+
+    rows = P.pages_from_csv(f"{vf}/csv_format.csv").take_all()
+    assert len(rows) == 10
+    d = parse_document(rows[0]["url"], rows[0]["html"], ParserConfig(sentencizer="punct"))
+    assert (len(d["sections"]), len(d["paragraphs"]), len(d["sentences"])) == (12, 10, 17)
+
+
+def test_hocr_visual_parity():
+    """hOCR preprocessor + visual alignment on the reference's hOCR fixtures
+    (test_parser.py:906-931): the golden left-coordinate array (with its
+    one-hOCR-token-to-many-words shared bbox) and the double-space collapse."""
+    from fonduer_ray.parser.visual import attach_word_bboxes
+    from fonduer_ray.sources.preprocessors import hocr_to_html
+
+    hocr = open(f"{DATA}/hocr_simple/md.hocr").read()
+    d = parse_document("md", hocr_to_html(hocr), ParserConfig(sentencizer="punct"))
+    d = attach_word_bboxes(d)
+    # every sentence aligned
+    assert all(len(s["left"]) == len(s["words"]) for s in d["sentences"])
+    assert all(p == 1 for s in d["sentences"] for p in s["page"])
+    # the reference's golden array for its sentence 12 ("A link to somewhere.")
+    # — note 418 repeated: "somewhere" and "." share one hOCR token's bbox
+    golden = [s for s in d["sentences"] if s["left"] == [372, 384, 405, 418, 418]]
+    assert golden and golden[0]["words"] == ["A", "link", "to", "somewhere", "."]
+
+    hocr121 = open(f"{DATA}/hocr_simple/121.hocr").read()
+    d2 = parse_document("121", hocr_to_html(hocr121), ParserConfig(sentencizer="punct"))
+    # double spaces collapse to single (test_parser.py:926-931)
+    assert d2["sentences"][0]["words"][:3] == ["This", "Consumer", "Credit"]

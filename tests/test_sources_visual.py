@@ -72,7 +72,7 @@ def test_hocr_visual_path():
     attach_word_bboxes(doc)
     s0 = doc["sentences"][0]
     assert s0["words"] == ["Alpha", "beta"]
-    assert s0["page"] == [2, 2]
+    assert s0["page"] == [3, 3]  # ppageno 2 -> 1-based page 3
     assert s0["left"] == [10, 70]
     assert s0["bottom"] == [40, 40]
     # bbox attrs stripped after linking
@@ -89,9 +89,9 @@ def test_visual_bbox_predicates():
     s0, s1 = doc["sentences"][0], doc["sentences"][1]
     a = Span(s0, 0, 4)  # Alpha
     g = Span(s1, 0, 4)  # Gamma
-    assert bbox_from_sentence(s0) == (2, 20, 10, 40, 120)
+    assert bbox_from_sentence(s0) == (3, 20, 10, 40, 120)
     assert same_page((a, g))
-    assert get_page(a) == 2
+    assert get_page(a) == 3
     assert not is_horz_aligned((a, g))
     assert is_vert_aligned((a, g))
 
