@@ -15,6 +15,25 @@ from typing import Any
 SUBJ_IN = "('spark','hash','merge','sort')"
 OBJ_IN = "('window','batch','stream','join')"
 
+#: shared by triples_kg (direct pipeline) and triples_kg_spec (declarative
+#: pipeline spec) — identical semantics, identical oracle
+_ORACLE_TRIPLES = f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            )
+            SELECT a.w AS subj, 'cooccurs' AS pred, b.w AS obj, count(*) AS support
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+             AND abs(a.i - b.i) <= 3
+             AND a.w IN {SUBJ_IN}
+             AND b.w IN {OBJ_IN}
+            GROUP BY a.w, b.w
+        """
+
 
 def entry() -> Any:
     """Flagship: full KG construction (parse -> mentions -> candidates ->
@@ -101,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_counts": docops.mention_counts,
         "candidate_counts": docops.candidate_counts,
         "triples_kg": docops.triples,
+        "triples_kg_spec": docops.triples_via_spec,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -183,22 +203,8 @@ def oracle_sql() -> dict[str, str]:
              AND b.w IN {OBJ_IN}
             GROUP BY a.doc_id
         """,
-        "triples_kg": f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(string_split(text,' ')) AS w,
-                     generate_subscripts(string_split(text,' '),1) AS i
-              FROM documents
-            )
-            SELECT a.w AS subj, 'cooccurs' AS pred, b.w AS obj, count(*) AS support
-            FROM toks a JOIN toks b
-              ON a.doc_id = b.doc_id
-             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
-             AND abs(a.i - b.i) <= 3
-             AND a.w IN {SUBJ_IN}
-             AND b.w IN {OBJ_IN}
-            GROUP BY a.w, b.w
-        """,
+        "triples_kg": _ORACLE_TRIPLES,
+        "triples_kg_spec": _ORACLE_TRIPLES,
         "lf_label_counts": f"""
             WITH toks AS (
               SELECT doc_id,

@@ -69,17 +69,29 @@ class DictionaryMatch(Matcher):
     def init(self) -> None:
         self.ignore_case = bool(self.opts.get("ignore_case", True))
         self.inverse = bool(self.opts.get("inverse", False))
-        self.stemmer: Callable[[str], str] | None = self.opts.get("stemmer")
-        d = self.opts.get("d", ())
-        self.d = frozenset(self._norm(w) for w in d)
+        self.stemmer = self.opts.get("stemmer")
+        if "d" not in self.opts:
+            raise ValueError("Please supply a dictionary (list of strings) d=d")
+        self.d = frozenset(self._norm(w) for w in self.opts["d"])
+
+    def _stem(self, w: str) -> str:
+        """Stem, tolerating stemmers that blow up on unicode (reference
+        ``matchers.py:108-118``: UnicodeDecodeError -> return w as-is)."""
+        try:
+            fn = getattr(self.stemmer, "stem", self.stemmer)
+            return fn(w)
+        except UnicodeDecodeError:
+            return w
 
     def _norm(self, w: str) -> str:
         w = w.lower() if self.ignore_case else w
         if self.stemmer is not None:
-            w = self.stemmer(w)
+            w = self._stem(w)
         return w
 
     def _f(self, span: Span) -> bool:
+        if not hasattr(span, "get_span"):
+            raise ValueError(f"{type(self).__name__} only supports span mentions")
         return self.inverse != (self._norm(span.get_span()) in self.d)
 
 
@@ -95,6 +107,8 @@ class LambdaFunctionMatcher(Matcher):
         self.func: Callable[[Span], bool] = self.opts["func"]
 
     def _f(self, span: Span) -> bool:
+        if not hasattr(span, "get_span"):
+            raise ValueError(f"{type(self).__name__} only supports span mentions")
         return bool(self.func(span))
 
 
@@ -142,6 +156,8 @@ class Concat(Matcher):
     def f(self, span: Span) -> bool:
         if len(self.children) != 2:
             raise ValueError("Concat takes two child matchers")
+        if not hasattr(span, "get_num_words"):
+            raise ValueError(f"{type(self).__name__} only supports span mentions")
         L, R = self.children
         if not self.left_required and R.f(span):
             return True
@@ -171,18 +187,31 @@ class RegexMatch(Matcher):
     allowed_opts = ("rgx", "search", "full_match", "ignore_case", "sep", "attrib")
 
     def init(self) -> None:
-        self.sep = self.opts.get("sep", " ")
+        #: reference default sep="" (matchers.py:297); for attrib="words" the
+        #: sep is REMOVED from the raw span text rather than used as a joiner
+        #: (span_mention.py:142-160) — e.g. sep=" " turns "is apple" into
+        #: "isapple"
+        self.sep = self.opts.get("sep", "")
         self.attrib = self.opts.get("attrib", WORDS)
+        if "rgx" not in self.opts:
+            raise ValueError("Please supply a regular expression string as rgx=r")
         rgx = self.opts["rgx"]
         self.search = bool(self.opts.get("search", False))
-        if bool(self.opts.get("full_match", True)) and not rgx.endswith("$") and not self.search:
-            rgx = rgx + r"$"
+        # grouped $-wrap so alternations anchor as a whole: (a|b)$ not a|b$
+        # (reference matchers.py:306-314)
+        if bool(self.opts.get("full_match", True)) and not rgx.endswith("$"):
+            rgx = "(" + rgx + ")$"
         flags = re.UNICODE | (re.IGNORECASE if self.opts.get("ignore_case", True) else 0)
         self.rgx = re.compile(rgx, flags)
 
     def _get_attrib_span(self, span: Span) -> str:
+        if not hasattr(span, "get_span"):
+            raise ValueError(
+                f"{type(self).__name__} only supports span mentions"
+            )
         if self.attrib == WORDS:
-            return span.get_span()
+            text = span.get_span()
+            return text.replace(self.sep, "") if self.sep else text
         return span.get_attrib_span(self.attrib, sep=self.sep)
 
 
@@ -212,6 +241,8 @@ class RegexMatchEach(RegexMatch):
     reference ``matchers.py:364-390``)."""
 
     def _f(self, span: Span) -> bool:
+        if not hasattr(span, "get_attrib_tokens"):
+            raise ValueError(f"{type(self).__name__} only supports span mentions")
         toks = span.get_attrib_tokens(self.attrib)
         return bool(toks) and all(self.rgx.match(str(t)) for t in toks)
 

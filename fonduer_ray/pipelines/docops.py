@@ -270,6 +270,44 @@ def entity_support_counts(sf_dir: str) -> "ray.data.Dataset":
     return entity_support(linked, n_salts=KGConfig().n_salts)
 
 
+def triples_via_spec(sf_dir: str) -> "ray.data.Dataset":
+    """Same KG construction as ``triples`` but driven entirely through the
+    declarative pipeline spec (``pipelines/spec.py``) — proves the config
+    surface produces identical results (shares the ``triples_kg`` oracle)."""
+    from ray.data.aggregate import Count as _Count
+
+    from fonduer_ray.pipelines import spec as S
+
+    S.THROTTLERS.setdefault("docops_same_sentence_window", _throttler)
+    S.LFS.setdefault("docops_lf_cooccur", _lf_cooccur)
+    pipeline_spec = {
+        "mentions": [
+            {
+                "name": "subj",
+                "space": {"type": "ngrams", "n_min": 1, "n_max": 1},
+                "matcher": {"type": "dictionary", "d": list(SUBJ_DICT)},
+            },
+            {
+                "name": "obj",
+                "space": {"type": "ngrams", "n_min": 1, "n_max": 1},
+                "matcher": {"type": "dictionary", "d": list(OBJ_DICT)},
+            },
+        ],
+        "relations": [
+            {
+                "name": "cooccur",
+                "args": ["subj", "obj"],
+                "throttler": "docops_same_sentence_window",
+            }
+        ],
+        "lfs": ["docops_lf_cooccur"],
+        "pred_names": {"cooccur": PRED},
+        "threshold": 0.6,
+    }
+    out = S.run_spec(htmlize(sf_dir), pipeline_spec)
+    return out.select_columns(["subj", "pred", "obj", "support"])
+
+
 def feature_keys(sf_dir: str) -> pa.Table:
     """Global sorted feature-key vocabulary over all candidates (the
     engine's FeatureKey analog; deterministic order)."""

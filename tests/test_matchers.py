@@ -40,10 +40,12 @@ def test_regex_match_span_full_vs_search():
     assert apply_texts(RegexMatchSpan(rgx=r"[a-z]+\d+"), spans) == ["ab12"]
     # full_match auto-anchors: bare prefix regex must cover whole span
     assert apply_texts(RegexMatchSpan(rgx=r"[a-z]+"), spans) == ["xyz"]
-    assert apply_texts(RegexMatchSpan(rgx=r"[a-z]+", search=True), spans) == [
-        "ab12",
-        "xyz",
-    ]
+    # search=True still honors the grouped $-wrap (reference
+    # matchers.py:306-314); un-anchored search needs full_match=False
+    assert apply_texts(RegexMatchSpan(rgx=r"[a-z]+", search=True), spans) == ["xyz"]
+    assert apply_texts(
+        RegexMatchSpan(rgx=r"[a-z]+", search=True, full_match=False), spans
+    ) == ["ab12", "xyz"]
 
 
 def test_longest_match_only_suppression():
