@@ -43,8 +43,14 @@ class Ngrams(MentionSpace):
     def __init__(self, n_min: int = 1, n_max: int = 5, split_tokens: list[str] | None = None):
         self.n_min = n_min
         self.n_max = n_max
+        # longest token first in the alternation (reference mentions.py:67-72:
+        # escaped, reverse-sorted)
         self.split_rgx = (
-            re.compile(r"(" + r"|".join(split_tokens) + r")")
+            re.compile(
+                r"("
+                + r"|".join(map(re.escape, sorted(split_tokens, reverse=True)))
+                + r")"
+            )
             if split_tokens
             else None
         )
@@ -63,23 +69,30 @@ class Ngrams(MentionSpace):
                 if key not in seen:
                     seen.add(key)
                     yield Span(sentence, cs, ce)
-                # split matching unigrams into their parts
-                if n == 1 and self.split_rgx is not None:
+                # split unigrams at split tokens: yield EVERY contiguous
+                # (part-start, part-end) combination — "A-B/C-D" also yields
+                # "A-B/C", "B/C-D", "B/C" etc. (reference mentions.py:100-126;
+                # offsets made sentence-relative, which the reference omits)
+                if (
+                    n == 1
+                    and self.n_min <= 1 <= self.n_max
+                    and self.split_rgx is not None
+                    and ce - cs > 0
+                ):
                     word = words[i]
-                    m = self.split_rgx.search(word)
-                    if m and len(word) > self.n_max:
-                        start_lo = cs
-                        parts = [p for p in self.split_rgx.split(word) if p]
-                        pos = 0
-                        for part in parts:
-                            idx = word.find(part, pos)
-                            pos = idx + len(part)
-                            if self.split_rgx.fullmatch(part):
-                                continue
-                            k2 = (start_lo + idx, start_lo + idx + len(part) - 1)
-                            if k2 not in seen:
-                                seen.add(k2)
-                                yield Span(sentence, k2[0], k2[1])
+                    start_idxs = [0]
+                    end_idxs = []
+                    for m in self.split_rgx.finditer(word):
+                        start_idxs.append(m.end())
+                        end_idxs.append(m.start())
+                    end_idxs.append(len(word))
+                    for si in start_idxs:
+                        for ei in end_idxs:
+                            if si < ei:
+                                k2 = (cs + si, cs + ei - 1)
+                                if k2 not in seen:
+                                    seen.add(k2)
+                                    yield Span(sentence, k2[0], k2[1])
 
 
 class MentionNgrams(Ngrams):

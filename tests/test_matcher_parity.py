@@ -160,3 +160,77 @@ def test_regex_match_parity():
     assert list(RegexMatchEach(rgx=r"Apple", ignore_case=False).apply(spans(doc))) == []
     # sep is REMOVED from the raw span text for attrib="words"
     assert texts(RegexMatchSpan(rgx=r"isapple", sep=" "), doc) == {"is apple"}
+
+
+def _one_word_sentence(word: str) -> dict:
+    return {
+        "doc_name": "d",
+        "position": 0,
+        "text": word,
+        "words": [word],
+        "char_offsets": [0],
+        "abs_char_offsets": [0],
+    }
+
+
+def test_ngram_split_parity():
+    """Reference test_candidates.py:67-189: split unigrams yield every
+    contiguous combination around split tokens."""
+    from fonduer_ray.core.ngrams import Ngrams
+
+    ngrams = Ngrams(split_tokens=["-", "/"])
+
+    def spans_of(word):
+        return [sp.get_span() for sp in ngrams.apply_sentence(_one_word_sentence(word))]
+
+    r = spans_of("New-Text")
+    assert r == ["New-Text", "New", "Text"]
+    assert spans_of("New-") == ["New-", "New"]
+    assert spans_of("-Text") == ["-Text", "Text"]
+    r = spans_of("New/Text-Word")
+    assert len(r) == 6
+    assert set(r) == {"New/Text-Word", "New", "New/Text", "Text", "Text-Word", "Word"}
+    r = spans_of("A-B/C-D")
+    assert len(r) == 10
+    assert set(r) == {
+        "A-B/C-D", "A-B/C", "B/C-D", "A-B", "C-D", "B/C", "A", "B", "C", "D",
+    }
+
+    ngrams = Ngrams(split_tokens=["~", "~~"])
+    r = [sp.get_span() for sp in ngrams.apply_sentence(_one_word_sentence("a~b~~c~d"))]
+    assert len(r) == 10
+    assert set(r) == {
+        "a~b~~c~d", "a", "a~b", "a~b~~c", "b", "b~~c", "b~~c~d", "c", "c~d", "d",
+    }
+
+    ngrams = Ngrams(split_tokens=["~a", "a~"])
+    r = [sp.get_span() for sp in ngrams.apply_sentence(_one_word_sentence("~a~b~~c~d"))]
+    assert len(r) == 2
+    assert set(r) == {"~a~b~~c~d", "~b~~c~d"}
+
+    ngrams = Ngrams(split_tokens=["-", "/", "*"])
+    r = [sp.get_span() for sp in ngrams.apply_sentence(_one_word_sentence("A-B/C*D"))]
+    assert len(r) == 10
+    assert set(r) == {
+        "A-B/C*D", "A", "A-B", "A-B/C", "B", "B/C", "B/C*D", "C", "C*D", "D",
+    }
+
+
+def test_ngram_split_offsets_sentence_relative():
+    """Split spans carry correct sentence-relative char offsets even when the
+    split word is NOT the first token (we fix the reference's word-relative
+    offset quirk, mentions.py:113-121)."""
+    from fonduer_ray.core.ngrams import Ngrams
+
+    sent = {
+        "doc_name": "d",
+        "position": 0,
+        "text": "part BC546-16 works",
+        "words": ["part", "BC546-16", "works"],
+        "char_offsets": [0, 5, 14],
+        "abs_char_offsets": [0, 5, 14],
+    }
+    spans = list(Ngrams(1, 1, split_tokens=["-"]).apply_sentence(sent))
+    by_text = {sp.get_span(): (sp.char_start, sp.char_end) for sp in spans}
+    assert by_text["BC546"] == (5, 9)
+    assert by_text["16"] == (11, 12)
