@@ -37,7 +37,9 @@ class RelationSpec:
     throttler: Throttler | None = None
     self_relations: bool = False
     nested_relations: bool = False
-    symmetric_relations: bool = False
+    #: reference default True (candidates.py:43); False prunes by MENTION
+    #: LIST INDEX ordering (candidates.py:304), not by span order
+    symmetric_relations: bool = True
     nullables: tuple[bool, ...] = field(default=())
 
     def __post_init__(self):
@@ -72,9 +74,8 @@ class CandidateStage:
                 if nullable:
                     lst.append(None)
                 arg_lists.append(lst)
-            for combo in itertools.product(*arg_lists):
-                if all(m is None for m in combo):
-                    continue
+            for idx_combo in itertools.product(*(list(enumerate(lst)) for lst in arg_lists)):
+                combo = tuple(m for _, m in idx_combo)
                 # sentence_position -1 = non-span mention (e.g. figure):
                 # no carrier sentence, so no Span reconstruction
                 spans = tuple(
@@ -83,20 +84,24 @@ class CandidateStage:
                     else None
                     for m in combo
                 )
-                if (
-                    len(combo) == 2
-                    and spans[0] is not None
-                    and spans[1] is not None
-                ):
+                if len(combo) == 2:
                     a, b = spans
+                    # None == None skips the all-None pair too
+                    # (reference candidates.py:296-306)
                     if not rel.self_relations and a == b:
                         continue
-                    if not rel.nested_relations and (a in b or b in a):
+                    if (
+                        not rel.nested_relations
+                        and a is not None
+                        and b is not None
+                        and (a in b or b in a)
+                    ):
                         continue
-                    if not rel.symmetric_relations and rel.arg_types[0] == rel.arg_types[1]:
-                        # keep only the ordered pair of identically-typed args
-                        if _span_order_key(a) > _span_order_key(b):
-                            continue
+                    if (
+                        not rel.symmetric_relations
+                        and idx_combo[0][0] > idx_combo[1][0]
+                    ):
+                        continue
                 if rel.throttler is not None and not rel.throttler(spans):
                     continue
                 sid = candidate_stable_id(

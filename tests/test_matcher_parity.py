@@ -16,6 +16,8 @@ from fonduer_ray.core.matchers import (
 )
 from fonduer_ray.core.ngrams import MentionNgrams
 
+DATA = "/root/reference/tests/data"
+
 
 def make_doc(text: str = "This is apple") -> dict:
     words, offsets = [], []
@@ -234,3 +236,69 @@ def test_ngram_split_offsets_sentence_relative():
     by_text = {sp.get_span(): (sp.char_start, sp.char_end) for sp in spans}
     assert by_text["BC546"] == (5, 9)
     assert by_text["16"] == (11, 12)
+
+
+def test_span_char_start_end_parity():
+    """Reference test_candidates.py:192-206."""
+    from fonduer_ray.core.ngrams import Ngrams
+
+    result = list(Ngrams().apply_sentence(_one_word_sentence("BC548BG")))
+    assert len(result) == 1
+    assert result[0].get_span() == "BC548BG"
+    assert (result[0].char_start, result[0].char_end) == (0, 6)
+
+
+def test_mention_longest_match_lincoln():
+    """Longest-match filtering on the reference's lincoln_short fixture
+    (test_candidates.py:395-450). The reference counts 23/4 under spaCy
+    tokenization; our punct tokenizer yields 29/5 (commas tokenize
+    separately), with identical SEMANTICS: "Sinking Spring Farm" always
+    present, its sub-span "Farm" suppressed iff longest_match_only."""
+    from fonduer_ray.core.matchers import LambdaFunctionMatcher
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.functions import dmu
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+    html = open(f"{DATA}/pure_html/lincoln_short.html", "rb").read().decode()
+    doc = parse_document("lincoln_short", html, ParserConfig(sentencizer="punct"))
+
+    def is_birthplace_table_row(span):
+        if span.sentence.get("table_position") is None:
+            return False
+        return "birth_place" in set(dmu.get_row_ngrams(span, doc, lower=True))
+
+    space = MentionNgrams(1, 4)
+    loose = [
+        sp.get_span()
+        for sp in LambdaFunctionMatcher(
+            func=is_birthplace_table_row, longest_match_only=False
+        ).apply(space.apply(doc))
+    ]
+    assert "Sinking Spring Farm" in loose and "Farm" in loose
+    assert len(loose) == 29
+    strict = [
+        sp.get_span()
+        for sp in LambdaFunctionMatcher(
+            func=is_birthplace_table_row, longest_match_only=True
+        ).apply(space.apply(doc))
+    ]
+    assert "Sinking Spring Farm" in strict and "Farm" not in strict
+    assert len(strict) == 5
+
+
+def test_candidate_with_nullable_mentions_parity():
+    """Reference test_candidates.py:547-576: a nullable unary relation emits
+    one candidate per mention plus one with the NULL argument."""
+    from fonduer_ray.core.matchers import RegexMatchSpan
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.stages.candidate_stage import CandidateStage, RelationSpec
+    from fonduer_ray.stages.mention_stage import MentionSpec, MentionStage
+
+    doc = make_doc("t1 is 100 and t2 is 150")
+    specs = [MentionSpec("temp", MentionNgrams(1, 1), RegexMatchSpan(rgx=r"\d{3}"))]
+    doc["mentions"] = MentionStage(specs).extract_doc(doc)
+    assert len(doc["mentions"]) == 2
+    rel = RelationSpec("cand_temp", ("temp",), nullables=(True,))
+    cands = CandidateStage([rel]).extract_doc(doc)
+    assert len(cands) == len(doc["mentions"]) + 1
+    assert "" in [c["arg_stable_ids"][0] for c in cands]
