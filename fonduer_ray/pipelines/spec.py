@@ -142,7 +142,7 @@ def build_pipeline(
                 nullables=tuple(r.get("nullables", [False] * len(r["args"]))),
                 self_relations=r.get("self_relations", False),
                 nested_relations=r.get("nested_relations", False),
-                symmetric_relations=r.get("symmetric_relations", False),
+                symmetric_relations=r.get("symmetric_relations", True),
             )
         )
     lfs = []
