@@ -42,7 +42,7 @@ def same_sentence(spans) -> bool:
 
 
 def get_between_ngrams(
-    spans, attrib: str = "lemmas", n_min: int = 1, n_max: int = 1, lower: bool = True
+    spans, attrib: str = "words", n_min: int = 1, n_max: int = 1, lower: bool = True
 ) -> Iterator[str]:
     """Tokens strictly between a binary candidate's two spans (same
     sentence only; reference ``textual.py:40-74``)."""
@@ -56,7 +56,7 @@ def get_between_ngrams(
 
 
 def get_left_ngrams(
-    span: Span, window: int = 3, attrib: str = "lemmas", n_min: int = 1, n_max: int = 1,
+    span: Span, window: int = 3, attrib: str = "words", n_min: int = 1, n_max: int = 1,
     lower: bool = True,
 ) -> Iterator[str]:
     ws = span.get_word_start_index()
@@ -65,7 +65,7 @@ def get_left_ngrams(
 
 
 def get_right_ngrams(
-    span: Span, window: int = 3, attrib: str = "lemmas", n_min: int = 1, n_max: int = 1,
+    span: Span, window: int = 3, attrib: str = "words", n_min: int = 1, n_max: int = 1,
     lower: bool = True,
 ) -> Iterator[str]:
     we = span.get_word_end_index()
@@ -73,7 +73,7 @@ def get_right_ngrams(
     yield from tokens_to_ngrams(toks, n_min, n_max, lower=lower)
 
 
-def get_sentence_ngrams(span: Span, attrib: str = "lemmas", n_min: int = 1,
+def get_sentence_ngrams(span: Span, attrib: str = "words", n_min: int = 1,
                         n_max: int = 1, lower: bool = True) -> Iterator[str]:
     """All other tokens of the span's sentence (window 100 in the reference,
     i.e. effectively the whole sentence; ``textual.py:126-152``)."""
@@ -82,7 +82,7 @@ def get_sentence_ngrams(span: Span, attrib: str = "lemmas", n_min: int = 1,
 
 
 def get_neighbor_sentence_ngrams(
-    span: Span, doc: dict, d: int = 1, attrib: str = "lemmas",
+    span: Span, doc: dict, d: int = 1, attrib: str = "words",
     n_min: int = 1, n_max: int = 1, lower: bool = True,
 ) -> Iterator[str]:
     """Tokens of sentences within +/-d positions (``textual.py:155-197``)."""
@@ -163,14 +163,14 @@ def get_min_row_num(span: Span, doc: dict) -> int | None:
     return min(rows) if rows else None
 
 
-def get_cell_ngrams(span: Span, doc: dict, attrib: str = "lemmas",
+def get_cell_ngrams(span: Span, doc: dict, attrib: str = "words",
                     n_min: int = 1, n_max: int = 1, lower: bool = True) -> Iterator[str]:
     """Tokens of other sentences in the same cell + the span's own sentence
-    neighbors (``tabular.py:220-260``)."""
-    yield from get_sentence_ngrams(span, attrib, n_min, n_max, lower)
+    neighbors; nothing for non-tabular mentions (``tabular.py:220-260``)."""
     t = _tab(span)
     if t is None or t.get("cell_position") is None:
         return
+    yield from get_sentence_ngrams(span, attrib, n_min, n_max, lower)
     for s in doc["sentences"]:
         if (
             s.get("cell_position") == t["cell_position"]
@@ -200,16 +200,24 @@ def _aligned_sentences(span: Span, doc: dict, axis: str, spread=(0, 0)) -> list[
     return out
 
 
-def get_row_ngrams(span: Span, doc: dict, attrib: str = "lemmas", n_min: int = 1,
-                   n_max: int = 1, spread=(0, 0), lower: bool = True) -> Iterator[str]:
-    for s in _aligned_sentences(span, doc, "row", spread):
+def _axis_ngrams(span, doc, axis, attrib, n_min, n_max, spread, lower):
+    """Sentence ngrams first, then aligned cells; nothing for non-tabular
+    (reference ``_get_axis_ngrams``, tabular.py:509-533)."""
+    if _tab(span) is None:
+        return
+    yield from get_sentence_ngrams(span, attrib, n_min, n_max, lower)
+    for s in _aligned_sentences(span, doc, axis, spread):
         yield from tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower)
 
 
-def get_col_ngrams(span: Span, doc: dict, attrib: str = "lemmas", n_min: int = 1,
+def get_row_ngrams(span: Span, doc: dict, attrib: str = "words", n_min: int = 1,
                    n_max: int = 1, spread=(0, 0), lower: bool = True) -> Iterator[str]:
-    for s in _aligned_sentences(span, doc, "col", spread):
-        yield from tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower)
+    yield from _axis_ngrams(span, doc, "row", attrib, n_min, n_max, spread, lower)
+
+
+def get_col_ngrams(span: Span, doc: dict, attrib: str = "words", n_min: int = 1,
+                   n_max: int = 1, spread=(0, 0), lower: bool = True) -> Iterator[str]:
+    yield from _axis_ngrams(span, doc, "col", attrib, n_min, n_max, spread, lower)
 
 
 def get_aligned_ngrams(span: Span, doc: dict, **kw) -> Iterator[str]:
@@ -217,56 +225,72 @@ def get_aligned_ngrams(span: Span, doc: dict, **kw) -> Iterator[str]:
     yield from get_col_ngrams(span, doc, **kw)
 
 
-def get_head_ngrams(span: Span, doc: dict, axis: str = "col", attrib: str = "lemmas",
-                    n_min: int = 1, n_max: int = 1, lower: bool = True) -> Iterator[str]:
-    """Tokens of the topmost (col) / leftmost (row) cell on the span's axis
-    (``tabular.py:460-518``)."""
+def get_head_ngrams(span: Span, doc: dict, axis: str | None = None,
+                    attrib: str = "words", n_min: int = 1, n_max: int = 1,
+                    lower: bool = True) -> Iterator[str]:
+    """Tokens of the leftmost cell of the row and/or topmost cell of the
+    column (``tabular.py:437-483``): both axes when ``axis`` is None; yields
+    NOTHING at all if the mention itself sits at the head position of a
+    requested axis (the reference returns, aborting both axes)."""
     t = _tab(span)
     if t is None or t.get("row_start") is None:
         return
-    best: dict | None = None
-    for s in _aligned_sentences(span, doc, axis):
-        key = s["row_start"] if axis == "col" else s["col_start"]
-        if best is None or key < (best["row_start"] if axis == "col" else best["col_start"]):
-            best = s
-    if best is not None:
-        yield from tokens_to_ngrams(_attrib_tokens(best, attrib), n_min, n_max, lower=lower)
+    axes = (axis,) if axis else ("row", "col")
+    for ax in axes:
+        own = t["col_start"] if ax == "row" else t["row_start"]
+        if own == 0:
+            return
+        head = [
+            s
+            for s in _aligned_sentences(span, doc, ax)
+            if (s["col_start"] if ax == "row" else s["row_start"]) == 0
+        ]
+        for s in head:
+            yield from tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower)
 
 
 def get_neighbor_cell_ngrams(
     span: Span, doc: dict, dist: int = 1, directions: bool = False,
-    attrib: str = "lemmas", n_min: int = 1, n_max: int = 1, lower: bool = True,
+    attrib: str = "words", n_min: int = 1, n_max: int = 1, lower: bool = True,
 ) -> Iterator[str | tuple[str, str]]:
-    """Tokens of cells within ``dist`` grid steps on the same row/col;
-    with ``directions=True`` yields (ngram, UP/DOWN/LEFT/RIGHT) tuples
-    (``tabular.py:263-334``)."""
+    """Own-sentence tokens (undirected) then tokens of cells within ``dist``
+    grid steps along exactly one axis, row-aligned cells before col-aligned,
+    tagged UP/DOWN/LEFT/RIGHT when ``directions`` (``tabular.py:260-332``;
+    the reference re-runs the neighbor scan per own-sentence token — an
+    indentation quirk we do not reproduce)."""
     t = _tab(span)
     if t is None or t.get("row_start") is None:
         return
-    for s in doc["sentences"]:
-        if s.get("table_position") != t["table_position"] or s["position"] == t["position"]:
-            continue
-        if s.get("row_start") is None:
-            continue
-        row_d = 0 if _rows_overlap(t, s) else (
-            s["row_start"] - t["row_end"] if s["row_start"] > t["row_end"]
-            else s["row_end"] - t["row_start"]
-        )
-        col_d = 0 if _cols_overlap(t, s) else (
-            s["col_start"] - t["col_end"] if s["col_start"] > t["col_end"]
-            else s["col_end"] - t["col_start"]
-        )
-        if row_d == 0 and col_d == 0:
-            continue
-        if (row_d == 0) != (col_d == 0) and max(abs(row_d), abs(col_d)) <= dist:
-            direction = ""
+    yield from get_sentence_ngrams(span, attrib, n_min, n_max, lower)
+    seen_positions = set()
+    for ax in ("row", "col"):
+        for s in _aligned_sentences(span, doc, ax):
+            if s["position"] in seen_positions:
+                continue
+            row_d = 0 if _rows_overlap(t, s) else (
+                s["row_start"] - t["row_end"] if s["row_start"] > t["row_end"]
+                else s["row_end"] - t["row_start"]
+            )
+            col_d = 0 if _cols_overlap(t, s) else (
+                s["col_start"] - t["col_end"] if s["col_start"] > t["col_end"]
+                else s["col_end"] - t["col_start"]
+            )
+            if (row_d == 0) == (col_d == 0):
+                continue
+            if abs(row_d) + abs(col_d) > dist:
+                continue
+            seen_positions.add(s["position"])
             if directions:
                 if col_d == 0:
                     direction = "DOWN" if row_d > 0 else "UP"
                 else:
                     direction = "RIGHT" if col_d > 0 else "LEFT"
-            for g in tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower):
-                yield (g, direction) if directions else g
+                for g in tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower):
+                    yield (g, direction)
+            else:
+                for g in tokens_to_ngrams(_attrib_tokens(s, attrib), n_min, n_max, lower=lower):
+                    yield g
+
 
 
 # ---------------------------------------------------------------------------

@@ -302,3 +302,77 @@ def test_candidate_with_nullable_mentions_parity():
     cands = CandidateStage([rel]).extract_doc(doc)
     assert len(cands) == len(doc["mentions"]) + 1
     assert "" in [c["arg_stable_ids"][0] for c in cands]
+
+
+def test_tabular_dmu_parity_md():
+    """data_model_utils tabular helpers on md.html with the reference's own
+    golden values (tests/utils/data_model_utils/test_tabular.py:56-290);
+    mentions located by text rather than by spaCy token index."""
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.functions import dmu
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+    html = open(f"{DATA}/html_simple/md.html", "rb").read().decode()
+    doc = parse_document("md", html, ParserConfig(sentencizer="punct"))
+    mentions = list(MentionNgrams(1, 1).apply(doc))
+    by_text = {}
+    for m in mentions:
+        by_text.setdefault(m.get_span(), m)
+    joan, saag, paneer = by_text["Joan"], by_text["saag"], by_text["paneer"]
+    sally, vindaloo, name = by_text["Sally"], by_text["vindaloo"], by_text["Name"]
+    sample, markdown, this = by_text["Sample"], by_text["Markdown"], by_text["This"]
+    basic = by_text["basic"]
+
+    # same_row / same_col / aligned / same_cell (test_tabular.py:56-110)
+    assert dmu.same_row((joan, saag)) and not dmu.same_row((joan, sally))
+    assert not dmu.same_col((joan, saag)) and dmu.same_col((joan, sally))
+    assert dmu.is_tabular_aligned((joan, saag))
+    assert not dmu.is_tabular_aligned((joan, vindaloo))
+    assert not dmu.same_cell((joan, saag)) and dmu.same_cell((saag, paneer))
+    # same_sentence (test_tabular.py:112-124)
+    assert dmu.same_sentence((sample, markdown))
+    assert not dmu.same_sentence((sample, this))
+
+    # sentence ngrams around "basic" (test_tabular.py:157-182)
+    assert list(dmu.get_sentence_ngrams(basic)) == [
+        "this", "is", "some", ",", "sample", "markdown", ".",
+    ]
+    assert list(dmu.get_neighbor_sentence_ngrams(basic, doc)) == [
+        "sample", "markdown", "second", "heading",
+    ]
+
+    # cell / neighbor-cell ngrams (test_tabular.py:184-221)
+    assert list(dmu.get_cell_ngrams(saag, doc)) == ["paneer"]
+    assert list(dmu.get_cell_ngrams(sample, doc)) == []
+    assert list(dmu.get_neighbor_cell_ngrams(saag, doc)) == [
+        "paneer", "joan", "medium", "lunch", "order", "vindaloo",
+    ]
+    assert list(dmu.get_neighbor_cell_ngrams(saag, doc, directions=True)) == [
+        "paneer",
+        ("joan", "LEFT"),
+        ("medium", "RIGHT"),
+        ("lunch", "UP"),
+        ("order", "UP"),
+        ("vindaloo", "DOWN"),
+    ]
+
+    # row / col / aligned ngrams (test_tabular.py:223-268)
+    assert list(dmu.get_row_ngrams(saag, doc)) == ["paneer", "joan", "medium", "$", "11"]
+    assert list(dmu.get_row_ngrams(sample, doc)) == []
+    assert list(dmu.get_col_ngrams(saag, doc)) == [
+        "paneer", "lunch", "order", "vindaloo", "lamb", "madras",
+    ]
+    assert list(dmu.get_aligned_ngrams(saag, doc)) == [
+        "paneer", "joan", "medium", "$", "11",
+        "paneer", "lunch", "order", "vindaloo", "lamb", "madras",
+    ]
+
+    # head ngrams (test_tabular.py:270-290)
+    assert list(dmu.get_head_ngrams(saag, doc)) == ["joan", "lunch", "order"]
+    assert list(dmu.get_head_ngrams(joan, doc)) == []
+    assert list(dmu.get_head_ngrams(name, doc)) == []
+    assert list(dmu.get_head_ngrams(sample, doc)) == []
+
+    # min/max col (test_tabular.py:126-155)
+    assert dmu.get_min_row_num(sample, doc) is None
+    assert dmu.get_min_row_num(joan, doc) == 0
