@@ -332,7 +332,9 @@ def get_ancestor_id_names(span: Span) -> list[str]:
 
 
 def common_ancestor(spans) -> list[str]:
-    paths = [_xpath_parts(s) for s in spans]
+    """Shared xpath prefix, split on "/" with the leading empty segment kept
+    (reference ``structural.py:172-188`` output shape)."""
+    paths = [(s.sentence.get("xpath") or "").split("/") for s in spans]
     out: list[str] = []
     for segs in zip(*paths):
         if len(set(segs)) != 1:
@@ -343,7 +345,9 @@ def common_ancestor(spans) -> list[str]:
 
 def lowest_common_ancestor_depth(spans) -> int:
     common = common_ancestor(spans)
-    return min(len(_xpath_parts(s)) - len(common) for s in spans)
+    return min(
+        len((s.sentence.get("xpath") or "").split("/")) - len(common) for s in spans
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -158,24 +158,29 @@ def bbox_from_sentence(s: dict) -> tuple[int, int, int, int, int] | None:
     )
 
 
-def is_horz_aligned(spans, tol: float = 1.5) -> bool:
+def _shrunk_overlap(lo1: float, hi1: float, lo2: float, hi2: float, pad: float = 1.5) -> bool:
+    """Interval overlap after shrinking both by ``pad`` (reference
+    ``utils_visual.py:65-103``: touching edges do NOT count as aligned)."""
+    return not (lo1 + pad > hi2 - pad or lo2 + pad > hi1 - pad)
+
+
+def is_horz_aligned(spans) -> bool:
+    """All spans' bboxes share y-range overlap, 1.5pt-shrunk (reference
+    ``bbox_horz_aligned`` via ``data_model_utils/visual.py:35-49``)."""
     boxes = [bbox_from_sentence(sp.sentence) for sp in spans]
     if any(b is None for b in boxes):
         return False
-    return (
-        len({b[0] for b in boxes}) == 1
-        and max(b[1] for b in boxes) - min(b[1] for b in boxes) <= tol
-    )
+    b0 = boxes[0]
+    return all(_shrunk_overlap(b[1], b[3], b0[1], b0[3]) for b in boxes)
 
 
-def is_vert_aligned(spans, tol: float = 2.0) -> bool:
+def is_vert_aligned(spans) -> bool:
+    """All spans' bboxes share x-range overlap, 1.5pt-shrunk."""
     boxes = [bbox_from_sentence(sp.sentence) for sp in spans]
     if any(b is None for b in boxes):
         return False
-    return (
-        len({b[0] for b in boxes}) == 1
-        and max(b[2] for b in boxes) - min(b[2] for b in boxes) <= tol
-    )
+    b0 = boxes[0]
+    return all(_shrunk_overlap(b[2], b[4], b0[2], b0[4]) for b in boxes)
 
 
 def same_page(spans) -> bool:
@@ -225,35 +230,47 @@ def _page_sentences(doc: dict, page: int) -> list[dict]:
 
 
 def get_horz_ngrams(
-    span, doc: dict, attrib: str = "words", lower: bool = True
+    span, doc: dict, attrib: str = "words", lower: bool = True,
+    from_sentence: bool = True,
 ):
-    """Tokens of sentences horizontally aligned with the span on its page
-    (``data_model_utils/visual.py:192-247`` semantics, doc-local)."""
+    """Tokens of sentences horizontally aligned (1.5pt-shrunk y-overlap)
+    with the span on its page; ``from_sentence=False`` additionally yields
+    the span's own sentence tokens (minus the span itself) first
+    (``data_model_utils/visual.py:155-184``)."""
     b = bbox_from_sentence(span.sentence)
     if b is None:
         return
+    if not from_sentence:
+        from fonduer_ray.functions.dmu import get_sentence_ngrams
+
+        yield from get_sentence_ngrams(span, attrib=attrib, lower=lower)
     for s in _page_sentences(doc, b[0]):
         if s is span.sentence:
             continue
         sb = bbox_from_sentence(s)
-        if sb is None or not (sb[1] <= b[3] and b[1] <= sb[3]):  # y-overlap
+        if sb is None or not _shrunk_overlap(sb[1], sb[3], b[1], b[3]):
             continue
         for w in s.get(attrib) or s["words"]:
             yield w.lower() if lower else w
 
 
 def get_vert_ngrams(
-    span, doc: dict, attrib: str = "words", lower: bool = True
+    span, doc: dict, attrib: str = "words", lower: bool = True,
+    from_sentence: bool = True,
 ):
-    """Tokens of sentences vertically aligned (x-overlap) with the span."""
+    """Tokens of sentences vertically aligned (1.5pt-shrunk x-overlap)."""
     b = bbox_from_sentence(span.sentence)
     if b is None:
         return
+    if not from_sentence:
+        from fonduer_ray.functions.dmu import get_sentence_ngrams
+
+        yield from get_sentence_ngrams(span, attrib=attrib, lower=lower)
     for s in _page_sentences(doc, b[0]):
         if s is span.sentence:
             continue
         sb = bbox_from_sentence(s)
-        if sb is None or not (sb[2] <= b[4] and b[2] <= sb[4]):  # x-overlap
+        if sb is None or not _shrunk_overlap(sb[2], sb[4], b[2], b[4]):
             continue
         for w in s.get(attrib) or s["words"]:
             yield w.lower() if lower else w

@@ -84,7 +84,7 @@ def test_structural_helpers(doc):
     assert dmu.get_ancestor_class_names(o) == ["foot", "note"]
     assert dmu.get_ancestor_id_names(o) == ["last"]
     a = span_of(doc, "alpha")
-    assert dmu.common_ancestor((o, a)) == ["html", "body"]
+    assert dmu.common_ancestor((o, a)) == ["", "html", "body"]
     assert dmu.lowest_common_ancestor_depth((o, a)) == 1
 
 

@@ -376,3 +376,107 @@ def test_tabular_dmu_parity_md():
     # min/max col (test_tabular.py:126-155)
     assert dmu.get_min_row_num(sample, doc) is None
     assert dmu.get_min_row_num(joan, doc) == 0
+
+
+STRUCT_HTML = """<html>
+                    <body>
+                        <h1>test1</h1>
+                        <h2>test2</h2>
+                        <div>
+                            <h3>test3</h3>
+                            <table>
+                                <tr>
+                                    <td>test4</td>
+                                    <td>test5</td>
+                                </tr>
+                            </table>
+                            <table>
+                                <tr>
+                                    <td>test6</td>
+                                    <td>test7</td>
+                                </tr>
+                            </table>
+                        </div>
+                        <p>test8 test9</p>
+                    </body>
+                </html>"""
+
+
+@pytest.mark.parametrize(
+    "mention_ids, output_common_ancestor, output_lcad",
+    [
+        ([], ["", "html", "body"], 1),
+        ([0, 1], ["", "html", "body"], 1),
+        ([2, 3], ["", "html", "body", "div"], 1),
+        ([3, 4], ["", "html", "body", "div", "table[1]", "tr"], 1),
+        ([4, 5], ["", "html", "body", "div"], 3),
+        ([5, 6], ["", "html", "body", "div", "table[2]", "tr"], 1),
+        ([3, 5], ["", "html", "body", "div"], 3),
+        ([7, 8], ["", "html", "body", "p"], 0),
+    ],
+)
+def test_structural_ancestors_parity(mention_ids, output_common_ancestor, output_lcad):
+    """Reference tests/utils/data_model_utils/test_structural.py:75-120."""
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.functions.dmu import common_ancestor, lowest_common_ancestor_depth
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+    doc = parse_document("test", STRUCT_HTML, ParserConfig(sentencizer="punct"))
+    mentions = list(MentionNgrams(1, 1).apply(doc))
+    assert len(mentions) == sum(len(s["words"]) for s in doc["sentences"])
+    assert mentions[7].get_span() == "test8"
+    assert mentions[8].get_span() == "test9"
+    test_mentions = [mentions[i] for i in mention_ids] if mention_ids else mentions
+    assert common_ancestor(test_mentions) == output_common_ancestor
+    assert lowest_common_ancestor_depth(test_mentions) == output_lcad
+
+
+def test_visual_dmu_parity():
+    """Reference tests/utils/data_model_utils/test_visual.py:60-110: horz/
+    vert ngram alignment with the 1.5pt-shrunk overlap (touching edges do
+    not align) and the from_sentence=False variant."""
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.parser.visual import get_horz_ngrams, get_vert_ngrams
+
+    def vsent(pos, text, page, top, bottom, lefts):
+        words = text.split(" ")
+        offs = []
+        i = 0
+        for w in words:
+            offs.append(i)
+            i += len(w) + 1
+        n = len(words)
+        return {
+            "doc_name": "d",
+            "position": pos,
+            "text": text,
+            "words": words,
+            "char_offsets": offs,
+            "abs_char_offsets": offs,
+            "page": [page] * n,
+            "top": [top] * n,
+            "bottom": [bottom] * n,
+            "left": lefts,
+            "right": [x + 10 for x in lefts],
+        }
+
+    doc = {
+        "doc_name": "d",
+        "sentences": [
+            vsent(0, "This is apple .", 1, 0, 10, [0, 10, 20, 30]),
+            vsent(1, "That is orange .", 1, 0, 10, [40, 50, 60, 70]),
+            vsent(2, "Where is banaba ?", 1, 10, 20, [0, 10, 20, 30]),
+            vsent(3, "Page two words !", 2, 0, 10, [0, 10, 20]),
+        ],
+    }
+    mentions = list(MentionNgrams(1, 1).apply(doc))
+    apple = [m for m in mentions if m.get_span() == "apple"][0]
+    # horizontally aligned: sentence 1 only (sentence 2 touches at y=10 ->
+    # NOT aligned after shrink; sentence 3 is on another page)
+    assert list(get_horz_ngrams(apple, doc)) == ["that", "is", "orange", "."]
+    # vertically aligned: sentence 2 only
+    assert list(get_vert_ngrams(apple, doc)) == ["where", "is", "banaba", "?"]
+    # from_sentence=False prepends the span's own sentence tokens
+    assert list(get_horz_ngrams(apple, doc, from_sentence=False)) == [
+        "this", "is", ".", "that", "is", "orange", ".",
+    ]
