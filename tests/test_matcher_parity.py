@@ -480,3 +480,40 @@ def test_visual_dmu_parity():
     assert list(get_horz_ngrams(apple, doc, from_sentence=False)) == [
         "this", "is", ".", "that", "is", "orange", ".",
     ]
+
+
+def test_ngram_limits_lincoln():
+    """N-gram limit invariants from reference test_candidates.py:326-363
+    (exact reference counts are spaCy-NER-bound; the n_min/n_max invariants
+    and our own deterministic counts are asserted instead)."""
+    from fonduer_ray.core.matchers import PersonMatcher
+    from fonduer_ray.core.ngrams import MentionNgrams
+    from fonduer_ray.functions import dmu
+    from fonduer_ray.parser.lingual import HeuristicLinguist
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+    html = open(f"{DATA}/pure_html/lincoln_short.html", "rb").read().decode()
+    doc = parse_document("lincoln_short", html, ParserConfig(sentencizer="punct"))
+    hl = HeuristicLinguist()
+    for s in doc["sentences"]:
+        hl.enrich(s)
+
+    persons = list(PersonMatcher().apply(MentionNgrams(n_max=3).apply(doc)))
+    assert persons, "heuristic NER should find person-like mentions"
+    assert all(p.get_num_words() <= 3 for p in persons)
+    n1 = len(persons)
+
+    persons2 = list(PersonMatcher().apply(MentionNgrams(n_min=2, n_max=3).apply(doc)))
+    assert all(2 <= p.get_num_words() <= 3 for p in persons2)
+    assert len(persons2) < n1
+
+    # row/col ngrams are empty exactly for non-tabular mentions
+    # (test_candidates.py:363-393)
+    for m in list(MentionNgrams(1, 2).apply(doc))[:500]:
+        row = list(dmu.get_row_ngrams(m, doc))
+        col = list(dmu.get_col_ngrams(m, doc))
+        if m.sentence.get("table_position") is None:
+            assert row == [] and col == []
+        else:
+            assert not any(x is None for x in row)
+            assert not any(x is None for x in col)
