@@ -410,23 +410,42 @@ def ngram_jaccard_pairs(
 
 
 class SimHasher:
-    """64-bit simhash over token hashes (near-dup docs differ in few bits)."""
+    """64-bit simhash over token hashes (near-dup docs differ in few bits).
+
+    Vectorized: per doc, one (n_tokens x 64) bit matrix + column sum — no
+    per-token Python loop; token hashes memoized per worker (Zipfian
+    vocabulary)."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _POWS = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def __init__(self) -> None:
+        self._tok_cache: dict[str, int] = {}
+
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _hash64(t)
+                if len(cache) < 2_000_000:
+                    cache[t] = h
+            out[i] = h
+        return out
+
+    def signature(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        h = self._token_hashes(toks)
+        bits = ((h[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = bits.sum(axis=0) * 2 - len(toks)
+        sim = int(((acc > 0).astype(np.uint64) * self._POWS).sum())
+        return sim - (1 << 64) if sim >= 1 << 63 else sim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = (text or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                h = np.uint64(_hash64(t))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += bits * 2 - 1
-            sim = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
-            out.append(sim - (1 << 64) if sim >= 1 << 63 else sim)
+        out = [self.signature(t) for t in batch["text"].to_pylist()]
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
         )
