@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "user_topk": relational.user_topk,
         "user_sessions": relational.user_sessions,
+        "events_tumbling_window": relational.events_tumbling_window,
         "order_priority_counts": relational.order_priority_counts,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
@@ -351,6 +352,13 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "events_tumbling_window": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+                     AS sum_value
+            FROM events GROUP BY window_start, event_type
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders FROM orders

@@ -89,11 +89,35 @@ def run_kg_headline(num_cpus: int) -> dict:
     t0 = time.time()
     res = run_kg(corpus, out, KGConfig())
     wall = time.time() - t0
+    # entity-level P/R vs the corpus generator's gold triple set (the
+    # BASELINE.json P/R>=0.95 criterion, measured at bench scale; untimed)
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from fonduer_ray.pipelines.kg import entity_prf
+
+    pred = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in ray.data.read_parquet(out, file_extensions=["parquet"]).take_all()
+    }
+    gold_tbl = pq.read_table(os.path.join(BENCH_CORPUS_DIR, "gold.parquet"))
+    gold = {
+        (s, p, o)
+        for s, p, o in zip(
+            gold_tbl["subj"].to_pylist(),
+            gold_tbl["pred"].to_pylist(),
+            gold_tbl["obj"].to_pylist(),
+        )
+    }
+    prf = entity_prf(pred, gold)
     return {
         "seconds": wall,
         "docs": BENCH_DOCS,
         "docs_per_sec": BENCH_DOCS / wall,
         "triples": res["rows_written"],
+        "precision": round(prf["precision"], 4),
+        "recall": round(prf["recall"], 4),
     }
 
 

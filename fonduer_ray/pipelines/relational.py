@@ -229,3 +229,51 @@ def order_priority_counts(sf_dir: str) -> "ray.data.Dataset":
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
+
+
+def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> "ray.data.Dataset":
+    """Tumbling-window aggregate (the custom "windowed aggregate" operator
+    Ray Data lacks natively): assign each event to its window start via
+    vectorized timestamp truncation inside ``map_batches`` — a pure
+    per-record map, so NO shuffle beyond the final (window, type) groupby,
+    which a per-block combiner could further shrink at scale. Columns:
+    ``(window_start, event_type, n_events, sum_value)``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    step = np.timedelta64(window_minutes * 60, "s").astype("timedelta64[us]")
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy()
+        win = ts - ((ts - np.datetime64(0, "us")) % step)
+        # integer cents so the distributed sum is order-independent and
+        # exactly comparable to the SQL oracle (same trick as pricing_summary)
+        cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": pa.array(win),
+                "event_type": t["event_type"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                # Ray's aggregate round-trips timestamps to [s]; restore us
+                "window_start": t["window_start"].cast(pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    t["cents"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
