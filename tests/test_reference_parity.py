@@ -254,3 +254,10 @@ def test_hocr_visual_parity():
     d2 = parse_document("121", hocr_to_html(hocr121), ParserConfig(sentencizer="punct"))
     # double spaces collapse to single (test_parser.py:926-931)
     assert d2["sentences"][0]["words"][:3] == ["This", "Consumer", "Credit"]
+
+    # hOCR with tables parses and aligns fully (test_parser.py:965-977)
+    h3 = open(f"{DATA}/hocr_simple/1st.hocr").read()
+    d3 = parse_document("1st", hocr_to_html(h3), ParserConfig(sentencizer="punct"))
+    d3 = attach_word_bboxes(d3)
+    assert len(d3["tables"]) == 1
+    assert all(len(s["left"]) == len(s["words"]) for s in d3["sentences"])
