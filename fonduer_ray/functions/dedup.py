@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import default_concurrency, hash_groupby, map_stage
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
@@ -46,13 +46,20 @@ def _hash64(s: str, seed: int = 0) -> int:
 
 def dedup_exact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """One row per distinct text: keeper = min doc_id, with duplicate count.
-    The groupby key is the text hash (hash-partition + per-group first)."""
-    return (
-        ds.select_columns(["doc_id", "text"])
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
-        .select_columns(["doc_id", "text", "n_dups"])
-    )
+    Hash-partition + per-partition vectorized groupby — the key cardinality
+    is ~n_docs, exactly the case Ray's sort-aggregate handles poorly (see
+    ``stages.util.hash_groupby``)."""
+    import pandas as pd
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("text", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        return out[["doc_id", "text", "n_dups"]]
+
+    return hash_groupby(ds.select_columns(["doc_id", "text"]), ["text"], agg)
 
 
 # ---------------------------------------------------------------------------
@@ -173,13 +180,13 @@ def lsh_candidate_pairs(
     # filter the bucket rows -> pair-gen touches only actual collisions.
     import ray
 
-    hot = (
-        buckets.groupby(["band", "bucket"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n >= 2")
-        .select_columns(["band", "bucket"])
-        .take_all()
-    )
+    import pandas as pd
+
+    def hot_agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["band", "bucket"], sort=False).size().reset_index(name="n")
+        return out[out["n"] >= 2][["band", "bucket"]]
+
+    hot = hash_groupby(buckets, ["band", "bucket"], hot_agg).take_all()
     hot_set = {(r["band"], r["bucket"]) for r in hot}
     hot_ref = ray.put(hot_set)
 
@@ -213,13 +220,27 @@ def lsh_candidate_pairs(
             {"doc_a": a, "doc_b": b, "truncated": [truncated] * len(a)}
         )
 
-    pairs = collisions.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pandas"
+    _PAIR_EMPTY = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+         "truncated": pd.Series(dtype="int64")}
     )
+
+    def pairs_agg(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [emit_pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else _PAIR_EMPTY
+
+    pairs = hash_groupby(collisions, ["band", "bucket"], pairs_agg)
+
     # dedup pairs found in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("truncated", alias_name="truncated")
-    )
+    def dedup_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(truncated=("truncated", "min"))
+            .reset_index()
+        )
+
+    return hash_groupby(pairs, ["doc_a", "doc_b"], dedup_agg)
 
 
 def jaccard_of(a: str, b: str, k: int = 3) -> float:
@@ -357,15 +378,24 @@ def ngram_jaccard_pairs(
                 b.append(ids[j])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    pairs = (
-        gram_src.map_batches(to_prefix_grams, batch_format="pyarrow")
-        .groupby("gram")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["id_a", "id_b"])
-        .materialize()
+    _JP_EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
     )
+
+    def grams_pairs_agg(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [emit_pairs(g) for _, g in df.groupby("gram", sort=False) if len(g) > 1]
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else _JP_EMPTY
+
+    def pair_dedup_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    gram_rows = gram_src.map_batches(to_prefix_grams, batch_format="pyarrow")
+    pairs = hash_groupby(
+        hash_groupby(gram_rows, ["gram"], grams_pairs_agg),
+        ["id_a", "id_b"],
+        pair_dedup_agg,
+    ).materialize()
 
     pair_rows = pairs.take_all()
     needed = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
@@ -510,10 +540,28 @@ def simhash_dup_pairs(
                     h.append(d)
         return pd.DataFrame({"id_a": a, "id_b": b, "hamming": h})
 
-    return (
-        sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    _SH_EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
+    def band_pairs_agg(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            emit_pairs(g) for _, g in df.groupby(["band", "key"], sort=False) if len(g) > 1
+        ]
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else _SH_EMPTY
+
+    def pair_min_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["id_a", "id_b"], sort=False)
+            .agg(hamming=("hamming", "min"))
+            .reset_index()
+        )
+
+    band_rows = sigs.map_batches(to_bands, batch_format="pyarrow")
+    return hash_groupby(
+        hash_groupby(band_rows, ["band", "key"], band_pairs_agg),
+        ["id_a", "id_b"],
+        pair_min_agg,
     )

@@ -60,6 +60,53 @@ def map_stage(
     )
 
 
+def hash_groupby(
+    ds,
+    keys: list[str],
+    agg: "callable",
+    n_partitions: int | None = None,
+):
+    """High-cardinality groupby: hash-partition rows on a SMALL derived key,
+    then run a vectorized pandas groupby inside each partition.
+
+    Ray's native sort-based ``groupby().aggregate()`` iterates result groups
+    in Python (~0.1-0.2ms per group), which dominates wall time when the
+    number of groups approaches the number of rows (measured: 10s for a
+    65k-group count on 80k rows vs 0.4s this way). The shuffle key here has
+    only ``n_partitions`` distinct values, and the real grouping runs in C.
+
+    ``agg``: pandas DataFrame (one hash partition, ``_part`` column already
+    dropped) -> aggregated DataFrame; typically
+    ``lambda df: df.groupby(keys, sort=False).agg(...).reset_index()``.
+    Rows of one key always land in one partition, so per-partition
+    aggregation is exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if n_partitions is None:
+        cpus = 4
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_partitions = max(2 * cpus, 8)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        return batch.append_column(
+            "_part", pa.array((h % n_partitions).astype(np.int32))
+        )
+
+    def run_agg(g: pd.DataFrame) -> pd.DataFrame:
+        return agg(g.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(run_agg, batch_format="pandas")
+    )
+
+
 def default_concurrency(cap: int | None = None) -> tuple[int, int]:
     """Autoscaling actor-pool size ``(1, num_cpus)``.
 
