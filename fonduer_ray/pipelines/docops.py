@@ -115,11 +115,18 @@ def mention_counts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        m.map_batches(prep, batch_format="pyarrow")
-        .groupby(["doc_id", "mention"])
-        .aggregate(Count(alias_name="n_mentions"))
-    )
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["doc_id", "mention"], sort=False)
+            .size()
+            .reset_index(name="n_mentions")
+        )
+
+    return hash_groupby(m.map_batches(prep, batch_format="pyarrow"), ["doc_id", "mention"], agg)
 
 
 def _throttler(spans) -> bool:
@@ -151,11 +158,14 @@ def candidate_counts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        c.map_batches(prep, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_candidates"))
-    )
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", sort=False).size().reset_index(name="n_candidates")
+
+    return hash_groupby(c.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
 
 
 def _lf_cooccur(view) -> int:
@@ -240,15 +250,22 @@ def lf_marginals_by_doc(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        sc.map_batches(prep, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Count(alias_name="n_candidates"),
-            Min("prob", alias_name="min_prob"),
-            Max("prob", alias_name="max_prob"),
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", sort=False)
+            .agg(
+                n_candidates=("prob", "size"),
+                min_prob=("prob", "min"),
+                max_prob=("prob", "max"),
+            )
+            .reset_index()
         )
-    )
+
+    return hash_groupby(sc.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
 
 
 def entity_support_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -337,11 +354,18 @@ def feature_stats(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        feats.map_batches(prep, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_candidates"), Sum("n_keys", alias_name="n_keys"))
-    )
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", sort=False)
+            .agg(n_candidates=("n_keys", "size"), n_keys=("n_keys", "sum"))
+            .reset_index()
+        )
+
+    return hash_groupby(feats.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
 
 
 def triples(sf_dir: str) -> "ray.data.Dataset":

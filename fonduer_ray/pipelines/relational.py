@@ -210,7 +210,13 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from fonduer_ray.stages.util import hash_groupby
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [sessions(g) for _, g in df.groupby("user_id", sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else sessions(df)
+
+    return hash_groupby(ds, ["user_id"], per_user)
 
 
 def order_priority_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -257,10 +263,21 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> "ray.data.D
             }
         )
 
-    agg = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def win_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .agg(n_events=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_groupby(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        win_agg,
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -84,10 +84,21 @@ def build_canonical_map(
     # the reducer are bounded by the block count — a Zipfian head entity
     # never lands raw on one reducer. (For aggregates keyed on ``norm``
     # alone, where combining can't bound the group, see the explicitly
-    # salted ``entity_support``.)
-    from ray.data.aggregate import Sum
+    # salted ``entity_support``.) Entity vocabularies are large at web
+    # scale, so the final merge uses hash_groupby (vectorized per-partition
+    # grouping) rather than the per-group sort-aggregate.
+    import pandas as pd
 
-    final = pairs.groupby(["norm", "surface"]).aggregate(Sum("cnt", alias_name="cnt"))
+    from fonduer_ray.stages.util import hash_groupby
+
+    def sum_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["norm", "surface"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+
+    final = hash_groupby(pairs, ["norm", "surface"], sum_agg)
     best: dict[str, tuple[int, str]] = {}
     for batch in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for norm, surface, cnt in zip(
@@ -135,13 +146,28 @@ def entity_support(
             }
         )
 
-    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def sum_support(keys):
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby(keys, sort=False)
+                .agg(support=("support", "sum"))
+                .reset_index()
+            )
+
+        return agg
 
     salted = linked.map_batches(to_salted, batch_format="pyarrow")
-    partial = salted.groupby(["norm", "salt"]).aggregate(
-        Sum("support", alias_name="support")
-    )
-    return partial.groupby("norm").aggregate(Sum("support", alias_name="support"))
+    partial = hash_groupby(salted, ["norm", "salt"], sum_support(["norm", "salt"]))
+    final = hash_groupby(partial, ["norm"], sum_support(["norm"]))
+
+    def drop_salt(t: pa.Table) -> pa.Table:
+        return t.select(["norm", "support"])
+
+    return final.map_batches(drop_salt, batch_format="pyarrow")
 
 
 def link_triples(
@@ -220,18 +246,26 @@ def dedup_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":
         ]
         return pa.Table.from_pylist(rows, schema=_DEDUP_SCHEMA)
 
-    from ray.data.aggregate import Count, Max, Min, Sum
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # independent column minima — same semantics as the previous
+        # Sum/Max/Min aggregate combination, fully deterministic
+        return (
+            df.groupby(["subj", "pred", "obj"], sort=False)
+            .agg(
+                support=("support", "sum"),
+                score=("score", "max"),
+                provenance_doc=("provenance_doc", "min"),
+                provenance_candidate=("provenance_candidate", "min"),
+            )
+            .reset_index()
+        )
 
     partial = linked.map_batches(combine, batch_format="pyarrow")
-    return (
-        partial.groupby(["subj", "pred", "obj"])
-        .aggregate(
-            Sum("support", alias_name="support"),
-            Max("score", alias_name="score"),
-            Min("provenance_doc", alias_name="provenance_doc"),
-            Min("provenance_candidate", alias_name="provenance_candidate"),
-        )
-    )
+    return hash_groupby(partial, ["subj", "pred", "obj"], merge)
 
 
 _DEDUP_SCHEMA = pa.schema(
