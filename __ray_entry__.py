@@ -382,6 +382,30 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text,' ')) AS digit_ratio
             FROM documents
         """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(string_split(text,' '), x -> lower(x)) AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(toks) AS n,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','oder','von','zu','in','mit','ist','sind','ein','eine','nicht','für','auf'))) AS c_de,
+                len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','on','for','with','at','by','from','is','are','was','were','be','been','this','that','these','those','it','its','as','not','no','but','if','then','than','so','such'))) AS c_en,
+                len(list_filter(toks, x -> x IN ('el','la','los','las','de','del','y','en','un','una','que','es','por','con','para','no','se','su'))) AS c_es,
+                len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','ou','un','une','que','est','dans','pour','avec','ne','pas','sur','au'))) AS c_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 OR greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
+                        WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
+                        WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
+                        WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE greatest(c_de,c_en,c_es,c_fr) / n END AS lang_score
+            FROM s
+        """,
         "token_counts_bpe": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
@@ -389,6 +413,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "doc_fingerprint_rolling": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(0::HUGEINT,
+                       list_transform(string_split(text,' '),
+                         x -> CAST(('0x' || substring(md5(x),1,16)) AS UBIGINT)::HUGEINT)),
+                     (acc, x) -> (acc * 1000003 + x) % ((1::HUGEINT << 61) - 1)
+                   ) AS BIGINT) AS rolling_hash
+            FROM documents
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
