@@ -131,3 +131,47 @@ def test_incremental_upsert(ray_session, tmp_path):
     assert append_generation(g1, out, "cid") == 1
     rows = {r["cid"]: r["val"] for r in read_upserted(out, "cid").take_all()}
     assert rows == {"a": 1, "b": 20, "c": 3, "d": 40}
+
+
+def test_linking_under_head_entity_skew(ray_session):
+    """north_rule skew mitigation: a Zipfian head entity (90% of all rows)
+    still canonicalizes and counts correctly through the salted two-phase
+    aggregates — per-block combiners bound (norm, surface) rows and salting
+    splits the norm-keyed support aggregate."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from fonduer_ray.stages.linking import (
+        build_canonical_map,
+        entity_support,
+        link_triples,
+    )
+
+    n_head, n_tail = 9000, 1000
+    subj = ["RayData"] * (n_head // 2) + ["raydata"] * (n_head // 2) + [
+        f"ent{i}" for i in range(n_tail)
+    ]
+    rows = pa.table(
+        {
+            "subj": subj,
+            "pred": ["p"] * len(subj),
+            "obj": ["x"] * len(subj),
+            "doc_name": [f"d{i}" for i in range(len(subj))],
+            "candidate_stable_id": [f"c{i}" for i in range(len(subj))],
+            "score": [1.0] * len(subj),
+        }
+    )
+    ds = rd.from_arrow(rows).repartition(16)
+    canon = build_canonical_map(ds, ["subj", "obj"])
+    # head entity folds case variants to one canonical surface
+    assert canon["RAYDATA"] in ("RayData", "raydata")
+    linked = link_triples(ds)
+    support = {
+        r["norm"]: r["support"] for r in entity_support(linked).take_all()
+    }
+    # every head occurrence counted exactly once despite salting (subj only;
+    # obj "x" contributes its own norm)
+    assert support["RAYDATA"] == n_head
+    assert support["X"] == len(subj)
+    assert sum(v for k, v in support.items() if k.startswith("ENT")) == n_tail
