@@ -356,10 +356,19 @@ def feature_key_vocab(feature_ds: "ray.data.Dataset") -> list[str]:
             uniq.update(keys)
         return pa.table({"key": pa.array(sorted(uniq), type=pa.string())})
 
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
     uniq = feature_ds.select_columns(["keys"]).map_batches(
         explode_keys, batch_format="pyarrow"
     )
-    return sorted(uniq.unique("key"))
+    # key cardinality ~ vocabulary size (4.6k on one datasheet, far more at
+    # web scale): hash-partitioned distinct, not the sort-based unique()
+    distinct = hash_groupby(
+        uniq, ["key"], lambda df: df.drop_duplicates(["key"])
+    )
+    return sorted(r["key"] for r in distinct.take_all())
 
 
 def feature_matrix(
