@@ -65,6 +65,15 @@ def write_triples(
     Buckets with a matching manifest are filtered out before the write —
     that filter is the checkpoint-resume path."""
     done = completed_buckets(out_dir, config_hash)
+    if len(done) >= n_buckets:
+        # fully complete: the input dataset is lazy, so returning here skips
+        # the ENTIRE upstream pipeline, not just the write
+        return {
+            "out_dir": out_dir,
+            "written_buckets": [],
+            "skipped_buckets": sorted(done),
+            "rows_written": 0,
+        }
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         buckets = [
