@@ -22,9 +22,9 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
-from fonduer_ray.stages.util import default_concurrency, hash_groupby, map_stage
+from fonduer_ray.stages.util import hash_groupby, map_stage
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:

@@ -15,7 +15,6 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency
 
 _BPE_ISH = re.compile(r"\w+|[^\w\s]")
 
@@ -143,13 +142,9 @@ class Fingerprint:
 
 
 def _apply(ds: "ray.data.Dataset", cls, **kw) -> "ray.data.Dataset":
-    return ds.map_batches(
-        cls,
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=default_concurrency(),
-        **kw,
-    )
+    from fonduer_ray.stages.util import map_stage
+
+    return map_stage(ds, cls, kw.get("fn_constructor_kwargs", {}), 4096)
 
 
 def token_stats(ds):

@@ -22,7 +22,6 @@ import pyarrow as pa
 import ray.data
 
 from fonduer_ray.stages.schemas import DOC_SCHEMA
-from fonduer_ray.stages.util import default_concurrency
 
 _BBOX_KEYS = ("tokens", "left", "top", "right", "bottom", "ppageno")
 
@@ -120,12 +119,9 @@ class HocrVisualStage:
 
 
 def parse_visual(ds: "ray.data.Dataset", concurrency=None) -> "ray.data.Dataset":
-    return ds.map_batches(
-        HocrVisualStage,
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=concurrency or default_concurrency(),
-    )
+    from fonduer_ray.stages.util import map_stage
+
+    return map_stage(ds, HocrVisualStage, {}, 32, concurrency)
 
 
 class PdfVisualParser:

@@ -22,7 +22,6 @@ from fonduer_ray.stages.candidate_stage import RelationSpec, candidates_table, e
 from fonduer_ray.stages.linking import dedup_triples, link_triples
 from fonduer_ray.stages.mention_stage import MentionSpec, extract_mentions, mentions_table
 from fonduer_ray.stages.parse_stage import parse_webpages
-from fonduer_ray.stages.triple_stage import extract_triples
 
 PARA_TOKENS = 10
 SUBJ_DICT = ("spark", "hash", "merge", "sort")
@@ -234,8 +233,6 @@ def lf_marginals_by_doc(sf_dir: str) -> "ray.data.Dataset":
     replacing the reference's trained discriminative model). Min/max are
     order-independent so the float comparison against the SQL oracle is
     exact (a mean would depend on summation order)."""
-    from ray.data.aggregate import Max, Min
-
     from fonduer_ray.stages.label_stage import label, score
 
     sc = score(label(candidate_docs(sf_dir), _docops_lfs(), batch_size=128))
@@ -291,8 +288,6 @@ def triples_via_spec(sf_dir: str) -> "ray.data.Dataset":
     """Same KG construction as ``triples`` but driven entirely through the
     declarative pipeline spec (``pipelines/spec.py``) — proves the config
     surface produces identical results (shares the ``triples_kg`` oracle)."""
-    from ray.data.aggregate import Count as _Count
-
     from fonduer_ray.pipelines import spec as S
 
     S.THROTTLERS.setdefault("docops_same_sentence_window", _throttler)
@@ -336,8 +331,6 @@ def feature_keys(sf_dir: str) -> pa.Table:
 
 def feature_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc featurization stats: (doc_id, n_candidates, n_keys)."""
-    from ray.data.aggregate import Sum
-
     from fonduer_ray.stages.feature_stage import featurize
 
     feats = featurize(candidate_docs(sf_dir), batch_size=128)

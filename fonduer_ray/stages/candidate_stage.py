@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.core.stable_ids import candidate_stable_id

@@ -25,7 +25,7 @@ import ray.data
 from fonduer_ray.core.ngrams import tokens_to_ngrams
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.stages.schemas import FEATURE_SCHEMA
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 FeatureFn = Callable[[list[Span], dict], list[str]]
 

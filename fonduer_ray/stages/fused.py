@@ -21,7 +21,7 @@ from fonduer_ray.stages.candidate_stage import CandidateStage, RelationSpec
 from fonduer_ray.stages.mention_stage import MentionSpec, MentionStage
 from fonduer_ray.stages.schemas import TRIPLE_SCHEMA
 from fonduer_ray.stages.triple_stage import TripleStage
-from fonduer_ray.stages.util import default_concurrency
+
 
 
 class FusedKGStage:

@@ -23,7 +23,7 @@ import ray.data
 from fonduer_ray.core.spans import Span
 from fonduer_ray.stages.feature_stage import _candidate_spans
 from fonduer_ray.stages.schemas import LABEL_SCHEMA
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 ABSTAIN = None
 

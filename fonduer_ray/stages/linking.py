@@ -24,7 +24,6 @@ import re
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data

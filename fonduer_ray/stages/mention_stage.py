@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 from fonduer_ray.core.matchers import Matcher
 from fonduer_ray.core.ngrams import MentionSpace

@@ -2,10 +2,10 @@
 
 The flagship ``map_batches`` stage (reference lifecycle:
 ``Parser.apply``, ``parser/parser.py:229-264`` + ``utils/udf.py:100-169``,
-re-expressed as a Ray Data actor-pool transform). The actor holds compiled
-parser config + the lingual tagger, built once in ``__init__``; each
-``__call__`` handles one Arrow batch of pages and emits one nested row per
-document. Parse failures go to an explicit error side-channel column instead
+re-expressed as a Ray Data transform). Runs as plain tasks with a per-worker
+cached instance (``stages.util.map_stage``) holding compiled parser config
++ the lingual tagger; each ``__call__`` handles one Arrow batch of pages
+and emits one nested row per document. Parse failures go to an explicit error side-channel column instead
 of the reference's silent drop (``parser.py:257-264``).
 """
 
@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 from fonduer_ray.parser.lingual import HeuristicLinguist
 from fonduer_ray.parser.parse import ParserConfig, parse_document

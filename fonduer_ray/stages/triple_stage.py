@@ -16,7 +16,7 @@ import ray.data
 from fonduer_ray.stages.feature_stage import _candidate_spans
 from fonduer_ray.stages.label_stage import CandidateView, LabelingFunction
 from fonduer_ray.stages.schemas import TRIPLE_SCHEMA
-from fonduer_ray.stages.util import default_concurrency, map_stage
+from fonduer_ray.stages.util import map_stage
 
 
 class TripleStage:
