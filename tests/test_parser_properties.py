@@ -105,3 +105,39 @@ def test_abs_offsets_monotone_and_consistent(html):
         ):
             assert off - s["abs_char_offsets"][0] == rel - s["char_offsets"][0]
         prev_end = s["abs_char_offsets"][-1]
+
+
+@st.composite
+def html_doc_with_flatten(draw):
+    """Docs containing span/br (the flatten set) — exercises strip_tags'
+    text-merging before serialization."""
+    global TAGS
+    tags = TAGS + ["span", "br", "span"]
+
+    @st.composite
+    def node(draw, depth=0):
+        tag = draw(st.sampled_from(tags))
+        text = draw(text_st)
+        tail = draw(text_st)
+        children = (
+            draw(st.lists(node(depth=depth + 1), min_size=0, max_size=3))
+            if depth < 3
+            else []
+        )
+        return (tag, text, children, tail)
+
+    body = draw(st.lists(node(), min_size=0, max_size=4))
+    return "<html><body>" + "".join(render(n) for n in body) + "</body></html>"
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_doc_with_flatten())
+def test_flatten_fixed_point(html):
+    """After span/br flattening, the serialized text is a parse fixed point
+    and contains no flatten tags."""
+    doc = parse_document("prop", html, ParserConfig())
+    text1 = doc["text"]
+    assert "<span" not in text1 and "<br" not in text1
+    doc2 = parse_document("prop", text1, ParserConfig())
+    assert doc2["text"] == text1
+    assert doc2["sentences"] == doc["sentences"]
