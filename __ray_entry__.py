@@ -102,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["id_a", "id_b"]
         )
 
+    def jaccard_clusters(sf_dir: str):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(expr="doc_id < 1000")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=5)
+        return dedup.dup_clusters(docs, pairs)
+
     def simhash_pairs(sf_dir: str):
         return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
 
@@ -152,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": lambda sf: dedup.simhash_signatures(_docs(sf)),
         "simhash_dup_pairs": simhash_pairs,
         "ngram_jaccard_pairs": jaccard_pairs,
+        "jaccard_dup_clusters": jaccard_clusters,
         # similarity search
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf_q,
@@ -427,6 +435,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "jaccard_dup_clusters": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 1000
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(toks)-4),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+              FROM t WHERE len(toks) >= 5
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE 2 * least(len(a.grams), len(b.grams))
+                    >= greatest(len(a.grams), len(b.grams))
+            ),
+            pairs AS (SELECT id_a, id_b FROM p WHERE inter >= 0.5 * (na + nb - inter)),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, node) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+            )
+            SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),

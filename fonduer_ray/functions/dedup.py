@@ -565,3 +565,58 @@ def simhash_dup_pairs(
         ["id_a", "id_b"],
         pair_min_agg,
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over verified dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    ds: "ray.data.Dataset", pairs: "ray.data.Dataset | pa.Table"
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) for every doc: cluster_id = min doc_id of the
+    connected component in the duplicate-pair graph (isolated docs are their
+    own cluster). The PAIR SET is orders of magnitude smaller than the
+    corpus (it only exists for near-dups), so union-find runs driver-side on
+    the collected pairs and the label map broadcasts via ``ray.put``; the
+    expensive parts — pair generation and the final per-doc assignment —
+    stay distributed."""
+    import ray
+
+    rows = (
+        pairs.take_all()
+        if hasattr(pairs, "take_all")
+        else pairs.to_pylist()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = int(r["id_a"] if "id_a" in r else r["doc_a"]), int(
+            r["id_b"] if "id_b" in r else r["doc_b"]
+        )
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {x: find(x) for x in list(parent)}
+    ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    [lab.get(int(i), int(i)) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns(["doc_id"]).map_batches(assign, batch_format="pyarrow")
