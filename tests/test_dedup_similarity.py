@@ -116,3 +116,14 @@ def test_knn_ivf_deterministic(ray_session, vec_ds):
     a = similarity.knn_ivf(vec_ds, qids, qvecs, k=3).to_pylist()
     b = similarity.knn_ivf(vec_ds, qids, qvecs, k=3).to_pylist()
     assert a == b
+
+
+def test_dup_clusters_union_find(ray_session, doc_ds):
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(
+            doc_ds, dedup.ngram_jaccard_pairs(doc_ds, threshold=0.5, n=3)
+        ).take_all()
+    }
+    # docs 0,1,4 are one near-dup component -> min id 0; 2 and 3 are isolated
+    assert out == {0: 0, 1: 0, 2: 2, 3: 3, 4: 0}
