@@ -184,35 +184,102 @@ class MentionFigures(MentionSpace):
             yield FigureMention(doc["doc_name"], fig)
 
 
+class ContextMention:
+    """Non-span mention for a context node with no sentences of its own
+    (e.g. an empty <section>); the generalization of ``FigureMention``.
+    Reference spaces emit one Temporary*Mention per NODE regardless of
+    text content (``mentions.py:224-358``)."""
+
+    __slots__ = ("doc_name", "ctx_type", "position", "text")
+
+    def __init__(self, doc_name: str, ctx_type: str, position: int, text: str = ""):
+        self.doc_name = doc_name
+        self.ctx_type = ctx_type
+        self.position = position
+        self.text = text
+
+    def get_span(self) -> str:
+        return self.text
+
+    def get_attrib_tokens(self, attrib: str = "words") -> list:
+        return self.text.split()
+
+    def get_stable_id(self) -> str:
+        return f"{self.doc_name}::{self.ctx_type}_mention:{self.position}"
+
+    def __contains__(self, other) -> bool:
+        return self == other
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, ContextMention)
+            and (self.doc_name, self.ctx_type, self.position)
+            == (other.doc_name, other.ctx_type, other.position)
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.doc_name, self.ctx_type, self.position))
+
+    def to_record(self, mention_type: str) -> dict:
+        return {
+            "mention_type": mention_type,
+            "stable_id": self.get_stable_id(),
+            "sentence_position": -1,
+            "char_start": self.position,
+            "char_end": self.position,
+            "text": self.text,
+            "implicit": False,
+            "expander_key": self.ctx_type,
+            "position": self.position,
+            "expanded_words": [],
+        }
+
+
 class _NodeMentions(MentionSpace):
     """One mention per context node (cell/paragraph/table/section/caption),
     reference ``mentions.py:224-358``. A single-sentence node is a plain
     full-sentence Span; a multi-sentence node becomes an ImplicitSpan
-    anchored at the node's first sentence carrying the node's joined text
-    (our nested-row analog of the reference's per-node Temporary*Mention)."""
+    anchored at the node's first sentence carrying the node's joined text;
+    a node with NO sentences yields a non-span ``ContextMention`` (the
+    reference emits per node, not per text)."""
 
+    #: doc key holding the node records
+    node_list: str = ""
     #: sentence-row field(s) identifying the node; None value = not in one
     node_fields: tuple[str, ...] = ()
     expander_key = "node"
 
-    def node_key(self, s: dict):
+    def node_key(self, s: dict, doc: dict):
         vals = tuple(s.get(f) for f in self.node_fields)
         return None if any(v is None for v in vals) else vals
+
+    def node_key_of_record(self, rec: dict) -> tuple:
+        # default: last node_field corresponds to the record's position
+        return tuple(
+            rec["position"] if i == len(self.node_fields) - 1 else rec.get(f)
+            for i, f in enumerate(self.node_fields)
+        )
 
     def apply(self, doc: dict) -> Iterator[Span]:
         from fonduer_ray.core.spans import ImplicitSpan
 
         groups: dict[tuple, list[dict]] = {}
         for s in doc["sentences"]:
-            k = self.node_key(s)
+            k = self.node_key(s, doc)
             if k is not None:
                 groups.setdefault(k, []).append(s)
-        for k in sorted(groups):
-            sents = groups[k]
-            anchor = sents[0]
-            if len(sents) == 1:
+        for rec in doc.get(self.node_list, []):
+            k = self.node_key_of_record(rec)
+            sents = groups.get(k)
+            if not sents:
+                yield ContextMention(
+                    doc["doc_name"], self.expander_key, rec["position"]
+                )
+            elif len(sents) == 1:
+                anchor = sents[0]
                 yield Span(anchor, 0, len(anchor["text"]) - 1)
             else:
+                anchor = sents[0]
                 text = " ".join(s["text"] for s in sents)
                 yield ImplicitSpan(
                     anchor,
@@ -225,23 +292,46 @@ class _NodeMentions(MentionSpace):
 
 
 class MentionCells(_NodeMentions):
+    node_list = "cells"
     node_fields = ("table_position", "cell_position")
     expander_key = "cell"
 
+    def node_key_of_record(self, rec: dict) -> tuple:
+        return (rec["table_position"], rec["position"])
+
 
 class MentionTables(_NodeMentions):
+    node_list = "tables"
     node_fields = ("table_position",)
     expander_key = "table"
 
 
 class MentionParagraphs(_NodeMentions):
+    node_list = "paragraphs"
     node_fields = ("paragraph_position",)
     expander_key = "paragraph"
 
 
 class MentionSections(_NodeMentions):
+    node_list = "sections"
     node_fields = ("section_position",)
     expander_key = "section"
+
+
+class MentionCaptions(_NodeMentions):
+    """One mention per <caption>/<figcaption> node; a sentence belongs to a
+    caption via its paragraph's ``caption_position``."""
+
+    node_list = "captions"
+    node_fields = ("caption_position",)
+    expander_key = "caption"
+
+    def node_key(self, s: dict, doc: dict):
+        p = s.get("paragraph_position")
+        if p is None:
+            return None
+        cap = doc["paragraphs"][p].get("caption_position")
+        return None if cap is None else (cap,)
 
 
 class MentionNgramsRangeExpand(MentionNgrams):

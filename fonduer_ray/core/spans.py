@@ -81,6 +81,10 @@ class Span:
 
     # -- relations ---------------------------------------------------------
     def __contains__(self, other: "Span") -> bool:
+        if not isinstance(other, Span):
+            # non-span mentions (figures, empty context nodes) are never
+            # contained in a text span
+            return False
         return (
             self.sentence_key() == other.sentence_key()
             and other.char_start >= self.char_start

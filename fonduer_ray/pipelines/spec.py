@@ -64,6 +64,7 @@ SPACE_TYPES: dict[str, Callable[..., Any]] = {
     "cells": lambda **kw: N.MentionCells(**kw),
     "tables": lambda **kw: N.MentionTables(**kw),
     "paragraphs": lambda **kw: N.MentionParagraphs(**kw),
+    "captions": lambda **kw: N.MentionCaptions(**kw),
     "sections": lambda **kw: N.MentionSections(**kw),
     "documents": lambda **kw: N.MentionDocuments(**kw),
 }

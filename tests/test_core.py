@@ -119,7 +119,18 @@ def test_node_mention_spaces():
     s2.update(table_position=0, cell_position=1, paragraph_position=2)
     s3 = make_sentence("free text", position=3)
     s3.update(table_position=None, cell_position=None, paragraph_position=3)
-    doc = {"doc_name": "d0", "sentences": [s0, s1, s2, s3]}
+    doc = {
+        "doc_name": "d0",
+        "sentences": [s0, s1, s2, s3],
+        "tables": [{"position": 0}],
+        "cells": [
+            {"position": 0, "table_position": 0},
+            {"position": 1, "table_position": 0},
+        ],
+        "paragraphs": [{"position": i} for i in range(4)],
+        "sections": [{"position": 0}],
+        "captions": [],
+    }
     cells = list(MentionCells().apply(doc))
     # cell 0 has two sentences -> ImplicitSpan with joined text
     assert [c.get_span() for c in cells] == ["cell one cell one more", "cell two"]

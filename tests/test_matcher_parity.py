@@ -517,3 +517,65 @@ def test_ngram_limits_lincoln():
         else:
             assert not any(x is None for x in row)
             assert not any(x is None for x in col)
+
+
+def test_multimodal_mentions_and_candidates_radiology():
+    """Reference test_candidates.py:452-527: one mention per context node of
+    every type over radiology.html, and unary candidates matching mention
+    counts — golden counts 1/2/5/2/2/30/35/21."""
+    from fonduer_ray.core.matchers import DoNothingMatcher
+    from fonduer_ray.core.ngrams import (
+        MentionCaptions,
+        MentionCells,
+        MentionDocuments,
+        MentionFigures,
+        MentionParagraphs,
+        MentionSections,
+        MentionSentences,
+        MentionTables,
+    )
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+    from fonduer_ray.stages.candidate_stage import CandidateStage, RelationSpec
+    from fonduer_ray.stages.mention_stage import MentionSpec, MentionStage
+
+    html = open(f"{DATA}/pure_html/radiology.html", "rb").read().decode()
+    doc = parse_document("radiology", html, ParserConfig(sentencizer="punct"))
+    assert len(doc["sentences"]) == 35
+
+    spaces = {
+        "m_doc": MentionDocuments(),
+        "m_cap": MentionCaptions(),
+        "m_sec": MentionSections(),
+        "m_tab": MentionTables(),
+        "m_fig": MentionFigures(),
+        "m_para": MentionParagraphs(),
+        "m_sent": MentionSentences(),
+        "m_cell": MentionCells(),
+    }
+    specs = [
+        MentionSpec(name, space, DoNothingMatcher())
+        for name, space in spaces.items()
+    ]
+    doc["mentions"] = MentionStage(specs).extract_doc(doc)
+    by_type: dict[str, int] = {}
+    for m in doc["mentions"]:
+        by_type[m["mention_type"]] = by_type.get(m["mention_type"], 0) + 1
+    assert by_type == {
+        "m_doc": 1,
+        "m_cap": 2,
+        "m_sec": 5,
+        "m_tab": 2,
+        "m_fig": 2,
+        "m_para": 30,
+        "m_sent": 35,
+        "m_cell": 21,
+    }
+
+    rels = [
+        RelationSpec(f"cs_{t}", (t,), nullables=(False,)) for t in spaces
+    ]
+    cands = CandidateStage(rels).extract_doc(doc)
+    by_rel: dict[str, int] = {}
+    for c in cands:
+        by_rel[c["relation"]] = by_rel.get(c["relation"], 0) + 1
+    assert by_rel == {f"cs_{t}": n for t, n in by_type.items()}
