@@ -16,7 +16,9 @@ and signatures (small) shuffle instead of full documents.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
+from fractions import Fraction
 
 import numpy as np
 import pyarrow as pa
@@ -37,6 +39,12 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 def _hash64(s: str, seed: int = 0) -> int:
     h = hashlib.blake2b(s.encode(), digest_size=8, salt=struct.pack("q", seed))
     return int.from_bytes(h.digest(), "big")
+
+
+def _frac(threshold: float) -> Fraction:
+    """Exact rational form of a user threshold (0.7 means 7/10, not the
+    nearest binary double)."""
+    return Fraction(threshold).limit_denominator(1_000_000)
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +259,98 @@ def jaccard_of(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def attach_pair_texts(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> "ray.data.Dataset":
+    """Distributed pair-payload join: ``(id_a, id_b)`` x ``(doc_id, text)``
+    -> ``(id_a, id_b, text_a, text_b)``.
+
+    Scale path for pair verification (replaces the round-1 driver-side
+    ``take_all()`` + broadcast dict, which blows up when pair-referenced
+    docs are a large fraction of the corpus — e.g. CommonCrawl dup rates):
+    every pair emits one row per endpoint, the payload shuffles ONCE on
+    ``hash(doc_id)``, endpoint rows meet their text in the partition, and a
+    second (pair-sized) shuffle on ``(id_a, id_b)`` zips the two halves.
+    Nothing is collected on the driver. Missing doc_ids yield empty text."""
+    import pandas as pd
+
+    endpoint_schema = pa.schema(
+        [
+            ("need", pa.int64()),
+            ("slot", pa.int32()),
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def to_endpoints(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].cast(pa.int64())
+        b = batch[id_b].cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {
+                "need": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "slot": pa.array([0] * n + [1] * n, pa.int32()),
+                "id_a": pa.concat_arrays([a.combine_chunks()] * 2),
+                "id_b": pa.concat_arrays([b.combine_chunks()] * 2),
+                "text": pa.nulls(2 * n, pa.string()),
+            },
+            schema=endpoint_schema,
+        )
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "need": batch["doc_id"].cast(pa.int64()).combine_chunks(),
+                "slot": pa.array([-1] * n, pa.int32()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "text": batch["text"].cast(pa.string()).combine_chunks(),
+            },
+            schema=endpoint_schema,
+        )
+
+    unioned = pairs.map_batches(to_endpoints, batch_format="pyarrow").union(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        pay = df[df["slot"] < 0]
+        lookup = dict(zip(pay["need"], pay["text"]))
+        pr = df[df["slot"] >= 0]
+        return pd.DataFrame(
+            {
+                "id_a": pr["id_a"].astype("int64"),
+                "id_b": pr["id_b"].astype("int64"),
+                "slot": pr["slot"].astype("int32"),
+                "text": pr["need"].map(lookup).astype("string"),
+            }
+        )
+
+    attached = hash_groupby(unioned, ["need"], attach)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        a_side = df[df["slot"] == 0][["id_a", "id_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b_side = df[df["slot"] == 1][["id_a", "id_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        out = a_side.merge(b_side, on=["id_a", "id_b"], how="outer")
+        out["text_a"] = out["text_a"].astype("string")
+        out["text_b"] = out["text_b"].astype("string")
+        return out
+
+    return hash_groupby(attached, ["id_a", "id_b"], merge)
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     num_perm: int = 64,
@@ -259,40 +359,20 @@ def minhash_dedup(
     threshold: float = 0.8,
 ) -> "ray.data.Dataset":
     """Full near-dup pipeline: signatures -> LSH pairs -> exact Jaccard
-    verification (broadcast text lookup) -> verified duplicate pairs."""
-    import ray
-
+    verification via the distributed pair-text join -> verified pairs."""
     sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
-    # Candidate pairs are tiny after LSH pruning: materialize once so the
-    # verify stage does not re-execute the signature+bucket pipeline.
-    pairs = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=num_perm // bands
-    ).materialize()
-    # broadcast ONLY the texts referenced by candidate pairs (small side
-    # after LSH pruning) — never the whole corpus.
-    pair_rows = pairs.select_columns(["doc_a", "doc_b"]).take_all()
-    needed = {r["doc_a"] for r in pair_rows} | {r["doc_b"] for r in pair_rows}
-    needed_ref = ray.put(needed)
-
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        want = ray.get(needed_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(batch))
-        return batch.filter(pa.array(mask))
-
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ds.select_columns(["doc_id", "text"])
-        .map_batches(keep_needed, batch_format="pyarrow")
-        .take_all()
-    }
-    texts_ref = ray.put(texts)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    joined = attach_pair_texts(pairs, ds, id_a="doc_a", id_b="doc_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
         rows = []
-        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            j = jaccard_of(lookup.get(a, ""), lookup.get(b, ""), k)
+        for a, b, ta, tb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            j = jaccard_of(ta or "", tb or "", k)
             if j >= threshold:
                 rows.append({"doc_a": a, "doc_b": b, "jaccard": j})
         return pa.Table.from_pylist(
@@ -302,7 +382,7 @@ def minhash_dedup(
             ),
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -330,13 +410,12 @@ def ngram_jaccard_pairs(
     algorithm): any pair with ``J >= t`` must share at least one gram within
     each side's prefix of the ``floor((1-t)*|set|)+1`` smallest grams under
     a global (hash) ordering. Candidate generation is therefore a groupby on
-    prefix grams only; survivors are verified exactly against broadcast gram
-    sets. Partitioning assumption: individual grams are rare (diverse
+    prefix grams only; survivors are verified exactly via the distributed
+    pair-text join (``attach_pair_texts`` — no driver-side collection).
+    Partitioning assumption: individual grams are rare (diverse
     vocabulary) — buckets above ``max_bucket`` are truncated WITH logging.
     Columns: ``id_a, id_b, jaccard``."""
     import logging
-
-    import ray
 
     gram_src = ds.select_columns(["doc_id", "text"])
 
@@ -349,7 +428,9 @@ def ngram_jaccard_pairs(
             if not gset:
                 continue
             hashes = sorted(_hash64(g) for g in gset)
-            plen = int((1.0 - threshold) * len(hashes)) + 1
+            # exact integer prefix length |x| - ceil(t*|x|) + 1: float
+            # (1-t)*n can round DOWN (t=0.7, n=10 -> 2.999…) and miss pairs
+            plen = len(hashes) - math.ceil(_frac(threshold) * len(hashes)) + 1
             for h in hashes[:plen]:
                 doc_ids.append(doc_id)
                 grams.append(h & 0x7FFFFFFFFFFFFFFF)
@@ -395,29 +476,23 @@ def ngram_jaccard_pairs(
         hash_groupby(gram_rows, ["gram"], grams_pairs_agg),
         ["id_a", "id_b"],
         pair_dedup_agg,
-    ).materialize()
+    )
 
-    pair_rows = pairs.take_all()
-    needed = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
-    needed_ref = ray.put(needed)
-
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        want = ray.get(needed_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(batch))
-        return batch.filter(pa.array(mask))
-
-    gram_sets = {
-        r["doc_id"]: frozenset(_word_ngrams(r["text"], n))
-        for r in gram_src.map_batches(keep_needed, batch_format="pyarrow").take_all()
-    }
-    sets_ref = ray.put(gram_sets)
+    # exact verification: distributed pair-text join (gram sets recomputed
+    # from text inside the verify task — cheaper to recompute than to
+    # shuffle materialized list<string> gram sets)
+    joined = attach_pair_texts(pairs, ds, id_a="id_a", id_b="id_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(sets_ref)
         rows = []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            sa, sb = lookup.get(a, frozenset()), lookup.get(b, frozenset())
+        for a, b, ta, tb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            sa = frozenset(_word_ngrams(ta or "", n))
+            sb = frozenset(_word_ngrams(tb or "", n))
             if not sa or not sb:
                 continue
             inter = len(sa & sb)
@@ -431,7 +506,7 @@ def ngram_jaccard_pairs(
             ),
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -573,50 +648,134 @@ def simhash_dup_pairs(
 
 
 def dup_clusters(
-    ds: "ray.data.Dataset", pairs: "ray.data.Dataset | pa.Table"
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset | pa.Table",
+    max_iters: int = 30,
 ) -> "ray.data.Dataset":
     """(doc_id, cluster_id) for every doc: cluster_id = min doc_id of the
     connected component in the duplicate-pair graph (isolated docs are their
-    own cluster). The PAIR SET is orders of magnitude smaller than the
-    corpus (it only exists for near-dups), so union-find runs driver-side on
-    the collected pairs and the label map broadcasts via ``ray.put``; the
-    expensive parts — pair generation and the final per-doc assignment —
-    stay distributed."""
-    import ray
+    own cluster).
 
-    rows = (
-        pairs.take_all()
-        if hasattr(pairs, "take_all")
-        else pairs.to_pylist()
-    )
-    parent: dict[int, int] = {}
+    Distributed min-label propagation (replaces the round-1 driver-side
+    union-find, which collapses when web-scale dup-pair sets reach billions):
+    labels start as each node's own id and flow across edges via
+    hash-partition joins — two pair-graph-sized shuffles per round, labels
+    monotonically decreasing, convergence detected by the label-sum
+    fixpoint (rounds = component diameter; dup clusters are small/dense in
+    practice). The only corpus-sized step is the final doc_id-keyed
+    assignment join. Nothing is collected on the driver."""
+    import logging
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    import pandas as pd
 
-    for r in rows:
-        a, b = int(r["id_a"] if "id_a" in r else r["doc_a"]), int(
-            r["id_b"] if "id_b" in r else r["doc_b"]
-        )
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    labels = {x: find(x) for x in list(parent)}
-    ref = ray.put(labels)
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
-        ids = batch["doc_id"].to_pylist()
+    def to_edges(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        a = batch["id_a" if "id_a" in cols else "doc_a"].cast(pa.int64()).combine_chunks()
+        b = batch["id_b" if "id_b" in cols else "doc_b"].cast(pa.int64()).combine_chunks()
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(
-                    [lab.get(int(i), int(i)) for i in ids], pa.int64()
-                ),
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
             }
         )
 
-    return ds.select_columns(["doc_id"]).map_batches(assign, batch_format="pyarrow")
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    # round 0: label(x) = min(x, neighbors(x)) straight off the edge list
+    def init_agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("src", sort=False).agg(label=("dst", "min")).reset_index()
+        out["label"] = out[["src", "label"]].min(axis=1)
+        return out.rename(columns={"src": "node"})
+
+    labels = hash_groupby(edges, ["src"], init_agg).materialize()
+    prev_sum = labels.sum("label")
+
+    join_schema = pa.schema(
+        [("key", pa.int64()), ("role", pa.int32()), ("node", pa.int64()), ("label", pa.int64())]
+    )
+
+    def edges_as_join_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["src"].combine_chunks(),
+                "role": pa.array([0] * len(batch), pa.int32()),
+                "node": batch["dst"].combine_chunks(),
+                "label": pa.nulls(len(batch), pa.int64()),
+            },
+            schema=join_schema,
+        )
+
+    def labels_as_join_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["node"].combine_chunks(),
+                "role": pa.array([1] * len(batch), pa.int32()),
+                "node": batch["node"].combine_chunks(),
+                "label": batch["label"].combine_chunks(),
+            },
+            schema=join_schema,
+        )
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == 1]
+        lookup = dict(zip(lab["key"], lab["label"]))
+        ed = df[df["role"] == 0]
+        msgs = pd.DataFrame(
+            {"node": ed["node"], "label": ed["key"].map(lookup)}
+        ).dropna()
+        out = pd.concat([msgs, lab[["node", "label"]]], ignore_index=True)
+        out = out.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def min_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
+
+    for _ in range(max_iters):
+        unioned = edges.map_batches(edges_as_join_rows, batch_format="pyarrow").union(
+            labels.map_batches(labels_as_join_rows, batch_format="pyarrow")
+        )
+        labels = hash_groupby(
+            hash_groupby(unioned, ["key"], propagate), ["node"], min_agg
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
+            break
+        prev_sum = cur_sum
+    else:
+        logging.getLogger(__name__).warning(
+            "dup_clusters: max_iters=%d reached before label fixpoint", max_iters
+        )
+
+    # final assignment: corpus doc_ids joined against the (pair-touched)
+    # label table on hash(doc_id); untouched docs label themselves
+    def docs_as_join_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "key": ids,
+                "role": pa.array([0] * len(batch), pa.int32()),
+                "node": ids,
+                "label": pa.nulls(len(batch), pa.int64()),
+            },
+            schema=join_schema,
+        )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == 1]
+        lookup = dict(zip(lab["key"], lab["label"]))
+        docs = df[df["role"] == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": docs["node"].astype("int64"),
+                "cluster_id": docs["node"].map(lambda x: lookup.get(x, x)).astype("int64"),
+            }
+        )
+
+    unioned = ds.select_columns(["doc_id"]).map_batches(
+        docs_as_join_rows, batch_format="pyarrow"
+    ).union(labels.map_batches(labels_as_join_rows, batch_format="pyarrow"))
+    return hash_groupby(unioned, ["key"], assign)

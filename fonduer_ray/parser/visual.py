@@ -63,43 +63,50 @@ def attach_word_bboxes(doc: dict) -> dict:
         pages, l, t, r, b = [], [], [], [], []
         ok = True
         for w in s["words"]:
-            # find the token whose remaining text starts this word
-            while tok_idx < len(tokens) and off >= len(tokens[tok_idx]):
-                tok_idx += 1
-                off = 0
-            if tok_idx >= len(tokens):
-                ok = False
-                break
-            rem = tokens[tok_idx][off:]
-            if rem.startswith(w):
-                # word fully inside current token
-                pages.append(page)
-                l.append(lefts[tok_idx])
-                t.append(tops[tok_idx])
-                r.append(rights[tok_idx])
-                b.append(bottoms[tok_idx])
-                off += len(w)
-            elif w.startswith(rem) and rem:
-                # word spans token boundary: merge boxes min/max
-                need = len(w)
-                ml, mt, mr, mb = lefts[tok_idx], tops[tok_idx], rights[tok_idx], bottoms[tok_idx]
-                need -= len(rem)
-                j = tok_idx + 1
-                while need > 0 and j < len(tokens):
-                    ml = min(ml, lefts[j])
-                    mt = min(mt, tops[j])
-                    mr = max(mr, rights[j])
-                    mb = max(mb, bottoms[j])
-                    need -= len(tokens[j])
-                    j += 1
-                pages.append(page)
-                l.append(ml)
-                t.append(mt)
-                r.append(mr)
-                b.append(mb)
-                tok_idx = j - 1
-                off = len(tokens[tok_idx]) + need  # position inside last token
-            else:
+            matched = False
+            while tok_idx < len(tokens):
+                if off >= len(tokens[tok_idx]):
+                    tok_idx += 1
+                    off = 0
+                    continue
+                rem = tokens[tok_idx][off:]
+                if rem.startswith(w):
+                    # word fully inside current token
+                    pages.append(page)
+                    l.append(lefts[tok_idx])
+                    t.append(tops[tok_idx])
+                    r.append(rights[tok_idx])
+                    b.append(bottoms[tok_idx])
+                    off += len(w)
+                    matched = True
+                    break
+                if w.startswith(rem):
+                    # word spans token boundary: merge boxes min/max
+                    need = len(w)
+                    ml, mt, mr, mb = lefts[tok_idx], tops[tok_idx], rights[tok_idx], bottoms[tok_idx]
+                    need -= len(rem)
+                    j = tok_idx + 1
+                    while need > 0 and j < len(tokens):
+                        ml = min(ml, lefts[j])
+                        mt = min(mt, tops[j])
+                        mr = max(mr, rights[j])
+                        mb = max(mb, bottoms[j])
+                        need -= len(tokens[j])
+                        j += 1
+                    pages.append(page)
+                    l.append(ml)
+                    t.append(mt)
+                    r.append(mr)
+                    b.append(mb)
+                    tok_idx = j - 1
+                    off = len(tokens[tok_idx]) + need  # position inside last token
+                    matched = True
+                    break
+                # char the sentencizer dropped (e.g. the '.' left behind in
+                # "world." when the line holds two sentences): skip it and
+                # retry this word against the rest of the token stream
+                off += 1
+            if not matched:
                 ok = False
                 break
         consumed[s["xpath"]] = (tok_idx, off)
@@ -225,51 +232,82 @@ def _page_sentences(doc: dict, page: int) -> list[dict]:
     return [s for s in doc["sentences"] if s.get("page") and s["page"][0] == page]
 
 
-def get_horz_ngrams(
-    span, doc: dict, attrib: str = "words", lower: bool = True,
-    from_sentence: bool = True,
+def span_bbox(span) -> tuple[int, int, int, int, int] | None:
+    """(page, top, left, bottom, right) over the span's own WORD RANGE
+    (reference ``span_mention.py:169-180`` ``get_bbox``), not the whole
+    sentence."""
+    if not span.sentence.get("page"):
+        return None
+    pages = span.get_attrib_tokens("page")
+    if not pages:
+        return None
+    return (
+        pages[0],
+        min(span.get_attrib_tokens("top")),
+        min(span.get_attrib_tokens("left")),
+        max(span.get_attrib_tokens("bottom")),
+        max(span.get_attrib_tokens("right")),
+    )
+
+
+def _direction_ngrams(
+    direction: str, span, doc: dict, attrib: str, lower: bool,
+    from_sentence: bool, n_min: int, n_max: int,
 ):
-    """Tokens of sentences horizontally aligned (1.5pt-shrunk y-overlap)
-    with the span on its page; ``from_sentence=False`` additionally yields
-    the span's own sentence tokens (minus the span itself) first
-    (``data_model_utils/visual.py:155-184``)."""
-    b = bbox_from_sentence(span.sentence)
+    """Reference ``_get_direction_ngrams`` (``data_model_utils/visual.py:
+    219-257``): alignment is tested against the SPAN's word-range bbox.
+    ``from_sentence=True`` yields token ngrams of every OTHER aligned
+    sentence on the page; ``from_sentence=False`` yields the text of every
+    word-level ngram (over all page sentences, own included) whose own bbox
+    aligns with the span's, excluding ngrams containing/contained in it."""
+    from fonduer_ray.core.ngrams import Ngrams, tokens_to_ngrams
+
+    b = span_bbox(span)
     if b is None:
         return
-    if not from_sentence:
-        from fonduer_ray.functions.dmu import get_sentence_ngrams
-
-        yield from get_sentence_ngrams(span, attrib=attrib, lower=lower)
+    lo, hi = (1, 3) if direction == "horz" else (2, 4)
+    ngrams_space = Ngrams(n_min=n_min, n_max=n_max) if not from_sentence else None
     for s in _page_sentences(doc, b[0]):
-        if s is span.sentence:
-            continue
-        sb = bbox_from_sentence(s)
-        if sb is None or not _shrunk_overlap(sb[1], sb[3], b[1], b[3]):
-            continue
-        for w in s.get(attrib) or s["words"]:
-            yield w.lower() if lower else w
+        if from_sentence:
+            if s is span.sentence:
+                continue
+            sb = bbox_from_sentence(s)
+            if sb is None or not _shrunk_overlap(sb[lo], sb[hi], b[lo], b[hi]):
+                continue
+            yield from tokens_to_ngrams(
+                list(s.get(attrib) or s["words"]), n_min, n_max, lower=lower
+            )
+        else:
+            for ts in ngrams_space.apply_sentence(s):
+                tb = span_bbox(ts)
+                if tb is None or not _shrunk_overlap(tb[lo], tb[hi], b[lo], b[hi]):
+                    continue
+                if ts in span or span in ts:
+                    continue
+                w = ts.get_span()
+                yield w.lower() if lower else w
+
+
+def get_horz_ngrams(
+    span, doc: dict, attrib: str = "words", lower: bool = True,
+    from_sentence: bool = True, n_min: int = 1, n_max: int = 1,
+):
+    """Ngrams horizontally aligned (1.5pt-shrunk y-overlap) with the span's
+    bbox on its page (``data_model_utils/visual.py:155-184``)."""
+    yield from _direction_ngrams(
+        "horz", span, doc, attrib, lower, from_sentence, n_min, n_max
+    )
 
 
 def get_vert_ngrams(
     span, doc: dict, attrib: str = "words", lower: bool = True,
-    from_sentence: bool = True,
+    from_sentence: bool = True, n_min: int = 1, n_max: int = 1,
 ):
-    """Tokens of sentences vertically aligned (1.5pt-shrunk x-overlap)."""
-    b = bbox_from_sentence(span.sentence)
-    if b is None:
-        return
-    if not from_sentence:
-        from fonduer_ray.functions.dmu import get_sentence_ngrams
-
-        yield from get_sentence_ngrams(span, attrib=attrib, lower=lower)
-    for s in _page_sentences(doc, b[0]):
-        if s is span.sentence:
-            continue
-        sb = bbox_from_sentence(s)
-        if sb is None or not _shrunk_overlap(sb[2], sb[4], b[2], b[4]):
-            continue
-        for w in s.get(attrib) or s["words"]:
-            yield w.lower() if lower else w
+    """Ngrams vertically aligned (1.5pt-shrunk x-overlap) with the span's
+    bbox."""
+    yield from _direction_ngrams(
+        "vert", span, doc, attrib, lower, from_sentence, n_min, n_max
+    )
 
 
 def get_page_vert_percentile(

@@ -23,11 +23,32 @@ import ray.data
 
 from fonduer_ray.stages.util import map_stage
 
+from fonduer_ray.core.ngrams import ContextMention
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.core.stable_ids import candidate_stable_id
 from fonduer_ray.stages.schemas import CANDIDATE_ROW_SCHEMA, DOC_CANDIDATE_SCHEMA
 
-Throttler = Callable[[tuple[Span | None, ...]], bool]
+#: receives the reconstructed mention objects (Span, ImplicitSpan or — for
+#: figure/empty-node mentions — ContextMention), None only for nullable slots,
+#: mirroring the reference where throttlers get the Mention whose .context may
+#: be a Figure (candidates.py:279-287)
+Throttler = Callable[[tuple[Span | ContextMention | None, ...]], bool]
+
+
+def _mention_from_record(
+    doc_name: str, sent_by_pos: dict, m: dict | None
+) -> Span | ContextMention | None:
+    """Rehydrate the mention object a record was flattened from.
+
+    Non-span mentions (``sentence_position == -1``: figures, empty context
+    nodes) become ``ContextMention``s keyed by (doc, ctx_type, position) so the
+    reference's self/nested checks compare real contexts instead of None
+    (reference candidates.py:291-306 uses ``cand[j][1].context``)."""
+    if m is None:
+        return None
+    if m["sentence_position"] >= 0:
+        return span_from_record(sent_by_pos[m["sentence_position"]], m)
+    return ContextMention(doc_name, m["expander_key"], m["position"], m["text"])
 
 
 @dataclass
@@ -76,12 +97,8 @@ class CandidateStage:
                 arg_lists.append(lst)
             for idx_combo in itertools.product(*(list(enumerate(lst)) for lst in arg_lists)):
                 combo = tuple(m for _, m in idx_combo)
-                # sentence_position -1 = non-span mention (e.g. figure):
-                # no carrier sentence, so no Span reconstruction
                 spans = tuple(
-                    span_from_record(sent_by_pos[m["sentence_position"]], m)
-                    if m is not None and m["sentence_position"] >= 0
-                    else None
+                    _mention_from_record(doc["doc_name"], sent_by_pos, m)
                     for m in combo
                 )
                 if len(combo) == 2:

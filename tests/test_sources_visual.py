@@ -82,6 +82,32 @@ def test_hocr_visual_path():
     assert s1["left"] == [10] and s1["top"] == [50]
 
 
+def test_hocr_multi_sentence_line_keeps_bboxes():
+    """An hOCR line holding two sentences: the delimiter '.' the sentencizer
+    drops must not strand the char cursor — later sentences on the same line
+    keep their word bboxes (ADVICE r1, parser/visual.py cursor skip)."""
+    hocr = """<html><body>
+<div class="ocr_page" title="image x; bbox 0 0 1000 1400; ppageno 0">
+<p class="ocr_par">
+<span class="ocr_line" title="bbox 10 20 400 40">
+<span class="ocrx_word" title="bbox 10 20 60 40">Alpha</span>
+<span class="ocrx_word" title="bbox 70 20 120 40">beta.</span>
+<span class="ocrx_word" title="bbox 130 20 190 40">Gamma</span>
+<span class="ocrx_word" title="bbox 200 20 260 40">delta.</span>
+</span>
+</p>
+</div>
+</body></html>"""
+    doc = parse_document("h2", hocr_to_html(hocr).encode())
+    attach_word_bboxes(doc)
+    by_words = {tuple(s["words"]): s for s in doc["sentences"]}
+    s0 = by_words[("Alpha", "beta")]
+    s1 = by_words[("Gamma", "delta")]
+    assert s0["left"] == [10, 70]
+    assert s1["left"] == [130, 200]
+    assert s1["page"] == [1, 1]
+
+
 def test_visual_bbox_predicates():
     html = hocr_to_html(HOCR)
     doc = parse_document("h", html.encode())
@@ -156,6 +182,50 @@ def test_visual_alignment_helpers():
     assert list(V.get_vert_ngrams(sp, doc)) == ["gamma"]
     assert set(V.get_visual_aligned_lemmas(sp, doc)) == {"beta", "gamma"}
     assert 0 < V.get_page_vert_percentile(sp, doc) < 1
+
+
+def test_direction_ngrams_use_span_bbox():
+    """Alignment compares against the SPAN's word-range bbox, not the whole
+    sentence bbox (reference _get_direction_ngrams, visual.py:219-257), and
+    from_sentence=False yields word-level aligned ngrams."""
+    from fonduer_ray.core.spans import Span
+    from fonduer_ray.parser import visual as V
+
+    def vsent(pos, words, lefts, rights, top, bottom):
+        offs, i = [], 0
+        for w in words:
+            offs.append(i)
+            i += len(w) + 1
+        n = len(words)
+        return {
+            "doc_name": "d",
+            "position": pos,
+            "text": " ".join(words),
+            "words": list(words),
+            "char_offsets": offs,
+            "abs_char_offsets": offs,
+            "lemmas": [w.upper() for w in words],
+            "page": [1] * n,
+            "top": [top] * n,
+            "left": lefts,
+            "bottom": [bottom] * n,
+            "right": rights,
+        }
+
+    # s0: "aa" at x[0,50], "bb" at x[500,560]; s1: "cc" under bb only
+    s0 = vsent(0, ["aa", "bb"], [0, 500], [50, 560], 10, 20)
+    s1 = vsent(1, ["cc"], [500], [560], 100, 110)
+    doc = {"doc_name": "d", "sentences": [s0, s1]}
+    span_aa = Span(s0, 0, 1)
+    span_bb = Span(s0, 3, 4)
+    assert V.span_bbox(span_aa) == (1, 10, 0, 20, 50)
+    # vert alignment must use the span's word bbox: aa is NOT above cc
+    assert list(V.get_vert_ngrams(span_aa, doc)) == []
+    assert list(V.get_vert_ngrams(span_bb, doc)) == ["cc"]
+    # from_sentence=False: word-level ngrams aligned with the span, own
+    # sentence included, the span itself excluded
+    assert list(V.get_vert_ngrams(span_bb, doc, from_sentence=False)) == ["cc"]
+    assert list(V.get_horz_ngrams(span_aa, doc, from_sentence=False)) == ["bb"]
 
 
 def test_lambda_figure_matcher():

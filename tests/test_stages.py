@@ -71,6 +71,38 @@ def test_candidates(doc_ds):
         seen.add(key)
 
 
+def test_fig_fig_candidates_not_self_dropped():
+    """Two non-span args must compare as real contexts, not None==None: a
+    figure-figure relation over 2 figures yields the 2 off-diagonal pairs
+    (reference candidates.py:291-306 compares mention .context objects)."""
+    from fonduer_ray.core.ngrams import ContextMention, FigureMention
+    from fonduer_ray.stages.candidate_stage import CandidateStage
+
+    figs = [{"position": i, "url": f"f{i}.png"} for i in range(2)]
+    mentions = [FigureMention("d0", f).to_record(t) for f in figs for t in ("figL", "figR")]
+    doc = {"doc_name": "d0", "sentences": [], "mentions": mentions}
+
+    seen_args = []
+
+    def throttler(args):
+        seen_args.append(args)
+        return True
+
+    stage = CandidateStage(
+        [RelationSpec("figfig", ("figL", "figR"), throttler=throttler)]
+    )
+    cands = stage.extract_doc(doc)
+    assert len(cands) == 2
+    assert {tuple(c["arg_stable_ids"]) for c in cands} == {
+        ("d0::figure_mention:0", "d0::figure_mention:1"),
+        ("d0::figure_mention:1", "d0::figure_mention:0"),
+    }
+    # throttlers receive the reconstructed mention objects, never None
+    assert seen_args and all(
+        isinstance(a, ContextMention) for pair in seen_args for a in pair
+    )
+
+
 def test_split_deterministic():
     assert doc_split("abc") == doc_split("abc")
     splits = {doc_split(f"d{i}") for i in range(200)}
