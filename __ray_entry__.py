@@ -15,6 +15,155 @@ from typing import Any
 SUBJ_IN = "('spark','hash','merge','sort')"
 OBJ_IN = "('window','batch','stream','join')"
 
+def _minhash_sig_sql() -> str:
+    """Exact DuckDB reimplementation of the engine's minhash signatures:
+    md5-low-64 token hashes, polynomial k=3 shingle combine mod 2^64,
+    multiply-shift perms ((a*s+b) mod 2^64) >> 1 with the engine's own
+    seeded constants inlined (64-bit multiplies staged through hi/lo 32-bit
+    halves to stay inside HUGEINT)."""
+    from fonduer_ray.functions.dedup import MINHASH_MULT, minhash_params
+
+    a, b = minhash_params()
+    m_hi, m_lo = MINHASH_MULT >> 32, MINHASH_MULT & 0xFFFFFFFF
+    perm_rows = ",".join(
+        f"({j},{int(a[j]) >> 32},{int(a[j]) & 0xFFFFFFFF},{int(b[j])})"
+        for j in range(len(a))
+    )
+    p64, p32 = 1 << 64, 1 << 32
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, i,
+                     CAST(CAST(('0x'||substring(md5(w),1,16)) AS UBIGINT)
+                          AS HUGEINT) AS hv
+              FROM toks
+            ),
+            s1 AS (
+              SELECT h1.doc_id, h1.i,
+                     ((h1.hv * {m_lo}) % {p64}
+                      + ((h1.hv * {m_hi}) % {p32}) * {p32} + h2.hv) % {p64} AS v
+              FROM h h1 JOIN h h2
+                ON h1.doc_id = h2.doc_id AND h2.i = h1.i + 1
+            ),
+            shingles AS (
+              SELECT DISTINCT s1.doc_id,
+                     ((s1.v * {m_lo}) % {p64}
+                      + ((s1.v * {m_hi}) % {p32}) * {p32} + h3.hv) % {p64} AS s
+              FROM s1 JOIN h h3
+                ON h3.doc_id = s1.doc_id AND h3.i = s1.i + 2
+            ),
+            perms(j, a_hi, a_lo, b) AS (VALUES {perm_rows})
+            SELECT doc_id, CAST(j AS BIGINT) AS perm,
+                   CAST(min(((s * a_lo) % {p64}
+                             + ((s * a_hi) % {p32}) * {p32} + b) % {p64} // 2)
+                        AS BIGINT) AS value
+            FROM shingles CROSS JOIN perms
+            GROUP BY doc_id, j
+    """
+
+
+#: exact DuckDB reimplementation of the engine's 64-bit simhash (md5-low-64
+#: token hashes, per-bit majority vote) — `sig` holds (doc_id, usig UBIGINT)
+_ORACLE_SIMHASH_CTE = """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x'||substring(md5(w),1,16)) AS UBIGINT) AS hv
+              FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, r.b AS b,
+                     sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(range(0,64)) AS b) r
+              GROUP BY doc_id, r.b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0
+                         THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS usig
+              FROM bits GROUP BY doc_id
+            )
+"""
+
+#: closed-form feature generation for the docops corpus (flat <p> paragraphs
+#: of 10 tokens, single-word dict mentions, all-lowercase non-numeric
+#: vocabulary, heuristic lemma = identity for the dict words): reproduces
+#: fonduer_ray.stages.feature_stage textual+structural families key-exactly.
+#: Tabular/visual families are provably empty on this corpus (no tables, no
+#: bboxes). `feats` has one row per (candidate, emitted key).
+_ORACLE_FEATS_CTE = f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i,
+                     len(string_split(text,' ')) AS n
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w, i,
+                     CAST(floor((i-1)/10) AS BIGINT) AS blk,
+                     CAST(ceil(n/10.0) AS BIGINT) AS nparas
+              FROM toks
+            ),
+            cand AS (
+              SELECT a.doc_id, a.i AS ai, b.i AS bi, a.w AS aw, b.w AS bw,
+                     a.blk AS blk, a.nparas AS nparas
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND a.blk = b.blk
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN} AND b.w IN {OBJ_IN}
+            ),
+            feats AS (
+              SELECT doc_id, ai, bi, unnest([
+                'SAME_SENTENCE',
+                'LOWEST_ANCESTOR_DEPTH_[0]',
+                'WORD_DIFF_' || CAST(abs(ai-bi)-1 AS VARCHAR),
+                'COMMON_ANCESTOR_[html/body/' ||
+                  CASE WHEN nparas = 1 THEN 'p'
+                       ELSE 'p[' || CAST(blk+1 AS VARCHAR) || ']' END || ']',
+                'e0_WORD_SEQ_[' || aw || ']', 'e0_LEMMA_SEQ_[' || aw || ']',
+                'e0_LENGTH_1', 'e0_SPAN_TYPE_[EXPLICIT]',
+                'e0_TAG_[p]', 'e0_PARENT_TAG_[body]',
+                'e0_ANCESTOR_TAG_[html]', 'e0_ANCESTOR_TAG_[body]',
+                'e1_WORD_SEQ_[' || bw || ']', 'e1_LEMMA_SEQ_[' || bw || ']',
+                'e1_LENGTH_1', 'e1_SPAN_TYPE_[EXPLICIT]',
+                'e1_TAG_[p]', 'e1_PARENT_TAG_[body]',
+                'e1_ANCESTOR_TAG_[html]', 'e1_ANCESTOR_TAG_[body]'
+              ]) AS key
+              FROM cand
+              UNION ALL
+              SELECT c.doc_id, c.ai, c.bi,
+                     'e0_W_LEFT_' || CAST(c.ai - t.i AS VARCHAR) || '_[' || t.w || ']'
+              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
+               AND t.i >= c.ai - 3 AND t.i < c.ai
+              UNION ALL
+              SELECT c.doc_id, c.ai, c.bi,
+                     'e0_W_RIGHT_' || CAST(t.i - c.ai AS VARCHAR) || '_[' || t.w || ']'
+              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
+               AND t.i > c.ai AND t.i <= c.ai + 3
+              UNION ALL
+              SELECT c.doc_id, c.ai, c.bi,
+                     'e1_W_LEFT_' || CAST(c.bi - t.i AS VARCHAR) || '_[' || t.w || ']'
+              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
+               AND t.i >= c.bi - 3 AND t.i < c.bi
+              UNION ALL
+              SELECT c.doc_id, c.ai, c.bi,
+                     'e1_W_RIGHT_' || CAST(t.i - c.bi AS VARCHAR) || '_[' || t.w || ']'
+              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
+               AND t.i > c.bi AND t.i <= c.bi + 3
+              UNION ALL
+              SELECT c.doc_id, c.ai, c.bi, 'BETWEEN_[' || t.w || ']'
+              FROM cand c JOIN pos t ON t.doc_id = c.doc_id
+               AND t.i > least(c.ai, c.bi) AND t.i < greatest(c.ai, c.bi)
+            )
+"""
+
 #: shared by triples_kg (direct pipeline) and triples_kg_spec (declarative
 #: pipeline spec) — identical semantics, identical oracle
 _ORACLE_TRIPLES = f"""
@@ -81,9 +230,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["id_a", "id_b"])
 
     def embedding_dups_lsh(sf_dir: str):
-        return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.4)
+        """(n_bits=3, n_tables=48) gives per-pair miss < 1e-6 at cosine 0.4
+        (p=0.63 per bit), so the LSH result deterministically equals the
+        exact all-pairs set and shares its oracle."""
+        return similarity.embedding_dup_pairs(
+            _emb(sf_dir), threshold=0.4, n_bits=3, n_tables=48
+        ).select_columns(["id_a", "id_b"])
 
     def knn_ivf_q(sf_dir: str) -> pa.Table:
+        """IVF in its exact configuration (nprobe = n_clusters probes every
+        inverted list), so the result provably equals the brute-force top-k
+        and shares its oracle; the pruned nprobe<n_clusters recall path is
+        covered by tests/test_dedup_similarity.py."""
         emb = _emb(sf_dir)
         qrows = emb.filter(expr="vec_id < 10").take_all()
         out = similarity.knn_ivf(
@@ -91,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [r["vec_id"] for r in qrows],
             [r["embedding"] for r in qrows],
             k=5,
+            n_clusters=32,
+            nprobe=32,
         )
         return out.select(["query_id", "neighbor_id", "rank"])
 
@@ -111,6 +271,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def simhash_pairs(sf_dir: str):
         return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+    def minhash_sigs(sf_dir: str):
+        """Signatures exploded to (doc_id, perm, value) scalars so the
+        value-hash compare never sees list columns."""
+        sigs = dedup.minhash_signatures(_docs(sf_dir))
+
+        def explode(t: pa.Table) -> pa.Table:
+            doc_ids, perms, vals = [], [], []
+            for d, sig in zip(t["doc_id"].to_pylist(), t["signature"].to_pylist()):
+                doc_ids.extend([d] * len(sig))
+                perms.extend(range(len(sig)))
+                vals.extend(sig)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "perm": pa.array(perms, pa.int64()),
+                    "value": pa.array(vals, pa.int64()),
+                }
+            )
+
+        return sigs.map_batches(explode, batch_format="pyarrow")
 
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
@@ -154,7 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_rolling": doc_rolling_fp,
         # dedup
         "dedup_exact": lambda sf: dedup.dedup_exact(_docs(sf)),
-        "minhash_signatures": lambda sf: dedup.minhash_signatures(_docs(sf)),
+        "minhash_signatures": minhash_sigs,
         "minhash_dedup_pairs": lambda sf: dedup.minhash_dedup(_docs(sf), threshold=0.8),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(_docs(sf)),
         "simhash_dup_pairs": simhash_pairs,
@@ -432,6 +613,59 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rolling_hash
             FROM documents
         """,
+        "minhash_signatures": _minhash_sig_sql(),
+        "minhash_dedup_pairs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(toks)-2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                       AS grams
+              FROM t WHERE len(toks) >= 3
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE 5 * least(len(a.grams), len(b.grams))
+                    >= 4 * greatest(len(a.grams), len(b.grams))
+            )
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+            FROM p WHERE inter >= 0.8 * (na + nb - inter)
+        """,
+        "simhash_signatures": f"""
+            {_ORACLE_SIMHASH_CTE}
+            SELECT doc_id,
+                   CAST(CASE WHEN usig >= 9223372036854775808::HUGEINT
+                        THEN usig - 18446744073709551616::HUGEINT
+                        ELSE usig END AS BIGINT) AS simhash
+            FROM sig
+        """,
+        "simhash_dup_pairs": f"""
+            {_ORACLE_SIMHASH_CTE}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.usig, b.usig)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.usig, b.usig)) <= 3
+        """,
+        "feature_keys": f"""
+            {_ORACLE_FEATS_CTE}
+            SELECT DISTINCT key FROM feats
+        """,
+        "feature_stats": f"""
+            {_ORACLE_FEATS_CTE},
+            per_cand AS (
+              SELECT doc_id, ai, bi, count(DISTINCT key) AS nk
+              FROM feats GROUP BY doc_id, ai, bi
+            )
+            SELECT doc_id, count(*) AS n_candidates,
+                   CAST(sum(nk) AS BIGINT) AS n_keys
+            FROM per_cand GROUP BY doc_id
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
             FROM documents GROUP BY text
@@ -468,6 +702,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
         """,
+        "knn_ivf": """
+            WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id nid, embedding nv FROM embeddings WHERE vec_id >= 10),
+                 sims AS (SELECT qid, nid,
+                                 list_cosine_similarity(qv, nv) AS s FROM q, c),
+                 ranked AS (SELECT qid, nid,
+                                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                            FROM sims)
+            SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 5
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
                  c AS (SELECT vec_id nid, embedding nv FROM embeddings WHERE vec_id >= 10),
@@ -480,6 +725,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 5
         """,
         "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "embedding_dup_pairs_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4

@@ -47,6 +47,13 @@ def _frac(threshold: float) -> Fraction:
     return Fraction(threshold).limit_denominator(1_000_000)
 
 
+def _md5_64(s: str) -> int:
+    """First 8 bytes (big-endian) of md5 — chosen over blake2b where the
+    DuckDB oracle must recompute the same hash:
+    ``CAST(('0x'||substring(md5(w),1,16)) AS UBIGINT)``."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -75,19 +82,34 @@ def dedup_exact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
+MINHASH_MULT = 0x9E3779B97F4A7C15
+
+
+def minhash_params(num_perm: int = 64, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-shift permutation constants (Dietzfelbinger
+    et al. universal family): odd 64-bit ``a``, 63-bit ``b``. Shared with
+    the DuckDB oracle, which inlines these values."""
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) * np.uint64(2)
+         + np.uint64(1))
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return a, b
+
+
 class MinHasher:
     """Per-doc minhash signatures (stateful: permutation params built once
-    per actor)."""
+    per actor).
+
+    All hashing is DuckDB-reproducible by construction: md5-low-64 token
+    hashes, polynomial shingle combine mod 2^64, multiply-shift perm values
+    ``((a*s + b) mod 2^64) >> 1`` (fits int64)."""
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 17):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.int64)
-        self.mod = np.int64((1 << 61) - 1)
+        self.a, self.b = minhash_params(num_perm, seed)
         self.num_perm = num_perm
         self.k = k
         # per-actor token-hash cache: corpus vocabulary repeats heavily, so
-        # blake2b runs ~once per distinct token per actor, not per occurrence
+        # md5 runs ~once per distinct token per actor, not per occurrence
         self._tok_cache: dict[str, int] = {}
 
     def _token_hashes(self, toks: list[str]) -> np.ndarray:
@@ -96,7 +118,7 @@ class MinHasher:
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = _hash64(t)
+                h = _md5_64(t)
                 if len(cache) < 2_000_000:
                     cache[t] = h
             out[i] = h
@@ -112,16 +134,16 @@ class MinHasher:
             base = np.array([th[0]], dtype=np.uint64)
         else:
             # shingle hash = polynomial combine of k token hashes, fully
-            # vectorized over positions (no per-shingle string join/hash)
+            # vectorized over positions (no per-shingle string join/hash);
+            # uint64 arithmetic wraps mod 2^64 by definition
             base = np.zeros(len(th) - k + 1, dtype=np.uint64)
-            mult = np.uint64(0x9E3779B97F4A7C15)
+            mult = np.uint64(MINHASH_MULT)
             for j in range(k):
                 base = base * mult + th[j : len(th) - k + 1 + j]
             base = np.unique(base)
-        base = (base & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        # (a*x+b) mod p for every (perm, shingle) pair, vectorized
-        vals = (np.outer(self.a, base) + self.b[:, None]) % self.mod
-        return vals.min(axis=1)
+        # multiply-shift per (perm, shingle), min per perm
+        vals = (self.a[:, None] * base[None, :] + self.b[:, None]) >> np.uint64(1)
+        return vals.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [
@@ -515,7 +537,8 @@ def ngram_jaccard_pairs(
 
 
 class SimHasher:
-    """64-bit simhash over token hashes (near-dup docs differ in few bits).
+    """64-bit simhash over md5 token hashes (near-dup docs differ in few
+    bits); md5-low-64 so the DuckDB oracle recomputes signatures exactly.
 
     Vectorized: per doc, one (n_tokens x 64) bit matrix + column sum — no
     per-token Python loop; token hashes memoized per worker (Zipfian
@@ -533,7 +556,7 @@ class SimHasher:
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = _hash64(t)
+                h = _md5_64(t)
                 if len(cache) < 2_000_000:
                     cache[t] = h
             out[i] = h

@@ -329,25 +329,79 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 6,
+    n_tables: int = 1,
+    seed: int = 23,
 ) -> "ray.data.Dataset":
-    """Embedding-cosine near-duplicate pairs via LSH bucketing + in-bucket
-    exact cosine. Near-identical vectors share all hyperplane signs with
-    overwhelming probability, so recall at threshold>=0.99 is ~1."""
+    """Embedding-cosine near-duplicate pairs via multi-table random-
+    hyperplane LSH + in-bucket exact cosine (OR-amplification: a pair is
+    found if it co-buckets in ANY of the ``n_tables`` independent tables;
+    per-pair miss probability (1-p^n_bits)^n_tables for per-bit collision
+    p = 1 - theta/pi). Precision is always 1 (in-bucket exact verify);
+    choose (n_bits, n_tables) for the target recall — fewer bits / more
+    tables for low thresholds, more bits / fewer tables at scale (each
+    table replicates the vectors through the shuffle ONCE; at 100 TB keep
+    n_tables modest and n_bits high so buckets stay small)."""
     import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
 
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0].as_py())
-    bucketed = lsh_buckets(ds, dim, n_bits=n_bits, id_col=id_col, vec_col=vec_col)
+    hashers = [_HyperplaneHasher(dim, n_bits, seed=seed + t) for t in range(n_tables)]
 
-    def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        vecs = _normalize(np.asarray(list(group[vec_col]), dtype=np.float64))
-        sims = vecs @ vecs.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame(
-            {"id_a": a, "id_b": b, "sim": sims[ii, jj]}
+    def to_table_rows(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].cast(pa.int64()).combine_chunks()
+        n = len(batch)
+        tbls, buckets = [], []
+        for t, h in enumerate(hashers):
+            tbls.extend([t] * n)
+            buckets.extend(h.bucket(vecs).tolist())
+        return pa.table(
+            {
+                "tbl": pa.array(tbls, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: pa.concat_arrays([ids] * n_tables),
+                vec_col: pa.concat_arrays(
+                    [batch[vec_col].combine_chunks()] * n_tables
+                ),
+            }
         )
 
-    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")
+    rows = ds.map_batches(to_table_rows, batch_format="pyarrow", batch_size=4096)
+
+    def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in group.groupby(["tbl", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            vecs = _normalize(np.asarray(list(g[vec_col]), dtype=np.float64))
+            sims = vecs @ vecs.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            if not len(ii):
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[ii], ids[jj]),
+                        "id_b": np.maximum(ids[ii], ids[jj]),
+                        "sim": sims[ii, jj],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = hash_groupby(rows, ["tbl", "bucket"], in_bucket_pairs)
+    # a pair found in several tables appears once
+    return hash_groupby(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"])
+    )
