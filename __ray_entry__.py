@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_support": docops.entity_support_counts,
         "feature_keys": docops.feature_keys,
         "feature_stats": docops.feature_stats,
+        "logreg_scores": docops.logreg_scores,
         # relational operator coverage
         "pricing_summary": relational.pricing_summary,
         "revenue_filter": relational.revenue_filter,
@@ -665,6 +666,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_candidates,
                    CAST(sum(nk) AS BIGINT) AS n_keys
             FROM per_cand GROUP BY doc_id
+        """,
+        "logreg_scores": f"""
+            {_ORACLE_FEATS_CTE},
+            dfeats AS (SELECT DISTINCT doc_id, ai, bi, key FROM feats),
+            ylab AS (
+              SELECT doc_id, ai, bi,
+                     CASE WHEN (CASE WHEN abs(ai-bi) <= 1 THEN 1 ELSE 0 END
+                              + CASE WHEN ai < bi THEN 1 ELSE 0 END
+                              - CASE WHEN abs(ai-bi) = 3 THEN 1 ELSE 0 END) > 0
+                          THEN 1 ELSE 0 END AS y
+              FROM cand
+            ),
+            counts AS (
+              SELECT key, sum(y) AS n1k, sum(1-y) AS n0k
+              FROM dfeats JOIN ylab USING (doc_id, ai, bi)
+              GROUP BY key
+            ),
+            tot AS (SELECT sum(y) AS n1, sum(1-y) AS n0 FROM ylab),
+            w AS (
+              SELECT key,
+                     ln((n1k + 1.0)/(n1 + 2.0)) - ln((n0k + 1.0)/(n0 + 2.0)) AS wt
+              FROM counts, tot
+            ),
+            zc AS (
+              SELECT d.doc_id, d.ai, d.bi,
+                     list_reduce(
+                       list_prepend(ln((tot.n1 + 1.0)/(tot.n0 + 1.0)),
+                                    list(wt ORDER BY d.key)),
+                       (acc, x) -> acc + x
+                     ) AS z
+              FROM dfeats d JOIN w ON d.key = w.key, tot
+              GROUP BY d.doc_id, d.ai, d.bi, tot.n1, tot.n0
+            )
+            SELECT doc_id, count(*) AS n_candidates,
+                   min(1.0/(1.0+exp(-z))) AS min_score,
+                   max(1.0/(1.0+exp(-z))) AS max_score
+            FROM zc GROUP BY doc_id
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

@@ -361,6 +361,63 @@ def feature_stats(sf_dir: str) -> "ray.data.Dataset":
     return hash_groupby(feats.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
 
 
+def logreg_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Trained discriminative scorer end-to-end: featurize -> LF-derived
+    labels (vote sum > 0) -> distributed closed-form log-odds fit ->
+    broadcast-weight scoring; per-doc (doc_id, n_candidates, min_score,
+    max_score) so the float compare is order-independent."""
+    from fonduer_ray.stages.feature_stage import featurize
+    from fonduer_ray.stages.label_stage import label, score
+    from fonduer_ray.stages.train_stage import fit_log_odds, score_log_odds
+
+    cand = candidate_docs(sf_dir).materialize()
+    feats = featurize(cand, batch_size=128).materialize()
+
+    sc = score(label(cand, _docops_lfs(), batch_size=128))
+
+    def to_y(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "candidate_stable_id": t["candidate_stable_id"],
+                "y": pa.array(
+                    [1 if p > 0.5 else 0 for p in t["prob"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    y_ds = sc.map_batches(to_y, batch_format="pyarrow")
+    weights, bias = fit_log_odds(feats, y_ds)
+    scored = score_log_odds(feats, weights, bias)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in t["doc_name"].to_pylist()], pa.int64()
+                ),
+                "score": t["score"],
+            }
+        )
+
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", sort=False)
+            .agg(
+                n_candidates=("score", "size"),
+                min_score=("score", "min"),
+                max_score=("score", "max"),
+            )
+            .reset_index()
+        )
+
+    return hash_groupby(scored.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
+
+
 def triples(sf_dir: str) -> "ray.data.Dataset":
     """Full KG path on driver data: candidates -> LF score -> canonicalize
     (salted) -> dedup; returns (subj, pred, obj, support). Doc-local steps

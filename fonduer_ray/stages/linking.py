@@ -46,14 +46,13 @@ def _salt_of(surface: str, n_salts: int) -> int:
     return zlib.crc32(surface.encode()) % n_salts
 
 
-def build_canonical_map(
+def build_canonical_table(
     ds: "ray.data.Dataset", columns: list[str], n_salts: int = 16
-) -> dict[str, str]:
-    """Compute {normalized form -> canonical surface} over the given surface
-    columns of ``ds`` using the salted two-phase aggregate described above.
-
-    Returns a plain dict (entity vocabulary — small by construction); callers
-    broadcast it with ``ray.put``."""
+) -> "ray.data.Dataset":
+    """Distributed {norm -> canonical surface} table ``(norm, canonical)``:
+    the fully-streaming form of the canonical map (nothing driver-side),
+    used directly by the shuffle-join path of ``link_triples`` when the
+    entity vocabulary is too large to broadcast."""
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         # per-block combiner: collapse duplicate (norm, surface) pairs early
@@ -97,19 +96,30 @@ def build_canonical_map(
             .reset_index()
         )
 
-    final = hash_groupby(pairs, ["norm", "surface"], sum_agg)
-    best: dict[str, tuple[int, str]] = {}
-    for batch in final.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for norm, surface, cnt in zip(
-            batch["norm"].to_pylist(),
-            batch["surface"].to_pylist(),
-            batch["cnt"].to_pylist(),
-        ):
-            cur = best.get(norm)
-            cand = (-cnt, surface)
-            if cur is None or cand < cur:
-                best[norm] = cand
-    return {norm: surface for norm, (_, surface) in best.items()}
+    summed = hash_groupby(pairs, ["norm", "surface"], sum_agg)
+
+    # canonical = most frequent surface, ties lexicographically smallest
+    def best_agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["norm", "cnt", "surface"], ascending=[True, False, True])
+        out = df.drop_duplicates("norm", keep="first")
+        return out[["norm", "surface"]].rename(columns={"surface": "canonical"})
+
+    return hash_groupby(summed, ["norm"], best_agg)
+
+
+def build_canonical_map(
+    ds: "ray.data.Dataset", columns: list[str], n_salts: int = 16
+) -> dict[str, str]:
+    """Driver-side dict form of ``build_canonical_table`` for the broadcast
+    join path. Only call when the vocabulary is known/guarded small —
+    ``link_triples`` counts first and falls back to the shuffle join."""
+    out: dict[str, str] = {}
+    tbl = build_canonical_table(ds, columns, n_salts=n_salts)
+    for batch in tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.update(
+            zip(batch["norm"].to_pylist(), batch["canonical"].to_pylist())
+        )
+    return out
 
 
 def entity_support(
@@ -169,12 +179,26 @@ def entity_support(
     return final.map_batches(drop_salt, batch_format="pyarrow")
 
 
+#: above this many distinct norms the canonical map is not broadcast as a
+#: driver dict (a 100 TB web KG's vocabulary easily reaches 10^8 rows /
+#: multi-GB) — link_triples switches to a hash-partition shuffle join
+BROADCAST_NORM_LIMIT = 2_000_000
+
+
 def link_triples(
-    triples: "ray.data.Dataset", n_salts: int = 16
+    triples: "ray.data.Dataset",
+    n_salts: int = 16,
+    broadcast_limit: int = BROADCAST_NORM_LIMIT,
 ) -> "ray.data.Dataset":
-    """Canonicalize subj/obj of a raw triple table via a broadcast canonical
-    map; emits the same schema with canonical surfaces + ``subj_norm``/
-    ``obj_norm`` keys.
+    """Canonicalize subj/obj of a raw triple table; emits the same schema
+    with canonical surfaces + ``subj_norm``/``obj_norm`` keys.
+
+    Size-guarded join strategy: the distinct-norm count is measured first
+    (a cheap aggregate over the already-materialized canonical table).
+    Below ``broadcast_limit`` the map broadcasts once via ``ray.put`` and
+    applies inside ``map_batches`` (no shuffle of the triples). Above it,
+    canonicalization becomes two hash-partition ``Dataset.join``s against
+    the distributed canonical table — nothing driver-sized.
 
     The input is materialized first: it is consumed twice (canonical-map
     aggregate + canonical application), and without pinning, the second pass
@@ -192,23 +216,86 @@ def link_triples(
     n_blocks = triples.num_blocks()
     if n_blocks > 2 * cpus and triples.count() / max(n_blocks, 1) < 50_000:
         triples = triples.repartition(2 * cpus).materialize()
-    canon = build_canonical_map(triples, ["subj", "obj"], n_salts=n_salts)
-    canon_ref = ray.put(canon)
 
-    def apply_canon(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(canon_ref)
+    canon_tbl = build_canonical_table(triples, ["subj", "obj"], n_salts=n_salts).materialize()
+    n_norms = canon_tbl.count()
+
+    def add_norms(batch: pa.Table) -> pa.Table:
         subj_norm = [normalize_surface(s) for s in batch["subj"].to_pylist()]
         obj_norm = [normalize_surface(s) for s in batch["obj"].to_pylist()]
-        subj_canon = [cmap.get(n, n) for n in subj_norm]
-        obj_canon = [cmap.get(n, n) for n in obj_norm]
-        out = batch.drop_columns(["subj", "obj"])
-        out = out.append_column("subj", pa.array(subj_canon, pa.string()))
-        out = out.append_column("obj", pa.array(obj_canon, pa.string()))
-        out = out.append_column("subj_norm", pa.array(subj_norm, pa.string()))
-        out = out.append_column("obj_norm", pa.array(obj_norm, pa.string()))
-        return out
+        out = batch.append_column("subj_norm", pa.array(subj_norm, pa.string()))
+        return out.append_column("obj_norm", pa.array(obj_norm, pa.string()))
 
-    return triples.map_batches(apply_canon, batch_format="pyarrow")
+    with_norms = triples.map_batches(add_norms, batch_format="pyarrow")
+
+    if n_norms <= broadcast_limit:
+        canon: dict[str, str] = {}
+        for batch in canon_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            canon.update(zip(batch["norm"].to_pylist(), batch["canonical"].to_pylist()))
+        canon_ref = ray.put(canon)
+
+        def apply_canon(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(canon_ref)
+            subj_norm = batch["subj_norm"].to_pylist()
+            obj_norm = batch["obj_norm"].to_pylist()
+            out = batch.drop_columns(["subj", "obj"])
+            out = out.append_column(
+                "subj", pa.array([cmap.get(n, n) for n in subj_norm], pa.string())
+            )
+            return out.append_column(
+                "obj", pa.array([cmap.get(n, n) for n in obj_norm], pa.string())
+            )
+
+        return with_norms.map_batches(apply_canon, batch_format="pyarrow")
+
+    # shuffle-join path: hash-partition the triples and the canonical table
+    # on the norm key, once per side (subj, then obj)
+    n_parts = max(2 * cpus, 8)
+
+    def _renamer(names: list[str]):
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(names)
+
+        return rename
+
+    canon_subj = canon_tbl.map_batches(
+        _renamer(["norm", "_subj_canon"]), batch_format="pyarrow"
+    )
+    canon_obj = canon_tbl.map_batches(
+        _renamer(["_obj_key", "_obj_canon"]), batch_format="pyarrow"
+    )
+    joined = with_norms.drop_columns(["subj"]).join(
+        canon_subj,
+        "left_outer",
+        num_partitions=n_parts,
+        on=("subj_norm",),
+        right_on=("norm",),
+    )
+    joined = joined.join(
+        canon_obj,
+        "left_outer",
+        num_partitions=n_parts,
+        on=("obj_norm",),
+        right_on=("_obj_key",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        subj = [
+            c if c is not None else n
+            for c, n in zip(batch["_subj_canon"].to_pylist(), batch["subj_norm"].to_pylist())
+        ]
+        obj_c = [
+            c if c is not None else n
+            for c, n in zip(batch["_obj_canon"].to_pylist(), batch["obj_norm"].to_pylist())
+        ]
+        out = batch.drop_columns(
+            [c for c in ("obj", "_subj_canon", "_obj_canon", "norm", "_obj_key")
+             if c in batch.column_names]
+        )
+        out = out.append_column("subj", pa.array(subj, pa.string()))
+        return out.append_column("obj", pa.array(obj_c, pa.string()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -1,0 +1,143 @@
+"""Trained discriminative scorer over the sparse feature matrix.
+
+Replaces the reference's sparse-feature LogisticRegression head
+(``learning/task.py:178-204``: an Emmental ``SparseLinear`` over FeatureKey
+indices) with a **closed-form log-odds fit** that keeps the same serving
+shape — per-key weights + bias, scored as ``sigmoid(bias + sum of weights
+over the candidate's present keys)`` — while being exactly reproducible by
+the DuckDB oracle (an iterative SGD fit would not be).
+
+Distributed layout (nothing trains driver-side):
+
+1. features ``(candidate_stable_id, keys)`` join labels ``(candidate_
+   stable_id, y)`` — a hash-partition ``Dataset.join`` on the stable id.
+2. per-key class counts: per-block combiner dicts -> ``hash_groupby`` sum
+   (the partial-gradient pattern: each block contributes one partial count
+   row per key it saw).
+3. weights ``w_k = ln((n_k1+a)/(n1+2a)) - ln((n_k0+a)/(n0+2a))``, bias
+   ``ln((n1+a)/(n0+a))`` (Laplace-smoothed log odds).
+4. scoring: weights broadcast once via ``ray.put``; a stateless
+   ``map_batches`` computes ``sigmoid(bias + sum w_k)``, summing in sorted
+   key order so the float result is order-deterministic (bit-identical to
+   the oracle's ``list_reduce`` over ``list(wt ORDER BY key)``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from fonduer_ray.stages.util import hash_groupby
+
+
+def fit_log_odds(
+    feats: "ray.data.Dataset",
+    y_ds: "ray.data.Dataset",
+    alpha: float = 1.0,
+    num_partitions: int | None = None,
+) -> tuple[dict[str, float], float]:
+    """Closed-form discriminative fit; returns ``(weights, bias)``.
+
+    ``feats``: rows with ``candidate_stable_id`` and ``keys`` (distinct per
+    candidate). ``y_ds``: rows ``(candidate_stable_id, y)`` with y in {0,1}.
+    The collected weight dict is vocabulary-sized (the reference's
+    FeatureKey table analog) — at a 10^8-key web vocabulary, shard the
+    weight table and switch scoring to a shuffle join exactly like
+    ``linking.link_triples`` does for the canonical map."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2 * cpus, 8)
+
+    # Arrow hash joins reject list-typed payload columns — carry the key
+    # list through the join as one newline-delimited string
+    def pack_keys(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "candidate_stable_id": batch["candidate_stable_id"],
+                "packed_keys": pa.array(
+                    ["\n".join(k) for k in batch["keys"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    joined = feats.map_batches(pack_keys, batch_format="pyarrow").join(
+        y_ds,
+        "inner",
+        num_partitions=num_partitions,
+        on=("candidate_stable_id",),
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        for packed, y in zip(
+            batch["packed_keys"].to_pylist(), batch["y"].to_pylist()
+        ):
+            for k in packed.split("\n") if packed else []:
+                c = counts.get(k)
+                if c is None:
+                    c = counts[k] = [0, 0]
+                c[y] += 1
+        return pa.table(
+            {
+                "key": pa.array(list(counts), pa.string()),
+                "n0": pa.array([c[0] for c in counts.values()], pa.int64()),
+                "n1": pa.array([c[1] for c in counts.values()], pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("key", sort=False)
+            .agg(n0=("n0", "sum"), n1=("n1", "sum"))
+            .reset_index()
+        )
+
+    per_key = hash_groupby(
+        joined.map_batches(partial_counts, batch_format="pyarrow"), ["key"], sum_counts
+    )
+
+    n1 = int(y_ds.sum("y") or 0)
+    n0 = int(y_ds.count()) - n1
+
+    weights: dict[str, float] = {}
+    for batch in per_key.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, c0, c1 in zip(
+            batch["key"].to_pylist(), batch["n0"].to_pylist(), batch["n1"].to_pylist()
+        ):
+            weights[k] = math.log((c1 + alpha) / (n1 + 2 * alpha)) - math.log(
+                (c0 + alpha) / (n0 + 2 * alpha)
+            )
+    bias = math.log((n1 + alpha) / (n0 + alpha))
+    return weights, bias
+
+
+def score_log_odds(
+    feats: "ray.data.Dataset", weights: dict[str, float], bias: float
+) -> "ray.data.Dataset":
+    """Apply the trained weights: ``(doc_name, candidate_stable_id, score)``.
+    Keys are summed in sorted order so float accumulation is deterministic."""
+    weights_ref = ray.put(weights)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        w = ray.get(weights_ref)
+        scores = []
+        for keys in batch["keys"].to_pylist():
+            z = bias
+            for k in sorted(keys):
+                z += w.get(k, 0.0)
+            scores.append(1.0 / (1.0 + math.exp(-z)))
+        return pa.table(
+            {
+                "doc_name": batch["doc_name"],
+                "candidate_stable_id": batch["candidate_stable_id"],
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(apply, batch_format="pyarrow")

@@ -175,3 +175,11 @@ def test_linking_under_head_entity_skew(ray_session):
     assert support["RAYDATA"] == n_head
     assert support["X"] == len(subj)
     assert sum(v for k, v in support.items() if k.startswith("ENT")) == n_tail
+
+    # the shuffle-join path (vocabulary above the broadcast guard) must
+    # produce exactly the broadcast path's output
+    joined = link_triples(ds, broadcast_limit=0)
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["doc_name"])
+    assert sorted(map(key, joined.take_all())) == sorted(
+        map(key, linked.take_all())
+    )

@@ -141,6 +141,48 @@ def test_label_and_score(doc_ds):
     assert all(0.0 <= r["prob"] <= 1.0 for r in probs)
 
 
+def test_log_odds_trained_scorer(ray_session):
+    """Closed-form log-odds fit separates candidates by their feature keys:
+    a key perfectly correlated with y gets a positive weight and the scorer
+    ranks positives above negatives."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from fonduer_ray.stages.train_stage import fit_log_odds, score_log_odds
+
+    n = 200
+    rows = pa.table(
+        {
+            "doc_name": [f"d{i}" for i in range(n)],
+            "candidate_stable_id": [f"c{i}" for i in range(n)],
+            "keys": [
+                ["COMMON", "POS_KEY" if i % 2 == 0 else "NEG_KEY"]
+                for i in range(n)
+            ],
+        }
+    )
+    feats = rd.from_arrow(rows)
+    y = rd.from_arrow(
+        pa.table(
+            {
+                "candidate_stable_id": [f"c{i}" for i in range(n)],
+                "y": [1 if i % 2 == 0 else 0 for i in range(n)],
+            }
+        )
+    )
+    w, bias = fit_log_odds(feats, y)
+    assert w["POS_KEY"] > 0 > w["NEG_KEY"]
+    scored = {
+        r["candidate_stable_id"]: r["score"]
+        for r in score_log_odds(feats, w, bias).take_all()
+    }
+    assert scored["c0"] > 0.5 > scored["c1"]
+    # deterministic: same fit twice -> identical weights
+    w2, bias2 = fit_log_odds(feats, y)
+    assert w == w2 and bias == bias2
+
+
 def test_parse_error_side_channel(ray_session):
     """Unparseable pages surface on an explicit error side-channel instead of
     the reference's silent drop (parser.py:257-264)."""
