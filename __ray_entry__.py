@@ -91,78 +91,210 @@ _ORACLE_SIMHASH_CTE = """
             )
 """
 
-#: closed-form feature generation for the docops corpus (flat <p> paragraphs
-#: of 10 tokens, single-word dict mentions, all-lowercase non-numeric
-#: vocabulary, heuristic lemma = identity for the dict words): reproduces
-#: fonduer_ray.stages.feature_stage textual+structural families key-exactly.
-#: Tabular/visual families are provably empty on this corpus (no tables, no
-#: bboxes). `feats` has one row per (candidate, emitted key).
-_ORACLE_FEATS_CTE = f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(string_split(text,' ')) AS w,
-                     generate_subscripts(string_split(text,' '),1) AS i,
-                     len(string_split(text,' ')) AS n
-              FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, w, i,
-                     CAST(floor((i-1)/10) AS BIGINT) AS blk,
-                     CAST(ceil(n/10.0) AS BIGINT) AS nparas
-              FROM toks
-            ),
-            cand AS (
-              SELECT a.doc_id, a.i AS ai, b.i AS bi, a.w AS aw, b.w AS bw,
-                     a.blk AS blk, a.nparas AS nparas
-              FROM pos a JOIN pos b
-                ON a.doc_id = b.doc_id AND a.blk = b.blk
-               AND abs(a.i - b.i) <= 3
-               AND a.w IN {SUBJ_IN} AND b.w IN {OBJ_IN}
-            ),
-            feats AS (
-              SELECT doc_id, ai, bi, unnest([
-                'SAME_SENTENCE',
-                'LOWEST_ANCESTOR_DEPTH_[0]',
-                'WORD_DIFF_' || CAST(abs(ai-bi)-1 AS VARCHAR),
-                'COMMON_ANCESTOR_[html/body/' ||
-                  CASE WHEN nparas = 1 THEN 'p'
-                       ELSE 'p[' || CAST(blk+1 AS VARCHAR) || ']' END || ']',
-                'e0_WORD_SEQ_[' || aw || ']', 'e0_LEMMA_SEQ_[' || aw || ']',
-                'e0_LENGTH_1', 'e0_SPAN_TYPE_[EXPLICIT]',
-                'e0_TAG_[p]', 'e0_PARENT_TAG_[body]',
-                'e0_ANCESTOR_TAG_[html]', 'e0_ANCESTOR_TAG_[body]',
-                'e1_WORD_SEQ_[' || bw || ']', 'e1_LEMMA_SEQ_[' || bw || ']',
-                'e1_LENGTH_1', 'e1_SPAN_TYPE_[EXPLICIT]',
-                'e1_TAG_[p]', 'e1_PARENT_TAG_[body]',
-                'e1_ANCESTOR_TAG_[html]', 'e1_ANCESTOR_TAG_[body]'
-              ]) AS key
-              FROM cand
-              UNION ALL
-              SELECT c.doc_id, c.ai, c.bi,
-                     'e0_W_LEFT_' || CAST(c.ai - t.i AS VARCHAR) || '_[' || t.w || ']'
-              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
-               AND t.i >= c.ai - 3 AND t.i < c.ai
-              UNION ALL
-              SELECT c.doc_id, c.ai, c.bi,
-                     'e0_W_RIGHT_' || CAST(t.i - c.ai AS VARCHAR) || '_[' || t.w || ']'
-              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
-               AND t.i > c.ai AND t.i <= c.ai + 3
-              UNION ALL
-              SELECT c.doc_id, c.ai, c.bi,
-                     'e1_W_LEFT_' || CAST(c.bi - t.i AS VARCHAR) || '_[' || t.w || ']'
-              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
-               AND t.i >= c.bi - 3 AND t.i < c.bi
-              UNION ALL
-              SELECT c.doc_id, c.ai, c.bi,
-                     'e1_W_RIGHT_' || CAST(t.i - c.bi AS VARCHAR) || '_[' || t.w || ']'
-              FROM cand c JOIN pos t ON t.doc_id = c.doc_id AND t.blk = c.blk
-               AND t.i > c.bi AND t.i <= c.bi + 3
-              UNION ALL
-              SELECT c.doc_id, c.ai, c.bi, 'BETWEEN_[' || t.w || ']'
-              FROM cand c JOIN pos t ON t.doc_id = c.doc_id
-               AND t.i > least(c.ai, c.bi) AND t.i < greatest(c.ai, c.bi)
-            )
-"""
+def _feats_cte_sql() -> str:
+    """Closed-form SQL generation of the ENGINE'S FULL textual+structural
+    feature families on the docops corpus (flat <p> paragraphs of 10
+    tokens, single-word dict mentions, flat heuristic dep tree: token 0 =
+    root, others attach to it). Lemma/POS rules are inlined from
+    ``fonduer_ray.parser.lingual`` so the SQL tracks the engine's heuristic
+    tagger. Tabular/visual families are provably empty on this corpus (no
+    tables, no bboxes). ``feats`` = one row per (candidate, emitted key),
+    duplicates possible — consumers must DISTINCT."""
+    from fonduer_ray.parser.lingual import (
+        _CONJUNCTIONS,
+        _DETERMINERS,
+        _PREPOSITIONS,
+        _PRONOUNS,
+    )
+
+    def in_list(words) -> str:
+        return "(" + ",".join(f"'{w}'" for w in sorted(words)) + ")"
+
+    lemma_expr = """
+        CASE WHEN len(w) > 3 AND w LIKE '%ies'
+               THEN substring(w, 1, len(w)-3) || 'y'
+             WHEN len(w) > 3 AND w LIKE '%s' AND NOT w LIKE '%ss'
+               THEN substring(w, 1, len(w)-1)
+             ELSE w END"""
+    pos_expr = f"""
+        CASE WHEN regexp_matches(w, '^[+-]?[0-9]+(?:[.,][0-9]+)*$') THEN 'CD'
+             WHEN w IN {in_list(_DETERMINERS)} THEN 'DT'
+             WHEN w IN {in_list(_PREPOSITIONS)} THEN 'IN'
+             WHEN w IN {in_list(_CONJUNCTIONS)} THEN 'CC'
+             WHEN w IN {in_list(_PRONOUNS)} THEN 'PRP'
+             WHEN w LIKE '%ing' AND len(w) > 4 THEN 'VBG'
+             WHEN w LIKE '%ed' AND len(w) > 3 THEN 'VBD'
+             WHEN w LIKE '%ly' AND len(w) > 3 THEN 'RB'
+             WHEN regexp_matches(w, '^[A-Z][a-z]+')
+                  OR regexp_matches(w, '^[A-Z]{{2,}}[0-9]*$') THEN 'NNP'
+             ELSE 'NN' END"""
+    dep_expr = "CASE WHEN j = 0 THEN 'ROOT' ELSE 'dep' END"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(text,' ')) AS w,
+                 generate_subscripts(string_split(text,' '),1) AS i,
+                 len(string_split(text,' ')) AS n
+          FROM documents
+        ),
+        pos0 AS (
+          SELECT doc_id, w, i,
+                 CAST(floor((i-1)/10) AS BIGINT) AS blk,
+                 CAST((i-1)%10 AS BIGINT) AS j,
+                 CAST(ceil(n/10.0) AS BIGINT) AS nparas,
+                 {lemma_expr} AS lemma,
+                 {pos_expr} AS pos
+          FROM toks
+        ),
+        blocks AS (
+          SELECT doc_id, blk,
+                 list(w ORDER BY i) AS ws,
+                 list(lemma ORDER BY i) AS ls,
+                 list(pos ORDER BY i) AS ps,
+                 CAST(count(*) AS BIGINT) AS L
+          FROM pos0 GROUP BY doc_id, blk
+        ),
+        cand AS (
+          SELECT a.doc_id, a.i AS ai, b.i AS bi, a.blk AS blk,
+                 a.nparas AS nparas, a.j AS ja, b.j AS jb
+          FROM pos0 a JOIN pos0 b
+            ON a.doc_id = b.doc_id AND a.blk = b.blk
+           AND abs(a.i - b.i) <= 3
+           AND a.w IN {SUBJ_IN} AND b.w IN {OBJ_IN}
+        ),
+        args AS (
+          SELECT doc_id, ai, bi, blk, 0 AS argno, ja AS j FROM cand
+          UNION ALL
+          SELECT doc_id, ai, bi, blk, 1, jb FROM cand
+        ),
+        ap AS (
+          SELECT g.doc_id, g.ai, g.bi, g.j, g.j + 1 AS jj,
+                 'e' || CAST(g.argno AS VARCHAR) || '_' AS p,
+                 b.ws, b.ls, b.ps, b.L
+          FROM args g JOIN blocks b ON b.doc_id = g.doc_id AND b.blk = g.blk
+        ),
+        feats AS (
+          -- per-arg sequence / constant / structural / TDL-mention keys
+          SELECT doc_id, ai, bi, unnest([
+            p || 'WORD_SEQ_[' || ws[jj] || ']',
+            p || 'LEMMA_SEQ_[' || ls[jj] || ']',
+            p || 'POS_SEQ_[' || ps[jj] || ']',
+            p || 'DEP_SEQ_[' || {dep_expr} || ']',
+            p || 'CONTAINS_WORDS_[' || ws[jj] || ']',
+            p || 'LENGTH_1',
+            p || 'SPAN_TYPE_[EXPLICIT]',
+            p || 'TAG_[p]',
+            p || 'PARENT_TAG_[body]',
+            p || 'ANCESTOR_TAG_[html]',
+            p || 'ANCESTOR_TAG_[body]',
+            p || 'TDL_MENTION_LEMMA_[' || ls[jj] || ']',
+            p || 'TDL_MENTION_DEP_[' || {dep_expr} || ']',
+            p || 'TDL_MENTION_DEP_LEMMA_[' || {dep_expr} || '|' || ls[jj] || ']'
+          ]) AS key
+          FROM ap
+          UNION ALL  -- isolated lemma/POS windows (window 3, joined)
+          SELECT ap.doc_id, ap.ai, ap.bi, unnest([
+            p || 'W_LEFT_' || CAST(nn AS VARCHAR) || '_['
+              || array_to_string(ls[jj-nn : jj-1], ' ') || ']',
+            p || 'W_LEFT_POS_' || CAST(nn AS VARCHAR) || '_['
+              || array_to_string(ps[jj-nn : jj-1], ' ') || ']'
+          ])
+          FROM ap CROSS JOIN (SELECT unnest(range(1,4)) AS nn) r
+          WHERE nn <= j
+          UNION ALL
+          SELECT ap.doc_id, ap.ai, ap.bi, unnest([
+            p || 'W_RIGHT_' || CAST(nn AS VARCHAR) || '_['
+              || array_to_string(ls[jj+1 : jj+nn], ' ') || ']',
+            p || 'W_RIGHT_POS_' || CAST(nn AS VARCHAR) || '_['
+              || array_to_string(ps[jj+1 : jj+nn], ' ') || ']'
+          ])
+          FROM ap CROSS JOIN (SELECT unnest(range(1,4)) AS nn) r
+          WHERE nn <= L - 1 - j
+          UNION ALL  -- left x right combination grid
+          SELECT ap.doc_id, ap.ai, ap.bi, unnest([
+            p || 'W_LEMMA_L_' || CAST(n1 AS VARCHAR) || '_R_' || CAST(n2 AS VARCHAR)
+              || '_[' || array_to_string(ls[jj-n1 : jj-1], ' ')
+              || ']_[' || array_to_string(ls[jj+1 : jj+n2], ' ') || ']',
+            p || 'W_POS_L_' || CAST(n1 AS VARCHAR) || '_R_' || CAST(n2 AS VARCHAR)
+              || '_[' || array_to_string(ps[jj-n1 : jj-1], ' ')
+              || ']_[' || array_to_string(ps[jj+1 : jj+n2], ' ') || ']'
+          ])
+          FROM ap CROSS JOIN (SELECT unnest(range(1,4)) AS n1) r1
+                  CROSS JOIN (SELECT unnest(range(1,4)) AS n2) r2
+          WHERE n1 <= j AND n2 <= L - 1 - j
+          UNION ALL  -- LEFT_WORDS 1-grams (window 7)
+          SELECT ap.doc_id, ap.ai, ap.bi,
+                 p || 'LEFT_WORDS_[' || ws[jj-d] || ']'
+          FROM ap CROSS JOIN (SELECT unnest(range(1,8)) AS d) r
+          WHERE d <= least(7, j)
+          UNION ALL  -- LEFT_WORDS 2-grams
+          SELECT ap.doc_id, ap.ai, ap.bi,
+                 p || 'LEFT_WORDS_[' || ws[jj-d] || ' ' || ws[jj-d+1] || ']'
+          FROM ap CROSS JOIN (SELECT unnest(range(2,8)) AS d) r
+          WHERE d <= least(7, j)
+          UNION ALL  -- RIGHT_WORDS 1-grams
+          SELECT ap.doc_id, ap.ai, ap.bi,
+                 p || 'RIGHT_WORDS_[' || ws[jj+d] || ']'
+          FROM ap CROSS JOIN (SELECT unnest(range(1,8)) AS d) r
+          WHERE d <= least(7, L - 1 - j)
+          UNION ALL  -- RIGHT_WORDS 2-grams
+          SELECT ap.doc_id, ap.ai, ap.bi,
+                 p || 'RIGHT_WORDS_[' || ws[jj+d] || ' ' || ws[jj+d+1] || ']'
+          FROM ap CROSS JOIN (SELECT unnest(range(1,7)) AS d) r
+          WHERE d + 1 <= least(7, L - 1 - j)
+          UNION ALL  -- TDL parent chain (flat tree: 1 hop to token 0)
+          SELECT doc_id, ai, bi, p || 'TDL_PARENT_NGRAM_[' || ls[1] || ']'
+          FROM ap WHERE j > 0
+          UNION ALL  -- TDL children ngrams (root mention: tokens 1..L-1)
+          SELECT ap.doc_id, ap.ai, ap.bi,
+                 p || 'TDL_CHILD_NGRAM_['
+                   || array_to_string(ls[s : s+nn-1], ' ') || ']'
+          FROM ap CROSS JOIN (SELECT unnest(range(1,4)) AS nn) r1
+                  CROSS JOIN (SELECT unnest(range(2,11)) AS s) r2
+          WHERE j = 0 AND s + nn - 1 <= L
+          UNION ALL  -- TDL nearest siblings (children of token 0)
+          SELECT doc_id, ai, bi, unnest([
+            p || 'TDL_LEFT_SIB_LEMMA_[' || ls[jj-1] || ']',
+            p || 'TDL_LEFT_SIB_DEP_[dep]'
+          ]) FROM ap WHERE j >= 2
+          UNION ALL
+          SELECT doc_id, ai, bi, unnest([
+            p || 'TDL_RIGHT_SIB_LEMMA_[' || ls[jj+1] || ']',
+            p || 'TDL_RIGHT_SIB_DEP_[dep]'
+          ]) FROM ap WHERE j >= 1 AND jj + 1 <= L
+          UNION ALL  -- pair-level constants
+          SELECT doc_id, ai, bi, unnest([
+            'SAME_SENTENCE',
+            'WORD_DIFF_' || CAST(abs(ai-bi)-1 AS VARCHAR),
+            'LOWEST_ANCESTOR_DEPTH_[0]',
+            'COMMON_ANCESTOR_[html/body/' ||
+              CASE WHEN nparas = 1 THEN 'p'
+                   ELSE 'p[' || CAST(blk+1 AS VARCHAR) || ']' END || ']',
+            'TDL_BTWN_LEN_' || CASE WHEN ja = 0 OR jb = 0 THEN '2' ELSE '3' END
+          ]) FROM cand
+          UNION ALL  -- between words
+          SELECT c.doc_id, c.ai, c.bi, 'BETWEEN_[' || t.w || ']'
+          FROM cand c JOIN pos0 t ON t.doc_id = c.doc_id
+           AND t.i > least(c.ai, c.bi) AND t.i < greatest(c.ai, c.bi)
+          UNION ALL  -- dep path between the two mentions (flat tree)
+          SELECT c.doc_id, c.ai, c.bi, unnest([
+            'TDL_BTWN_LEMMA_[' ||
+              CASE WHEN ja = 0 THEN b.ls[1] || ' ' || b.ls[jb+1]
+                   WHEN jb = 0 THEN b.ls[ja+1] || ' ' || b.ls[1]
+                   ELSE b.ls[ja+1] || ' ' || b.ls[1] || ' ' || b.ls[jb+1]
+              END || ']',
+            'TDL_BTWN_DEP_[' ||
+              CASE WHEN ja = 0 THEN 'ROOT dep'
+                   WHEN jb = 0 THEN 'dep ROOT'
+                   ELSE 'dep ROOT dep'
+              END || ']'
+          ])
+          FROM cand c JOIN blocks b ON b.doc_id = c.doc_id AND b.blk = c.blk
+        )
+    """
+
+
+_ORACLE_FEATS_CTE = _feats_cte_sql()
 
 #: shared by triples_kg (direct pipeline) and triples_kg_spec (declarative
 #: pipeline spec) — identical semantics, identical oracle

@@ -37,31 +37,92 @@ FeatureFn = Callable[[list[Span], dict], list[str]]
 _WINDOW = 3
 
 
+def _float_fold(lemma: str) -> str:
+    """Reference _NUMBER folding (``textual_features.py:175-179``): any
+    lemma that parses as a float becomes ``_NUMBER``."""
+    try:
+        float(lemma)
+        return "_NUMBER"
+    except ValueError:
+        return lemma
+
+
 def textual_features(spans: list[Span], doc: dict) -> list[str]:
-    """DDLib-style sequence/window features (``textual_features.py:34-283``):
-    span word/lemma sequence, +/-window lemma unigrams, capitalization,
-    length, implicit/explicit span type; ``_NUMBER`` lemma folding."""
+    """Full DDLIB + dep-tree textual family (``textual_features.py:34-283``):
+
+    - sequence features WORD/LEMMA/POS/DEP_SEQ (``_get_seq_features``);
+    - isolated lemma+POS windows ``W_LEFT_{n}``/``W_RIGHT_{n}`` (joined
+      n-nearest, window 3) and the full left-x-right combination grid
+      ``W_LEMMA_L_{i}_R_{j}`` / ``W_POS_L_{i}_R_{j}``
+      (``_get_window_features``; the reference's negative-index wraparound
+      on the left window is NOT replicated — windows stop at the sentence
+      start); float-parse ``_NUMBER`` lemma folding;
+    - BASIC word features: ``CONTAINS_WORDS`` 1-2grams of the span,
+      ``LEFT_WORDS``/``RIGHT_WORDS`` 1-2grams within a 7-token window
+      (``_get_word_feats``), span type / capitalization / length;
+    - TreeDLib dep-tree templates per span and the between-path indicators
+      for binary relations (``functions/depfeats.py``).
+
+    Engine pair features SAME_SENTENCE / BETWEEN_ / WORD_DIFF_ complete the
+    family (the reference keeps these in its tabular module,
+    ``tabular_features.py:160-175``)."""
+    from fonduer_ray.functions.depfeats import (
+        entity_dep_features,
+        relation_dep_features,
+    )
+    from fonduer_ray.functions.dmu import get_left_ngrams, get_right_ngrams
+
     feats: list[str] = []
     for i, span in enumerate(spans):
         if span is None:
             continue
         p = f"e{i}_" if len(spans) > 1 else ""
         words = span.get_attrib_tokens("words")
-        lemmas = [_fold_num(w) for w in span.get_attrib_tokens("lemmas") or [w.lower() for w in words]]
+        s = span.sentence
+        sent_lemmas = s.get("lemmas") or [w.lower() for w in s["words"]]
+        sent_pos = s.get("pos_tags") or [""] * len(s["words"])
+        sent_deps = s.get("dep_labels") or [""] * len(s["words"])
+        ws, we = span.get_word_start_index(), span.get_word_end_index()
+        lemmas = [_float_fold(w) for w in span.get_attrib_tokens("lemmas") or [w.lower() for w in words]]
+        # sequence features
         feats.append(f"{p}WORD_SEQ_[{' '.join(words)}]")
         feats.append(f"{p}LEMMA_SEQ_[{' '.join(lemmas)}]")
-        ws, we = span.get_word_start_index(), span.get_word_end_index()
-        sent_words = span.sentence["words"]
-        for k, w in enumerate(sent_words[max(0, ws - _WINDOW) : ws]):
-            feats.append(f"{p}W_LEFT_{ws - max(0, ws - _WINDOW) - k}_[{_fold_num(w.lower())}]")
-        for k, w in enumerate(sent_words[we + 1 : we + 1 + _WINDOW]):
-            feats.append(f"{p}W_RIGHT_{k + 1}_[{_fold_num(w.lower())}]")
+        feats.append(f"{p}POS_SEQ_[{' '.join(sent_pos[ws : we + 1])}]")
+        feats.append(f"{p}DEP_SEQ_[{' '.join(sent_deps[ws : we + 1])}]")
+        # window features over lemmas/POS (window 3, isolated + combinations)
+        left_lemmas = [_float_fold(x) for x in sent_lemmas[max(0, ws - _WINDOW) : ws]]
+        left_pos = sent_pos[max(0, ws - _WINDOW) : ws]
+        right_lemmas = [_float_fold(x) for x in sent_lemmas[we + 1 : we + 1 + _WINDOW]]
+        right_pos = sent_pos[we + 1 : we + 1 + _WINDOW]
+        for n in range(len(left_lemmas)):
+            feats.append(f"{p}W_LEFT_{n + 1}_[{' '.join(left_lemmas[-n - 1 :])}]")
+            feats.append(f"{p}W_LEFT_POS_{n + 1}_[{' '.join(left_pos[-n - 1 :])}]")
+        for n in range(len(right_lemmas)):
+            feats.append(f"{p}W_RIGHT_{n + 1}_[{' '.join(right_lemmas[: n + 1])}]")
+            feats.append(f"{p}W_RIGHT_POS_{n + 1}_[{' '.join(right_pos[: n + 1])}]")
+        for li in range(len(left_lemmas)):
+            ll = " ".join(left_lemmas[-li - 1 :])
+            lp = " ".join(left_pos[-li - 1 :])
+            for rj in range(len(right_lemmas)):
+                rl = " ".join(right_lemmas[: rj + 1])
+                rp = " ".join(right_pos[: rj + 1])
+                feats.append(f"{p}W_LEMMA_L_{li + 1}_R_{rj + 1}_[{ll}]_[{rl}]")
+                feats.append(f"{p}W_POS_L_{li + 1}_R_{rj + 1}_[{lp}]_[{rp}]")
+        # BASIC word features
+        for g in tokens_to_ngrams(words, 1, 2):
+            feats.append(f"{p}CONTAINS_WORDS_[{g}]")
+        for g in get_left_ngrams(span, window=7, n_min=1, n_max=2, attrib="words"):
+            feats.append(f"{p}LEFT_WORDS_[{g}]")
+        for g in get_right_ngrams(span, window=7, n_min=1, n_max=2, attrib="words"):
+            feats.append(f"{p}RIGHT_WORDS_[{g}]")
         if words and words[0][:1].isupper():
             feats.append(f"{p}STARTS_WITH_CAPITAL")
         feats.append(f"{p}LENGTH_{len(words)}")
         feats.append(
             f"{p}SPAN_TYPE_[{'IMPLICIT' if getattr(span, 'expander_key', None) else 'EXPLICIT'}]"
         )
+        # TreeDLib dep-tree entity templates
+        feats.extend(entity_dep_features(span, prefix=p))
     if len(spans) == 2 and all(s is not None for s in spans):
         a, b = spans
         if a.sentence["position"] == b.sentence["position"]:
@@ -70,13 +131,10 @@ def textual_features(spans: list[Span], doc: dict) -> list[str]:
             hi = max(a.get_word_start_index(), b.get_word_start_index())
             between = a.sentence["words"][lo + 1 : hi]
             for w in between[:7]:
-                feats.append(f"BETWEEN_[{_fold_num(w.lower())}]")
+                feats.append(f"BETWEEN_[{_float_fold(w.lower())}]")
             feats.append(f"WORD_DIFF_{max(hi - lo - 1, 0)}")
+            feats.extend(relation_dep_features(a, b))
     return feats
-
-
-def _fold_num(w: str) -> str:
-    return "_NUMBER" if w.replace(".", "").replace(",", "").replace("-", "").isdigit() else w
 
 
 def structural_features(spans: list[Span], doc: dict) -> list[str]:
