@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_keys": docops.feature_keys,
         "feature_stats": docops.feature_stats,
         "logreg_scores": docops.logreg_scores,
+        "ner_person_mentions": docops.ner_person_mentions,
+        "hocr_visual_stats": docops.hocr_visual_stats,
         # relational operator coverage
         "pricing_summary": relational.pricing_summary,
         "revenue_filter": relational.revenue_filter,
@@ -835,6 +837,43 @@ def oracle_sql() -> dict[str, str]:
                    min(1.0/(1.0+exp(-z))) AS min_score,
                    max(1.0/(1.0+exp(-z))) AS max_score
             FROM zc GROUP BY doc_id
+        """,
+        "ner_person_mentions": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            person AS (
+              -- i%5==2: title-cased; (i-1)%10>0: not sentence-initial
+              -- (the heuristic PERSON rule needs a preceding word);
+              -- len>=2: '^[A-Z][a-z]+' needs at least one lowercase char
+              SELECT doc_id,
+                     upper(substring(w,1,1)) || substring(w,2) AS mention
+              FROM toks
+              WHERE i % 5 = 2 AND (i-1) % 10 <> 0 AND len(w) >= 2
+            )
+            SELECT doc_id, mention, count(*) AS n
+            FROM person GROUP BY doc_id, mention
+        """,
+        "hocr_visual_stats": """
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id,
+                     CAST(floor((i-1)/10) AS BIGINT) AS blk,
+                     CAST((i-1)%10 AS BIGINT) AS j
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT blk) AS BIGINT) AS n_sentences,
+                   count(*) AS n_words,
+                   CAST(sum(10*blk + 60*j) AS BIGINT) AS sum_left,
+                   CAST(sum(20*blk) AS BIGINT) AS sum_top,
+                   CAST(max(10*blk + 60*j + 50) AS BIGINT) AS max_right
+            FROM pos GROUP BY doc_id
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups

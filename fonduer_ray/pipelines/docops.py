@@ -361,6 +361,164 @@ def feature_stats(sf_dir: str) -> "ray.data.Dataset":
     return hash_groupby(feats.map_batches(prep, batch_format="pyarrow"), ["doc_id"], agg)
 
 
+def htmlize_cased(sf_dir: str) -> "ray.data.Dataset":
+    """Like ``htmlize`` but deterministically title-cases every token whose
+    1-based doc position satisfies ``i % 5 == 2`` — a closed-form corpus for
+    exercising the heuristic NER tagger + NER-preset matchers (the engine's
+    PERSON rule fires on capitalized non-sentence-initial alpha tokens)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            toks = [
+                w[:1].upper() + w[1:] if (i + 1) % 5 == 2 else w
+                for i, w in enumerate(toks)
+            ]
+            paras = [
+                "<p>" + " ".join(toks[i : i + PARA_TOKENS]) + "</p>"
+                for i in range(0, len(toks), PARA_TOKENS)
+            ]
+            urls.append(str(doc_id))
+            htmls.append(("<html><body>" + "".join(paras) + "</body></html>").encode())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def ner_person_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, mention, n): PERSON mentions via the NER-preset matcher
+    (RegexMatchEach over the heuristic tagger's ner_tags) on the
+    deterministically title-cased corpus."""
+    from fonduer_ray.core.matchers import PersonMatcher
+
+    docs = parse_webpages(htmlize_cased(sf_dir), batch_size=128)
+    docs = extract_mentions(
+        docs,
+        [MentionSpec("person", MentionNgrams(1, 1), PersonMatcher())],
+        batch_size=128,
+    )
+    m = mentions_table(docs)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in t["doc_name"].to_pylist()], pa.int64()
+                ),
+                "mention": t["text"],
+            }
+        )
+
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["doc_id", "mention"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    return hash_groupby(m.map_batches(prep, batch_format="pyarrow"), ["doc_id", "mention"], agg)
+
+
+def hocrize(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> deterministic hOCR pages: one ocr_line per PARA_TOKENS
+    tokens; line k spans y [20k, 20k+18]; word m in line k spans x
+    [10k + 60m, 10k + 60m + 50]; single page (ppageno 0 -> page 1)."""
+    from fonduer_ray.sources.preprocessors import hocr_to_html
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            lines = []
+            for k, i in enumerate(range(0, len(toks), PARA_TOKENS)):
+                block = toks[i : i + PARA_TOKENS]
+                top, bottom = 20 * k, 20 * k + 18
+                words = "".join(
+                    f'<span class="ocrx_word" title="bbox {10*k + 60*m} {top} '
+                    f'{10*k + 60*m + 50} {bottom}">{w}</span>'
+                    for m, w in enumerate(block)
+                )
+                right = 10 * k + 60 * (len(block) - 1) + 50
+                lines.append(
+                    f'<span class="ocr_line" title="bbox {10*k} {top} {right} '
+                    f'{bottom}">{words}</span>'
+                )
+            hocr = (
+                '<html><body><div class="ocr_page" title="image x; bbox 0 0 '
+                '5000 5000; ppageno 0"><p class="ocr_par">'
+                + "".join(lines)
+                + "</p></div></body></html>"
+            )
+            urls.append(str(doc_id))
+            htmls.append(hocr_to_html(hocr).encode())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def hocr_visual_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc word-bbox aggregates through the FULL hOCR visual path
+    (hocr_to_html bbox hoisting -> parse -> attach_word_bboxes):
+    (doc_id, n_sentences, n_words, sum_left, sum_top, max_right) — every
+    value derives from per-word boxes the visual stage attached, and the
+    oracle knows the layout in closed form."""
+    from fonduer_ray.parser.visual import parse_visual
+
+    docs = parse_visual(parse_webpages(hocrize(sf_dir), batch_size=128))
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc in t.to_pylist():
+            boxed = [s for s in doc["sentences"] if s.get("page")]
+            rows.append(
+                {
+                    "doc_id": int(doc["doc_name"]),
+                    "n_sentences": len(boxed),
+                    "n_words": sum(len(s["page"]) for s in boxed),
+                    "sum_left": sum(sum(s["left"]) for s in boxed),
+                    "sum_top": sum(sum(s["top"]) for s in boxed),
+                    "max_right": max(
+                        (max(s["right"]) for s in boxed), default=0
+                    ),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_sentences", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("sum_left", pa.int64()),
+                    ("sum_top", pa.int64()),
+                    ("max_right", pa.int64()),
+                ]
+            ),
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def logreg_scores(sf_dir: str) -> "ray.data.Dataset":
     """Trained discriminative scorer end-to-end: featurize -> LF-derived
     labels (vote sum > 0) -> distributed closed-form log-odds fit ->
