@@ -179,25 +179,31 @@ def scaling_child(num_cpus: int) -> None:
 
 def scaling_main() -> None:
     """Same KG job at N and 4N CPUs in fresh processes (the sandbox stand-in
-    for N / 4N node clusters). Defaults to 3 vs 12: both sizes sit below
-    this box's DRAM-bandwidth saturation point (~16+ parse processes; see
-    scripts/scaling_ceiling.py + BASELINE.md), so the ratio measures how
-    the PIPELINE scales with compute — which is what a 4x node-count change
-    gives, since every extra node brings its own memory controllers. Pairs
-    like 8-vs-32 on one box additionally pay single-box bandwidth
-    saturation + daemon oversubscription that no multi-node cluster would.
-    Each size runs twice and the best run counts (suppresses noisy-neighbor
-    VM variance)."""
+    for N / 4N node clusters). Default pair: 8 vs 32 (the straightforward
+    reading of the criterion on a 32-CPU box). Each size runs
+    ``$GRAFT_SCALING_RUNS`` times (default 3) and BOTH the best and the
+    median throughput are reported, with efficiency computed from each.
+
+    Context for interpreting single-box numbers: scripts/scaling_ceiling.py
+    measures the same workload under bare multiprocessing (zero framework
+    overhead) — above ~16 parse processes this box saturates shared DRAM
+    bandwidth, a ceiling a real 4N-NODE cluster does not have (every node
+    brings its own memory controllers). The bandwidth-unconstrained pair
+    (3, 12) is also measured below as the multi-node stand-in; BASELINE.md
+    records both alongside the hardware control."""
+    import statistics
+
     from fonduer_ray.sources.webpages import generate_corpus  # noqa: F401
 
     _ensure_corpus()
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "3,12").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
-    results = {}
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    samples: dict[int, list[float]] = {}
     for n in (lo, hi):
-        best = None
-        for _attempt in range(2):
+        vals = []
+        for _attempt in range(n_runs):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
                 capture_output=True,
@@ -211,22 +217,24 @@ def scaling_main() -> None:
                 print(proc.stdout, file=sys.stderr)
                 print(proc.stderr, file=sys.stderr)
                 raise RuntimeError(f"scaling child num_cpus={n} failed")
-            res = json.loads(line[-1][len("SCALING_RESULT "):])
-            if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
-                best = res
-        results[n] = best
-    tp_lo = results[lo]["docs_per_sec"]
-    tp_hi = results[hi]["docs_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+            vals.append(json.loads(line[-1][len("SCALING_RESULT "):])["docs_per_sec"])
+        samples[n] = vals
+    best_lo, best_hi = max(samples[lo]), max(samples[hi])
+    med_lo, med_hi = statistics.median(samples[lo]), statistics.median(samples[hi])
+    eff_best = (best_hi / best_lo) / (hi / lo)
+    eff_median = (med_hi / med_lo) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(eff, 3),
+                "value": round(eff_best, 3),
                 "unit": "ratio",
                 "queries": {
-                    f"kg_cpus{lo}_docs_per_sec": round(tp_lo, 1),
-                    f"kg_cpus{hi}_docs_per_sec": round(tp_hi, 1),
+                    f"kg_cpus{lo}_docs_per_sec_best": round(best_lo, 1),
+                    f"kg_cpus{hi}_docs_per_sec_best": round(best_hi, 1),
+                    f"kg_cpus{lo}_docs_per_sec_median": round(med_lo, 1),
+                    f"kg_cpus{hi}_docs_per_sec_median": round(med_hi, 1),
+                    "efficiency_median": round(eff_median, 3),
                 },
                 "sf": BENCH_CORPUS_DIR,
                 "num_cpus": hi,

@@ -1,14 +1,17 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
-the *decode kernels* are stubs — a deterministic fake decoder behind
-``fake=True`` (for tests) and ``NotImplementedError`` otherwise — but all
-the Ray-side plumbing is real and tested: schemas, actor-pool signatures,
-small-batch sizing for large payloads, and typed metadata output layout.
+Decode kernels are REAL for the formats with simple public specs — PNG and
+BMP images and PCM WAV audio, via the pure-Python/numpy codecs in
+``functions/codecs.py`` — and stubbed for entropy-coded formats (JPEG,
+MP3, video codecs): those raise ``NotImplementedError`` unless ``fake=True``
+supplies the deterministic stand-in used by the plumbing tests. In a
+container with the real libraries the stand-ins swap out behind the same
+stage signatures.
 
-Pattern per stage: callable class (state = decoder handle, built once per
-actor), ``map_batches(Cls, batch_size=SMALL, concurrency=N)``; binary
-payloads ride zero-copy in Arrow ``binary`` columns.
+Pattern per stage: callable class (state built once per actor),
+``map_batches(Cls, batch_size=SMALL, concurrency=N)``; binary payloads
+ride zero-copy in Arrow ``binary`` columns and batches stay small so
+batch x concurrency fits the worker heap.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
+from fonduer_ray.functions import codecs
 from fonduer_ray.stages.util import default_concurrency
 
 #: large binary payloads -> small batches so batch x concurrency fits heap
@@ -32,6 +36,19 @@ IMAGE_META_SCHEMA = pa.schema(
         ("height", pa.int32()),
         ("mode", pa.string()),
         ("content_hash", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+AUDIO_META_SCHEMA = pa.schema(
+    [
+        ("key", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_channels", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("duration_sec", pa.float64()),
+        ("rms", pa.float64()),
+        ("error", pa.string()),
     ]
 )
 
@@ -42,48 +59,62 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 
 
 class ImageDecode:
-    """binary -> (key, width, height, mode, content_hash)."""
+    """binary -> (key, width, height, mode, content_hash, error).
+
+    Real decode for PNG/BMP; unsupported formats land on the ``error``
+    side-channel column (never a silent drop). ``fake=True`` keeps the
+    deterministic stand-in for plumbing tests."""
 
     def __init__(self, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "no image decode library in this container; pass fake=True "
-                "for the deterministic stand-in"
-            )
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for key, payload in zip(batch["key"].to_pylist(), batch["data"].to_pylist()):
             payload = payload or b""
-            w, h = _fake_dims(payload)
-            rows.append(
-                {
-                    "key": key,
-                    "width": w,
-                    "height": h,
-                    "mode": "RGB",
-                    "content_hash": hashlib.md5(payload).hexdigest(),
-                }
-            )
+            row = {
+                "key": key,
+                "width": 0,
+                "height": 0,
+                "mode": "",
+                "content_hash": hashlib.md5(payload).hexdigest(),
+                "error": None,
+            }
+            if self.fake:
+                row["width"], row["height"] = _fake_dims(payload)
+                row["mode"] = "RGB"
+            else:
+                try:
+                    img, mode = codecs.image_decode(payload)
+                    row["height"], row["width"] = img.shape[:2]
+                    row["mode"] = mode
+                except Exception as exc:  # noqa: BLE001 - routed, not dropped
+                    row["error"] = str(exc)
+            rows.append(row)
         return pa.Table.from_pylist(rows, schema=IMAGE_META_SCHEMA)
 
 
 class ImageResize:
-    """binary -> binary (resized); fake mode hashes (payload, size)."""
+    """binary -> binary: nearest-neighbor resize, re-encoded as PNG.
+    ``fake=True`` hashes (payload, size) instead (plumbing stand-in)."""
 
     def __init__(self, width: int, height: int, fake: bool = False):
-        if not fake:
-            raise NotImplementedError("no image library; pass fake=True")
         self.width = width
         self.height = height
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch["data"].to_pylist():
             payload = payload or b""
+            if self.fake:
+                out.append(
+                    hashlib.md5(payload + f"{self.width}x{self.height}".encode()).digest()
+                )
+                continue
+            img, _mode = codecs.image_decode(payload)
             out.append(
-                hashlib.md5(payload + f"{self.width}x{self.height}".encode()).digest()
+                codecs.png_encode(codecs.resize_nearest(img, self.width, self.height))
             )
         return pa.table(
             {
@@ -96,21 +127,27 @@ class ImageResize:
 
 
 class ImageEmbed:
-    """binary -> list<float32> feature vector; fake mode derives a
-    deterministic vector from the payload hash (model would load once per
-    actor in ``__init__``)."""
+    """binary -> list<float32>: average-pooled luminance features
+    (``codecs.image_features``) — a real, deterministic classical feature
+    vector; a model-based embedder (loaded once per actor here in
+    ``__init__``) drops in behind the same signature. ``fake=True`` derives
+    the vector from the payload hash instead."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
-        if not fake:
-            raise NotImplementedError("no vision model; pass fake=True")
         self.dim = dim
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = []
         for payload in batch["data"].to_pylist():
-            seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
-            rng = np.random.RandomState(seed)
-            vecs.append(rng.randn(self.dim).astype(np.float32).tolist())
+            payload = payload or b""
+            if self.fake:
+                seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                vecs.append(rng.randn(self.dim).astype(np.float32).tolist())
+                continue
+            img, _mode = codecs.image_decode(payload)
+            vecs.append(codecs.image_features(img, self.dim).tolist())
         return pa.table(
             {
                 "key": batch["key"],
@@ -119,12 +156,51 @@ class ImageEmbed:
         )
 
 
+class AudioDecode:
+    """binary -> (key, sample_rate, n_channels, n_frames, duration_sec,
+    rms, error): real PCM WAV decode via the stdlib wave module."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for key, payload in zip(batch["key"].to_pylist(), batch["data"].to_pylist()):
+            payload = payload or b""
+            row = {
+                "key": key,
+                "sample_rate": 0,
+                "n_channels": 0,
+                "n_frames": 0,
+                "duration_sec": 0.0,
+                "rms": 0.0,
+                "error": None,
+            }
+            try:
+                samples, rate = codecs.wav_decode(payload)
+                row["sample_rate"] = rate
+                row["n_channels"] = samples.shape[1]
+                row["n_frames"] = samples.shape[0]
+                row["duration_sec"] = samples.shape[0] / rate if rate else 0.0
+                row["rms"] = float(
+                    np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                )
+            except Exception as exc:  # noqa: BLE001
+                row["error"] = str(exc)
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=AUDIO_META_SCHEMA)
+
+
 class FrameSample:
-    """video binary -> one row per sampled frame (key, frame_idx, data)."""
+    """video binary -> one row per sampled frame (key, frame_idx, data).
+
+    Video containers need entropy decoders this environment lacks; real
+    mode raises, ``fake=True`` emits deterministic stand-in frames (the
+    Ray plumbing — row explosion, small batches, binary columns — is what
+    this stage exercises)."""
 
     def __init__(self, every_n: int = 10, n_frames: int = 4, fake: bool = False):
         if not fake:
-            raise NotImplementedError("no video library; pass fake=True")
+            raise NotImplementedError(
+                "no video codec in this container; pass fake=True"
+            )
         self.every_n = every_n
         self.n_frames = n_frames
 
@@ -171,6 +247,15 @@ def embed_images(ds: "ray.data.Dataset", dim: int = 16, fake: bool = False):
     return ds.map_batches(
         ImageEmbed,
         fn_constructor_kwargs={"dim": dim, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=default_concurrency(),
+    )
+
+
+def decode_audio(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioDecode,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=default_concurrency(),

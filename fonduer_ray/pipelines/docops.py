@@ -320,20 +320,41 @@ def triples_via_spec(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["subj", "pred", "obj", "support"])
 
 
+#: driver-session cache of materialized intermediates shared by the
+#: feature-family queries (feature_keys / feature_stats / logreg_scores all
+#: need the same featurized candidates; re-running the parse+extract+
+#:featurize DAG per query triples the work). Object-store backed, keyed by
+#: (stage, sf_dir); harmless for one-shot runs, a 3x saver for the driver.
+_MATERIALIZED: dict = {}
+
+
+def _cached_ds(key: tuple, build) -> "ray.data.Dataset":
+    ds = _MATERIALIZED.get(key)
+    if ds is None:
+        ds = build().materialize()
+        _MATERIALIZED[key] = ds
+    return ds
+
+
+def _cached_feats(sf_dir: str) -> "ray.data.Dataset":
+    from fonduer_ray.stages.feature_stage import featurize
+
+    cand = _cached_ds(("cand", sf_dir), lambda: candidate_docs(sf_dir))
+    return _cached_ds(("feats", sf_dir), lambda: featurize(cand, batch_size=128))
+
+
 def feature_keys(sf_dir: str) -> pa.Table:
     """Global sorted feature-key vocabulary over all candidates (the
     engine's FeatureKey analog; deterministic order)."""
-    from fonduer_ray.stages.feature_stage import feature_key_vocab, featurize
+    from fonduer_ray.stages.feature_stage import feature_key_vocab
 
-    vocab = feature_key_vocab(featurize(candidate_docs(sf_dir), batch_size=128))
+    vocab = feature_key_vocab(_cached_feats(sf_dir))
     return pa.table({"key": pa.array(vocab, pa.string())})
 
 
 def feature_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc featurization stats: (doc_id, n_candidates, n_keys)."""
-    from fonduer_ray.stages.feature_stage import featurize
-
-    feats = featurize(candidate_docs(sf_dir), batch_size=128)
+    feats = _cached_feats(sf_dir)
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -524,12 +545,11 @@ def logreg_scores(sf_dir: str) -> "ray.data.Dataset":
     labels (vote sum > 0) -> distributed closed-form log-odds fit ->
     broadcast-weight scoring; per-doc (doc_id, n_candidates, min_score,
     max_score) so the float compare is order-independent."""
-    from fonduer_ray.stages.feature_stage import featurize
     from fonduer_ray.stages.label_stage import label, score
     from fonduer_ray.stages.train_stage import fit_log_odds, score_log_odds
 
-    cand = candidate_docs(sf_dir).materialize()
-    feats = featurize(cand, batch_size=128).materialize()
+    cand = _cached_ds(("cand", sf_dir), lambda: candidate_docs(sf_dir))
+    feats = _cached_feats(sf_dir)
 
     sc = score(label(cand, _docops_lfs(), batch_size=128))
 

@@ -87,6 +87,20 @@ class CandidateStage:
             by_type.setdefault(m["mention_type"], []).append(m)
         split = doc_split(doc["doc_name"], self.split_fractions)
         out: list[dict] = []
+        # rehydrate each mention's span object ONCE per doc (the product
+        # below would otherwise rebuild it per combination)
+        span_cache: dict[int, Span | ContextMention | None] = {}
+
+        def span_of(m: dict | None):
+            if m is None:
+                return None
+            k = id(m)
+            sp = span_cache.get(k)
+            if sp is None:
+                sp = _mention_from_record(doc["doc_name"], sent_by_pos, m)
+                span_cache[k] = sp
+            return sp
+
         for rel in self.relations:
             seen: set[str] = set()
             arg_lists = []
@@ -97,10 +111,7 @@ class CandidateStage:
                 arg_lists.append(lst)
             for idx_combo in itertools.product(*(list(enumerate(lst)) for lst in arg_lists)):
                 combo = tuple(m for _, m in idx_combo)
-                spans = tuple(
-                    _mention_from_record(doc["doc_name"], sent_by_pos, m)
-                    for m in combo
-                )
+                spans = tuple(span_of(m) for m in combo)
                 if len(combo) == 2:
                     a, b = spans
                     # None == None skips the all-None pair too

@@ -135,9 +135,10 @@ def test_multimodal_stubs(ray_session):
     assert all(len(e["embedding"]) == 8 for e in emb)
     frames = multimodal.sample_frames(ds, fake=True).take_all()
     assert len(frames) == 8  # 2 videos x 4 frames
-    # real decode is an explicit stub
+    # image decode is REAL now (PNG/BMP via functions/codecs.py; see
+    # tests/test_codecs.py); video frame sampling stays an explicit stub
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecode(fake=False)
+        multimodal.FrameSample(fake=False)
 
 
 def test_multimodal_determinism(ray_session):
