@@ -602,6 +602,8 @@ def triples(sf_dir: str) -> "ray.data.Dataset":
     run fused in one actor pool (see ``stages/fused.py``)."""
     from fonduer_ray.stages.fused import pages_to_triples
 
+    from fonduer_ray.stages.linking import canonicalize_triples
+
     t = pages_to_triples(
         htmlize(sf_dir),
         _mention_specs(),
@@ -611,6 +613,5 @@ def triples(sf_dir: str) -> "ray.data.Dataset":
         threshold=0.6,
         batch_size=128,
     )
-    linked = link_triples(t, n_salts=KGConfig().n_salts)
-    deduped = dedup_triples(linked)
+    deduped = canonicalize_triples(t, n_salts=KGConfig().n_salts)
     return deduped.select_columns(["subj", "pred", "obj", "support"])

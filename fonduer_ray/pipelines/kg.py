@@ -176,8 +176,9 @@ def build_triples(
             weights=cfg.lf_weights,
             threshold=cfg.threshold,
         )
-    linked = link_triples(triples, n_salts=cfg.n_salts)
-    return dedup_triples(linked)
+    from fonduer_ray.stages.linking import canonicalize_triples
+
+    return canonicalize_triples(triples, n_salts=cfg.n_salts)
 
 
 def run_kg(

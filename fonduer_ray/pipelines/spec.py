@@ -178,7 +178,7 @@ def run_spec(
 ) -> "Any":
     """pages Dataset + spec dict -> deduped canonical triples Dataset."""
     from fonduer_ray.stages.fused import pages_to_triples
-    from fonduer_ray.stages.linking import dedup_triples, link_triples
+    from fonduer_ray.stages.linking import canonicalize_triples
 
     mention_specs, relation_specs, lfs, cfg = build_pipeline(spec)
     triples = pages_to_triples(
@@ -190,4 +190,4 @@ def run_spec(
         weights=cfg["weights"],
         threshold=cfg["threshold"],
     )
-    return dedup_triples(link_triples(triples))
+    return canonicalize_triples(triples)

@@ -47,22 +47,34 @@ def _salt_of(surface: str, n_salts: int) -> int:
 
 
 def build_canonical_table(
-    ds: "ray.data.Dataset", columns: list[str], n_salts: int = 16
+    ds: "ray.data.Dataset",
+    columns: list[str],
+    n_salts: int = 16,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Distributed {norm -> canonical surface} table ``(norm, canonical)``:
     the fully-streaming form of the canonical map (nothing driver-side),
     used directly by the shuffle-join path of ``link_triples`` when the
-    entity vocabulary is too large to broadcast."""
+    entity vocabulary is too large to broadcast.
+
+    ``weight_col``: when the input is already aggregated (e.g. a deduped
+    triple table with a ``support`` column), weight each surface occurrence
+    by it — equivalent to counting the raw occurrences."""
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         # per-block combiner: collapse duplicate (norm, surface) pairs early
         counts: dict[tuple[str, str], int] = {}
+        weights = (
+            batch[weight_col].to_pylist()
+            if weight_col is not None
+            else [1] * batch.num_rows
+        )
         for col in columns:
-            for v in batch[col].to_pylist():
+            for v, wt in zip(batch[col].to_pylist(), weights):
                 if not v:
                     continue
                 key = (normalize_surface(v), v)
-                counts[key] = counts.get(key, 0) + 1
+                counts[key] = counts.get(key, 0) + wt
         norms, surfs, cnts = [], [], []
         for (n, s), c in counts.items():
             norms.append(n)
@@ -218,6 +230,19 @@ def link_triples(
         triples = triples.repartition(2 * cpus).materialize()
 
     canon_tbl = build_canonical_table(triples, ["subj", "obj"], n_salts=n_salts).materialize()
+    return _apply_canonical(triples, canon_tbl, broadcast_limit)
+
+
+def _apply_canonical(
+    triples: "ray.data.Dataset",
+    canon_tbl: "ray.data.Dataset",
+    broadcast_limit: int = BROADCAST_NORM_LIMIT,
+) -> "ray.data.Dataset":
+    """Replace subj/obj with their canonical surfaces (adds ``subj_norm``/
+    ``obj_norm``), choosing broadcast vs shuffle join by vocabulary size."""
+    import ray  # noqa: F811 - keep local for clarity
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     n_norms = canon_tbl.count()
 
     def add_norms(batch: pa.Table) -> pa.Table:
@@ -365,3 +390,216 @@ _DEDUP_SCHEMA = pa.schema(
         ("provenance_candidate", pa.string()),
     ]
 )
+
+
+#: below this many aggregated rows the canonicalization finish (canonical
+#: apply + merge) runs as ONE coalesced worker task instead of another
+#: shuffle round — shuffle fixed latency is the Amdahl term that caps
+#: single-node scaling, and the aggregated KB is tiny next to the corpus
+SMALL_FINISH_LIMIT = 2_000_000
+
+_LINK_SCHEMA = pa.schema(
+    [
+        ("gkind", pa.int32()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("support", pa.int64()),
+        ("score", pa.float64()),
+        ("provenance_doc", pa.string()),
+        ("provenance_candidate", pa.string()),
+        ("norm", pa.string()),
+        ("canonical", pa.string()),
+    ]
+)
+
+
+def canonicalize_triples(
+    triples: "ray.data.Dataset",
+    n_salts: int = 16,
+    broadcast_limit: int = BROADCAST_NORM_LIMIT,
+    small_finish_limit: int = SMALL_FINISH_LIMIT,
+) -> "ray.data.Dataset":
+    """Single-shuffle canonicalization + dedup (the composed fast form of
+    ``link_triples`` -> ``dedup_triples``; identical output).
+
+    Shuffle count is the scaling killer on the post-extraction phase (each
+    round pays fixed scheduling/sort latency regardless of data size), so
+    ONE hash-partition pass computes BOTH aggregates: every block of raw
+    triples emits (a) per-block-combined triple partials keyed by the raw
+    (subj, pred, obj) and (b) (norm, surface) count partials keyed by norm
+    — the same salted-combiner skew story as ``build_canonical_map``. The
+    partition agg finishes each key group exactly (triples aggregated,
+    canonical winner per norm picked). The remaining work — applying the
+    canonical map and merging raw triples that collide on canonical keys —
+    touches only the aggregated rows: below ``small_finish_limit`` it runs
+    as one coalesced worker task; above it, the guarded broadcast/shuffle
+    join of ``_apply_canonical`` + a final hash_groupby (the 100 TB path)."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    tm = triples.materialize()  # extraction runs with full parallelism
+
+    def dual_partials(batch: pa.Table) -> pa.Table:
+        tri: dict[tuple, list] = {}
+        canon: dict[tuple[str, str], int] = {}
+        for r in batch.select(
+            ["subj", "pred", "obj", "doc_name", "candidate_stable_id", "score"]
+        ).to_pylist():
+            key = (r["subj"], r["pred"], r["obj"])
+            cur = tri.get(key)
+            if cur is None:
+                tri[key] = [1, r["score"], r["doc_name"], r["candidate_stable_id"]]
+            else:
+                cur[0] += 1
+                if r["score"] > cur[1]:
+                    cur[1] = r["score"]
+                if r["doc_name"] < cur[2]:
+                    cur[2], cur[3] = r["doc_name"], r["candidate_stable_id"]
+            for v in (r["subj"], r["obj"]):
+                if v:
+                    ck = (normalize_surface(v), v)
+                    canon[ck] = canon.get(ck, 0) + 1
+        rows = [
+            {
+                "gkind": 0,
+                "subj": k[0],
+                "pred": k[1],
+                "obj": k[2],
+                "support": v[0],
+                "score": v[1],
+                "provenance_doc": v[2],
+                "provenance_candidate": v[3],
+                "norm": f"T|{k[0]}|{k[1]}|{k[2]}",
+                "canonical": None,
+            }
+            for k, v in tri.items()
+        ] + [
+            {
+                "gkind": 1,
+                "subj": None,
+                "pred": None,
+                "obj": None,
+                "support": c,
+                "score": 0.0,
+                "provenance_doc": None,
+                "provenance_candidate": None,
+                "norm": n,
+                "canonical": s,
+            }
+            for (n, s), c in canon.items()
+        ]
+        return pa.Table.from_pylist(rows, schema=_LINK_SCHEMA)
+
+    def dual_agg(df: pd.DataFrame) -> pd.DataFrame:
+        tri = df[df["gkind"] == 0]
+        tri = (
+            tri.groupby(["subj", "pred", "obj"], sort=False)
+            .agg(
+                support=("support", "sum"),
+                score=("score", "max"),
+                provenance_doc=("provenance_doc", "min"),
+                provenance_candidate=("provenance_candidate", "min"),
+            )
+            .reset_index()
+        )
+        tri["gkind"] = 0
+        tri["norm"] = None
+        tri["canonical"] = None
+        can = df[df["gkind"] == 1]
+        can = (
+            can.groupby(["norm", "canonical"], sort=False)
+            .agg(support=("support", "sum"))
+            .reset_index()
+            .sort_values(["norm", "support", "canonical"], ascending=[True, False, True])
+            .drop_duplicates("norm", keep="first")
+        )
+        can = pd.DataFrame(
+            {
+                "gkind": 1,
+                "subj": None,
+                "pred": None,
+                "obj": None,
+                "support": can["support"].astype("int64"),
+                "score": 0.0,
+                "provenance_doc": None,
+                "provenance_candidate": None,
+                "norm": can["norm"],
+                "canonical": can["canonical"],
+            }
+        )
+        return pd.concat([tri, can], ignore_index=True)
+
+    agg = hash_groupby(
+        tm.map_batches(dual_partials, batch_format="pyarrow"), ["norm"], dual_agg
+    ).materialize()
+    n_rows = agg.count()
+
+    tri_ds = agg.filter(expr="gkind == 0")
+    canon_ds = agg.filter(expr="gkind == 1")
+
+    if n_rows <= small_finish_limit:
+        # one coalesced task: build the canonical dict, apply, merge
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            can = df[df["gkind"] == 1]
+            cmap = dict(zip(can["norm"], can["canonical"]))
+            tri = df[df["gkind"] == 0].copy()
+            tri["subj"] = [
+                cmap.get(normalize_surface(s), s) for s in tri["subj"]
+            ]
+            tri["obj"] = [cmap.get(normalize_surface(s), s) for s in tri["obj"]]
+            return (
+                tri.groupby(["subj", "pred", "obj"], sort=False)
+                .agg(
+                    support=("support", "sum"),
+                    score=("score", "max"),
+                    provenance_doc=("provenance_doc", "min"),
+                    provenance_candidate=("provenance_candidate", "min"),
+                )
+                .reset_index()
+            )
+
+        return agg.repartition(1).map_batches(
+            finish, batch_format="pandas", batch_size=None
+        )
+
+    # 100 TB path: guarded broadcast/shuffle canonical join + one more merge
+    def project_canon(batch: pa.Table) -> pa.Table:
+        return batch.select(["norm", "canonical"])
+
+    def project_tri(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["subj", "pred", "obj", "support", "score",
+             "provenance_doc", "provenance_candidate"]
+        )
+
+    canon_tbl = canon_ds.map_batches(project_canon, batch_format="pyarrow")
+    linked = _apply_canonical(
+        tri_ds.map_batches(project_tri, batch_format="pyarrow"),
+        canon_tbl.materialize(),
+        broadcast_limit,
+    )
+
+    def strip_norms(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(
+            [c for c in ("subj_norm", "obj_norm") if c in batch.column_names]
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["subj", "pred", "obj"], sort=False)
+            .agg(
+                support=("support", "sum"),
+                score=("score", "max"),
+                provenance_doc=("provenance_doc", "min"),
+                provenance_candidate=("provenance_candidate", "min"),
+            )
+            .reset_index()
+        )
+
+    return hash_groupby(
+        linked.map_batches(strip_norms, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        merge,
+    )
