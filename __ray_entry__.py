@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_scores": docops.logreg_scores,
         "ner_person_mentions": docops.ner_person_mentions,
         "hocr_visual_stats": docops.hocr_visual_stats,
+        "pdf_visual_stats": docops.pdf_visual_stats,
         # relational operator coverage
         "pricing_summary": relational.pricing_summary,
         "revenue_filter": relational.revenue_filter,
@@ -855,6 +856,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, mention, count(*) AS n
             FROM person GROUP BY doc_id, mention
+        """,
+        "pdf_visual_stats": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w,
+                     CAST(floor((i-1)/10) AS BIGINT) AS blk,
+                     CAST((i-1)%10 AS BIGINT) AS j
+              FROM toks
+            )
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(72 + 40*j) AS BIGINT) AS sum_left,
+                   CAST(sum(82 + 20*blk) AS BIGINT) AS sum_top,
+                   CAST(sum(72 + 40*j + 6*len(w)) AS BIGINT) AS sum_right,
+                   CAST(max(92 + 20*blk) AS BIGINT) AS max_bottom
+            FROM pos GROUP BY doc_id
         """,
         "hocr_visual_stats": """
             WITH toks AS (

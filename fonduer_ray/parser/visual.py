@@ -132,17 +132,44 @@ def parse_visual(ds: "ray.data.Dataset", concurrency=None) -> "ray.data.Dataset"
 
 
 class PdfVisualParser:
-    """Placeholder for the pdftotext-based visual parser: the binary is not
-    available in this environment. At scale this runs as an actor-pool
-    ``map_batches`` stage (subprocess + per-doc linker state in the actor),
-    exactly like the hOCR stage above."""
+    """PDF visual parser (reference ``pdf_visual_parser.py:40-362``) backed
+    by the native text-layer extractor + 3-pass linker in ``sources/pdf.py``
+    (poppler's pdftotext is unavailable here; simple Flate/plain text-layer
+    PDFs are handled natively, with the same word-splitting, block sort and
+    linker passes as the reference). Same contract: a directory of
+    ``{doc_name}.pdf`` files; ``parse(doc)`` fills the per-word bbox arrays.
+    At scale this runs inside a ``map_batches`` stage exactly like the hOCR
+    path above."""
 
-    def __init__(self, pdf_path: str):
-        raise NotImplementedError(
-            "pdftotext is unavailable in this environment; use the hOCR "
-            "visual path (sources.preprocessors.pages_from_hocr + "
-            "parser.visual.parse_visual)"
-        )
+    def __init__(self, pdf_path: str, search_max: int = 200):
+        import os
+
+        if not os.path.isdir(pdf_path):
+            raise ValueError(f"No directory exists at {pdf_path}!")
+        self.pdf_path = pdf_path
+        self.search_max = search_max
+
+    def _pdf_file(self, document_name: str) -> str | None:
+        import os
+
+        for ext in (".pdf", ".PDF"):
+            p = os.path.join(self.pdf_path, document_name + ext)
+            if os.path.isfile(p):
+                return p
+        return None
+
+    def is_parsable(self, document_name: str) -> bool:
+        return self._pdf_file(document_name) is not None
+
+    def parse(self, doc: dict) -> dict:
+        from fonduer_ray.sources.pdf import attach_pdf_bboxes
+
+        path = self._pdf_file(doc["doc_name"])
+        if path is None:
+            return doc
+        with open(path, "rb") as f:
+            data = f.read()
+        return attach_pdf_bboxes(doc, data, search_max=self.search_max)
 
 
 # -- bbox math (reference utils/utils_visual.py:65-137) ----------------------

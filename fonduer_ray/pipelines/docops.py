@@ -540,6 +540,54 @@ def hocr_visual_stats(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def pdf_visual_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc word-bbox aggregates through the FULL native PDF visual path
+    (generate a deterministic text-layer PDF per doc -> pdf_extract_words
+    -> 3-pass linker -> attach): word m of paragraph k is drawn at
+    x=72+40m, y=700-20k, size 10 -> top=82+20k, right=left+6*len(word).
+    Output: (doc_id, n_words, sum_left, sum_top, sum_right, max_bottom)."""
+    from fonduer_ray.sources.pdf import attach_pdf_bboxes, generate_simple_pdf
+
+    docs = parsed_docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc in t.to_pylist():
+            cmds = []
+            for k, s in enumerate(sorted(doc["sentences"], key=lambda x: x["position"])):
+                for m, w in enumerate(s["words"]):
+                    cmds.append((w, 72 + 40 * m, 700 - 20 * k, 10))
+            attach_pdf_bboxes(doc, generate_simple_pdf([cmds]))
+            boxed = [s for s in doc["sentences"] if s.get("page")]
+            rows.append(
+                {
+                    "doc_id": int(doc["doc_name"]),
+                    "n_words": sum(len(s["page"]) for s in boxed),
+                    "sum_left": sum(sum(s["left"]) for s in boxed),
+                    "sum_top": sum(sum(s["top"]) for s in boxed),
+                    "sum_right": sum(sum(s["right"]) for s in boxed),
+                    "max_bottom": max(
+                        (max(s["bottom"]) for s in boxed), default=0
+                    ),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("sum_left", pa.int64()),
+                    ("sum_top", pa.int64()),
+                    ("sum_right", pa.int64()),
+                    ("max_bottom", pa.int64()),
+                ]
+            ),
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def logreg_scores(sf_dir: str) -> "ray.data.Dataset":
     """Trained discriminative scorer end-to-end: featurize -> LF-derived
     labels (vote sum > 0) -> distributed closed-form log-odds fit ->
