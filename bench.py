@@ -37,6 +37,9 @@ def _init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep raylet/worker warnings off stdout: the driver parses the
+            # single JSON line this script prints
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

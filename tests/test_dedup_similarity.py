@@ -127,3 +127,14 @@ def test_dup_clusters_union_find(ray_session, doc_ds):
     }
     # docs 0,1,4 are one near-dup component -> min id 0; 2 and 3 are isolated
     assert out == {0: 0, 1: 0, 2: 2, 3: 3, 4: 0}
+    # the distributed min-label-propagation path (above the small-edge
+    # guard) produces the identical labeling
+    iter_out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(
+            doc_ds,
+            dedup.ngram_jaccard_pairs(doc_ds, threshold=0.5, n=3),
+            small_limit=0,
+        ).take_all()
+    }
+    assert iter_out == out
