@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_topk": relational.user_topk,
         "user_sessions": relational.user_sessions,
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_hopping_window": relational.events_hopping_window,
+        "top_events_per_user": relational.top_events_per_user,
+        "events_value_median": relational.events_value_median,
         "order_priority_counts": relational.order_priority_counts,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
@@ -684,6 +687,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
                      AS sum_value
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_hopping_window": """
+            WITH w AS (
+              SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                       AS window_start,
+                     event_type, value
+              FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+                     AS sum_value
+            FROM w GROUP BY window_start, event_type
+        """,
+        "top_events_per_user": """
+            WITH c AS (
+              SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY cents DESC, ts ASC) AS rn
+              FROM c
+            )
+            SELECT user_id, CAST(rn AS BIGINT) AS rank,
+                   CAST(cents AS DOUBLE)/100.0 AS value
+            FROM r WHERE rn <= 3
+        """,
+        "events_value_median": """
+            WITH c AS (
+              SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(quantile_disc(cents, 0.5) AS DOUBLE)/100.0 AS median_value
+            FROM c GROUP BY event_type
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders FROM orders

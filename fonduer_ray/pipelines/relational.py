@@ -294,3 +294,173 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> "ray.data.D
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_hopping_window(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+) -> "ray.data.Dataset":
+    """HOPPING (overlapping sliding) window aggregate: each event lands in
+    ``window/hop`` windows, assigned by a vectorized flat-map inside
+    ``map_batches`` (event at t belongs to every window start w = t
+    truncated to hop, minus k*hop for k < window/hop) — again no shuffle
+    beyond the final keyed groupby. Columns: ``(window_start, event_type,
+    n_events, sum_value)``."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    hop = np.timedelta64(hop_minutes * 60, "s").astype("timedelta64[us]")
+    n_hops = window_minutes // hop_minutes
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy()
+        base = ts - ((ts - np.datetime64(0, "us")) % hop)
+        cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        types = t["event_type"].combine_chunks()
+        wins, typ_idx = [], []
+        for k in range(n_hops):
+            wins.append(base - k * hop)
+        win = np.concatenate(wins)
+        return pa.table(
+            {
+                "window_start": pa.array(win),
+                "event_type": pa.concat_arrays([types] * n_hops),
+                "cents": pa.concat_arrays(
+                    [pa.array(cents, pa.int64())] * n_hops
+                ),
+            }
+        )
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def win_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .agg(n_events=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_groupby(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        win_agg,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["window_start"].cast(pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    t["cents"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_events_per_user(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k (a windowed-rank operator Ray Data lacks natively):
+    per-block combiner keeps each block's local top-k per user, then one
+    hash-partition groupby finishes the exact global top-k. Deterministic
+    tie-break (value desc, ts asc). Columns: ``(user_id, rank, value)``."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pa.array(
+                    np.rint(t["value"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "cents", "ts"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False).head(k), preserve_index=False
+        )
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "cents", "ts"], ascending=[True, False, True])
+        out = df.groupby("user_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out[["user_id", "rank", "cents"]]
+
+    agg = hash_groupby(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            block_topk, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        final_topk,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "rank": t["rank"].cast(pa.int64()),
+                "value": pa.array(
+                    t["cents"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_value_median(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-group discrete median (quantile_disc 0.5 semantics: the
+    sorted value at index ceil(n/2)-1). Event-type cardinality is tiny but
+    per-group row counts are not — values hash-partition by group and each
+    partition computes its groups' order statistics exactly. Columns:
+    ``(event_type, n_events, median_value)``."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    np.rint(t["value"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def med_agg(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            vals = np.sort(g["cents"].to_numpy())
+            n = len(vals)
+            rows.append(
+                {
+                    "event_type": etype,
+                    "n_events": n,
+                    "median_cents": int(vals[int(np.ceil(n / 2)) - 1]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    agg = hash_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type"], med_agg
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "median_value": pa.array(
+                    t["median_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
