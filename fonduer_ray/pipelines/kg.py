@@ -187,7 +187,20 @@ def run_kg(
     """End-to-end: read -> ... -> resumable partitioned Parquet KB."""
     import ray
 
+    from fonduer_ray.stages.materialize import completed_buckets
+
     cfg = cfg or KGConfig()
+    # checkpoint fast path BEFORE building: canonicalize_triples pins the
+    # extraction output eagerly, so the manifest check must happen first
+    # for a completed output to skip the entire pipeline
+    done = completed_buckets(out_dir, cfg.config_hash())
+    if len(done) >= cfg.n_buckets:
+        return {
+            "out_dir": out_dir,
+            "written_buckets": [],
+            "skipped_buckets": sorted(done),
+            "rows_written": 0,
+        }
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     pages = read_webpages(input_path, override_num_blocks=cpus * 8)
     deduped = build_triples(pages, cfg)

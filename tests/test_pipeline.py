@@ -69,6 +69,13 @@ def test_resume_skips_completed_buckets(kb, corpus, tmp_path):
     res2 = write_triples(triples, out, cfg.config_hash(), n_buckets=cfg.n_buckets)
     assert res2["rows_written"] == 0
     assert set(res2["skipped_buckets"]) == done
+    # run_kg's own fast path short-circuits BEFORE building the pipeline
+    # (canonicalize pins the extraction eagerly, so this must be pre-checked)
+    from fonduer_ray.pipelines.kg import run_kg
+
+    res3 = run_kg(corpus["corpus"], out, cfg)
+    assert res3["rows_written"] == 0
+    assert set(res3["skipped_buckets"]) == done
 
 
 def test_normalize_surface():
