@@ -440,6 +440,14 @@ def canonicalize_triples(
     from fonduer_ray.stages.util import hash_groupby
 
     tm = triples.materialize()  # extraction runs with full parallelism
+    # The extraction inherits the corpus' fine-grained block count (great
+    # for task scheduling, poison for the all-to-all below: 256 near-empty
+    # blocks cost ~6s of per-block shuffle overhead at 32 CPUs vs ~1s
+    # coalesced). Coalesce fragmented triple output before the shuffle.
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    n_blocks = tm.num_blocks()
+    if n_blocks > 2 * cpus and tm.count() / max(n_blocks, 1) < 50_000:
+        tm = tm.repartition(2 * cpus).materialize()
 
     def dual_partials(batch: pa.Table) -> pa.Table:
         tri: dict[tuple, list] = {}
