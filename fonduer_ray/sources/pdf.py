@@ -278,6 +278,91 @@ def generate_simple_pdf(
     return bytes(out)
 
 
+def render_candidates_pdf(
+    doc: dict,
+    candidates: list[dict] | None = None,
+    page_w: float = 612,
+    page_h: float = 792,
+    font_size: float = 10,
+) -> bytes:
+    """Debug visualizer (analog of the reference's PDF overlay,
+    ``utils/visualizer.py:23-170``, which draws candidate bboxes on the
+    rendered page): renders every sentence word at its attached bbox and
+    strokes a red rectangle around each candidate argument span. Pure
+    function -> PDF bytes; pages come from the words' ``page`` arrays.
+    Debug artifact: the trailing xref offsets are stale after the overlay
+    append (viewers that scan objects — like this module's extractor —
+    are unaffected)."""
+    by_page: dict[int, list] = {}
+    sent_by_pos = {s["position"]: s for s in doc["sentences"]}
+    for s in doc["sentences"]:
+        if not s.get("page"):
+            continue
+        for i, w in enumerate(s["words"]):
+            by_page.setdefault(s["page"][i], []).append(
+                (w, s["left"][i], s["top"][i], s["bottom"][i])
+            )
+    rects: dict[int, list] = {}
+    for cand in candidates or []:
+        for j, pos in enumerate(cand.get("arg_sentence_positions", [])):
+            s = sent_by_pos.get(pos)
+            if s is None or not s.get("page"):
+                continue
+            cs, ce = cand["arg_char_starts"][j], cand["arg_char_ends"][j]
+            offs = s["char_offsets"]
+            idxs = [
+                i for i in range(len(s["words"]))
+                if offs[i] <= ce and offs[i] + len(s["words"][i]) - 1 >= cs
+            ]
+            if not idxs:
+                continue
+            left = min(s["left"][i] for i in idxs)
+            right = max(s["right"][i] for i in idxs)
+            top = min(s["top"][i] for i in idxs)
+            bottom = max(s["bottom"][i] for i in idxs)
+            rects.setdefault(s["page"][idxs[0]], []).append(
+                (left, top, bottom, right)
+            )
+    n_pages = max(list(by_page) + list(rects) + [1])
+    pages = []
+    overlays = []
+    for p in range(1, n_pages + 1):
+        pages.append(
+            [
+                (w, left, page_h - bottom, font_size)
+                for (w, left, top, bottom) in by_page.get(p, [])
+            ]
+        )
+        overlays.append(rects.get(p, []))
+    pdf = generate_simple_pdf(pages, page_w=page_w, page_h=page_h)
+    # append rectangle strokes into each page's content stream
+    for p, boxes in enumerate(overlays, start=1):
+        if not boxes:
+            continue
+        extra = b"\n1 0 0 RG 0.8 w " + b" ".join(
+            b"%.2f %.2f %.2f %.2f re S"
+            % (l - 1, page_h - b_ - 1, (r - l) + 2, (b_ - t) + 2)
+            for (l, t, b_, r) in boxes
+        )
+        pdf = _append_to_page_stream(pdf, p, extra)
+    return pdf
+
+
+def _append_to_page_stream(pdf: bytes, page_num: int, extra: bytes) -> bytes:
+    """Append drawing ops to the Nth page's content stream of a PDF written
+    by ``generate_simple_pdf`` (known object layout: content object =
+    ``4 + 2*(page_num-1)``), fixing up the /Length entry."""
+    obj_num = 4 + 2 * (page_num - 1)
+    marker = b"%d 0 obj\n" % obj_num
+    start = pdf.index(marker)
+    end = pdf.index(b"\nendobj\n", start)
+    body = pdf[start + len(marker) : end]
+    sm = _STREAM_RGX.search(body)
+    content = sm.group(1) + extra
+    new_body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    return pdf[: start + len(marker)] + new_body + pdf[end:]
+
+
 def _editdist(a: str, b: str) -> int:
     """Levenshtein distance (small strings; DP rows)."""
     if a == b:

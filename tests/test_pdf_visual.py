@@ -71,6 +71,29 @@ def test_pdf_visual_parser_directory_contract(tmp_path):
     assert s["page"] == [1, 1] and s["left"][0] == 50
 
 
+def test_render_candidates_pdf_overlay():
+    """The visualizer analog: words render at their attached bboxes and
+    candidate arg spans get stroked rectangles."""
+    from fonduer_ray.sources.pdf import render_candidates_pdf
+
+    html = b"<html><body><p>Maximum temp 150</p></body></html>"
+    doc = parse_document("dv", html)
+    pdf = generate_simple_pdf([[("Maximum temp 150", 72, 700, 12)]])
+    attach_pdf_bboxes(doc, pdf)
+    s = doc["sentences"][0]
+    cand = {
+        "arg_sentence_positions": [s["position"], s["position"]],
+        "arg_char_starts": [0, 13],
+        "arg_char_ends": [6, 15],
+    }
+    out = render_candidates_pdf(doc, [cand])
+    words, coord, _ = pdf_extract_words(out)
+    assert [w for _, w in words] == ["Maximum", "temp", "150"]
+    # two stroked rectangles present
+    assert out.count(b"re S") == 2
+    assert b"1 0 0 RG" in out
+
+
 def test_attach_pdf_bboxes_end_to_end():
     html = b"<html><body><p>Maximum storage temperature</p><p>rated 150</p></body></html>"
     doc = parse_document("d1", html)
