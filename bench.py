@@ -7,10 +7,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
     {"metric": "e2e_seconds", "value": N, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: run the same headline KG job twice in fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs +
-scaling efficiency (evidence for the N -> 4N cluster-size criterion; see
-BASELINE.md).
+``--scaling``: run the same headline KG job in fresh subprocesses at
+num_cpus=8 and num_cpus=32 (default; $GRAFT_SCALING_CPUS overrides, e.g.
+"3,12"), 3 runs per size, reporting best AND median throughputs plus the
+scaling efficiency computed from each (evidence for the N -> 4N
+cluster-size criterion; see BASELINE.md).
 """
 
 from __future__ import annotations
