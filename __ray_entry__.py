@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "top_events_per_user": relational.top_events_per_user,
         "events_value_median": relational.events_value_median,
+        "orders_sample_split": relational.orders_sample_split,
+        "customers_without_orders": relational.customers_without_orders,
         "order_priority_counts": relational.order_priority_counts,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
@@ -724,6 +726,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    CAST(quantile_disc(cents, 0.5) AS DOUBLE)/100.0 AS median_value
             FROM c GROUP BY event_type
+        """,
+        "orders_sample_split": """
+            WITH s AS (
+              SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,2))
+                          AS INTEGER) % 3 AS split,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT CAST(split AS BIGINT) AS split, count(*) AS n_orders,
+                   CAST(sum(cents) AS DOUBLE)/100.0 AS sum_price
+            FROM s GROUP BY split
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+            )
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders FROM orders

@@ -413,6 +413,92 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def orders_sample_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic hash-based train/dev/test splitting (the engine's
+    sampling primitive, reference analog: sorted-name fractions,
+    ``test_e2e.py:112-124``): split = first md5 byte of the order key mod 3
+    — content-derived, so identical across runs, engines and partitionings.
+    Columns: ``(split, n_orders, sum_price)``."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        splits = [
+            hashlib.md5(str(k).encode()).digest()[0] % 3 for k in keys
+        ]
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "split": pa.array(splits, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": t["split"],
+                "n_orders": t["n_orders"],
+                "sum_price": pa.array(
+                    t["cents"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """ANTI-join: customers that placed no orders during 1995. The distinct
+    order custkey set is built with a per-block combiner + hash-partition
+    distinct, then broadcast once via ``ray.put`` for a streaming NOT-IN
+    filter over customers (guard: at web scale, where the distinct key set
+    outgrows a broadcast, flip to the hash-partition join pattern of
+    ``linking._apply_canonical``). Columns: ``(c_custkey, c_name)``."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        ts = t["o_orderdate"]
+        mask = pc2.and_(
+            pc2.greater_equal(ts, pa.scalar(np.datetime64("1995-01-01", "us"))),
+            pc2.less(ts, pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return pa.table({"o_custkey": pc2.unique(t.filter(mask)["o_custkey"])})
+
+    distinct = hash_groupby(
+        orders.map_batches(block_distinct, batch_format="pyarrow"),
+        ["o_custkey"],
+        lambda df: df.drop_duplicates(["o_custkey"]),
+    )
+    keys = set()
+    for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        mask = pa.array(
+            [k not in have for k in t["c_custkey"].to_pylist()], pa.bool_()
+        )
+        return t.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
 def events_value_median(sf_dir: str) -> "ray.data.Dataset":
     """Exact per-group discrete median (quantile_disc 0.5 semantics: the
     sorted value at index ceil(n/2)-1). Event-type cardinality is tiny but
