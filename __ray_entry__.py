@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "token_counts_bpe": lambda sf: textstats.token_counts(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
+        "doc_top_tfidf": lambda sf: textstats.doc_top_tfidf(_docs(sf)),
         "doc_fingerprint_md5": doc_md5,
         "doc_fingerprint_rolling": doc_rolling_fp,
         # dedup
@@ -796,6 +797,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "doc_top_tfidf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                                tf.term ASC
+                     ) AS rn
+              FROM tf JOIN dfreq USING (term), n
+            )
+            SELECT doc_id, term, tf, df FROM scored WHERE rn = 1
         """,
         "doc_fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5 FROM documents

@@ -165,3 +165,80 @@ def lang_id(ds):
 
 def fingerprints(ds):
     return _apply(ds.select_columns(["doc_id", "text"]), Fingerprint)
+
+
+def doc_top_tfidf(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document top TF-IDF term: ``(doc_id, term, tf, df)``.
+
+    The classic training-data relevance operator: term frequencies are
+    doc-local (computed inside the map), document frequencies are a
+    hash-partitioned distinct-count aggregate over (term, doc) pairs whose
+    result — vocabulary-sized — broadcasts once via ``ray.put``; the final
+    argmax (score = tf * ln(N/df), ties by term asc) is again doc-local.
+    Only the tiny df table moves; the corpus never shuffles."""
+    import math
+
+    import pandas as pd
+
+    import ray
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["doc_id", "text"])
+    n_docs = src.count()
+
+    def term_doc(batch: pa.Table) -> pa.Table:
+        # per-block combiner: one row per (term, doc)
+        doc_ids, terms = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for t in set((text or "").split()):
+                doc_ids.append(doc_id)
+                terms.append(t)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    def df_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False).size().reset_index(name="df")
+
+    df_tbl = hash_groupby(
+        src.map_batches(term_doc, batch_format="pyarrow"), ["term"], df_agg
+    )
+    dfs: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dfs.update(zip(b["term"].to_pylist(), b["df"].to_pylist()))
+    dfs_ref = ray.put(dfs)
+
+    def top_term(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(dfs_ref)
+        out_ids, out_terms, out_tf, out_df = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            best = None
+            for t, f in tf.items():
+                score = f * math.log(n_docs / lookup[t])
+                key = (-score, t)
+                if best is None or key < best[0]:
+                    best = (key, t, f)
+            out_ids.append(doc_id)
+            out_terms.append(best[1])
+            out_tf.append(best[2])
+            out_df.append(lookup[best[1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "term": pa.array(out_terms, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    return src.map_batches(top_term, batch_format="pyarrow")
