@@ -281,6 +281,57 @@ def jaccard_of(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+#: Bloom prefilter sizing: 2^27 bits = 16 MiB, 2 hash probes. At 10^8
+#: pair-referenced doc ids the false-positive rate is ~20% (extra texts
+#: shuffled, never wrong results); at 10^7 it is <1%.
+_BLOOM_BITS = 1 << 27
+
+
+def _bloom_of_pair_ids(pairs, id_a: str, id_b: str):
+    """Fixed-size Bloom filter over every pair endpoint id: per-block
+    bitmaps OR-reduced via an aggregate pass — bounded memory regardless of
+    pair count, nothing unbounded on the driver."""
+    mask = _BLOOM_BITS - 1
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        ids = np.concatenate(
+            [
+                batch[id_a].to_numpy(zero_copy_only=False).astype(np.uint64),
+                batch[id_b].to_numpy(zero_copy_only=False).astype(np.uint64),
+            ]
+        )
+        for h in (
+            (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(37),
+            (ids * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(37),
+        ):
+            idx = (h & np.uint64(mask)).astype(np.int64)
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in (
+        pairs.map_batches(block_bloom, batch_format="pyarrow")
+        .iter_batches(batch_size=16, batch_format="pyarrow")
+    ):
+        for blob in b["bloom"].to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc
+
+
+def _bloom_contains(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    mask = _BLOOM_BITS - 1
+    ids = ids.astype(np.uint64)
+    out = np.ones(len(ids), dtype=bool)
+    for h in (
+        (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(37),
+        (ids * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(37),
+    ):
+        idx = (h & np.uint64(mask)).astype(np.int64)
+        out &= (bits[idx >> 3] & (np.uint8(1) << (idx & 7).astype(np.uint8))) != 0
+    return out
+
+
 def attach_pair_texts(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -293,11 +344,27 @@ def attach_pair_texts(
     Scale path for pair verification (replaces the round-1 driver-side
     ``take_all()`` + broadcast dict, which blows up when pair-referenced
     docs are a large fraction of the corpus — e.g. CommonCrawl dup rates):
-    every pair emits one row per endpoint, the payload shuffles ONCE on
-    ``hash(doc_id)``, endpoint rows meet their text in the partition, and a
-    second (pair-sized) shuffle on ``(id_a, id_b)`` zips the two halves.
-    Nothing is collected on the driver. Missing doc_ids yield empty text."""
+    a fixed-size (16 MiB) Bloom filter of the pair endpoint ids prefilters
+    the payload so only (approximately) pair-referenced texts enter the
+    shuffle; every pair emits one row per endpoint, the surviving payload
+    shuffles ONCE on ``hash(doc_id)``, endpoint rows meet their text in the
+    partition, and a second (pair-sized) shuffle on ``(id_a, id_b)`` zips
+    the two halves. Bloom false positives cost only wasted shuffle volume,
+    never wrong results. Nothing unbounded is collected on the driver.
+    Missing doc_ids yield empty text."""
     import pandas as pd
+
+    pairs = pairs.materialize()  # consumed twice: bloom build + endpoints
+    bloom_ref = ray.put(_bloom_of_pair_ids(pairs, id_a, id_b))
+
+    def payload_prefilter(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_bloom_contains(bits, ids)))
+
+    docs = docs.select_columns(["doc_id", "text"]).map_batches(
+        payload_prefilter, batch_format="pyarrow"
+    )
 
     endpoint_schema = pa.schema(
         [
@@ -338,9 +405,7 @@ def attach_pair_texts(
         )
 
     unioned = pairs.map_batches(to_endpoints, batch_format="pyarrow").union(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            to_payload, batch_format="pyarrow"
-        )
+        docs.map_batches(to_payload, batch_format="pyarrow")
     )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:

@@ -118,6 +118,31 @@ def test_knn_ivf_deterministic(ray_session, vec_ds):
     assert a == b
 
 
+def test_pair_bloom_prefilter(ray_session):
+    """The Bloom prefilter never drops a pair-referenced id (no false
+    negatives) and rejects the vast majority of unrelated ids."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from fonduer_ray.functions.dedup import _bloom_contains, _bloom_of_pair_ids
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(0, 2000, 2)), pa.int64()),
+                "id_b": pa.array(list(range(1, 2000, 2)), pa.int64()),
+            }
+        )
+    )
+    bits = _bloom_of_pair_ids(pairs, "id_a", "id_b")
+    member = _bloom_contains(bits, np.arange(2000))
+    assert member.all()  # zero false negatives
+    foreign = _bloom_contains(bits, np.arange(1_000_000, 1_100_000))
+    assert foreign.mean() < 0.01  # ~no false positives at this fill
+
+
 def test_dup_clusters_union_find(ray_session, doc_ds):
     out = {
         r["doc_id"]: r["cluster_id"]
