@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_person_mentions": docops.ner_person_mentions,
         "hocr_visual_stats": docops.hocr_visual_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
+        "boilerplate_stats": docops.boilerplate_stats,
         # relational operator coverage
         "pricing_summary": relational.pricing_summary,
         "revenue_filter": relational.revenue_filter,
@@ -942,6 +943,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, mention, count(*) AS n
             FROM person GROUP BY doc_id, mention
+        """,
+        "boilerplate_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+                     CAST(ceil(len(string_split(text,' '))/10.0) AS BIGINT) AS nparas
+              FROM documents
+            )
+            SELECT doc_id,
+                   n AS n_content_tokens,
+                   nparas + 3 AS n_boiler_tokens,
+                   nparas AS n_content_sentences
+            FROM t
         """,
         "pdf_visual_stats": """
             WITH toks AS (

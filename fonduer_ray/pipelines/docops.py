@@ -540,6 +540,87 @@ def hocr_visual_stats(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def htmlize_boiler(sf_dir: str) -> "ray.data.Dataset":
+    """Pages with deterministic boilerplate around the content: a <nav>
+    with one menu token per paragraph, a <footer> with three tokens —
+    the fixture for the boilerplate-removal operator."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            n_paras = (len(toks) + PARA_TOKENS - 1) // PARA_TOKENS
+            nav = (
+                "<nav><p>"
+                + " ".join(f"menu{k}" for k in range(n_paras))
+                + "</p></nav>"
+            )
+            paras = [
+                "<p>" + " ".join(toks[i : i + PARA_TOKENS]) + "</p>"
+                for i in range(0, len(toks), PARA_TOKENS)
+            ]
+            footer = "<footer><p>contact legal privacy</p></footer>"
+            urls.append(str(doc_id))
+            htmls.append(
+                ("<html><body>" + nav + "".join(paras) + footer + "</body></html>").encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def boilerplate_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Boilerplate removal (the content-extraction step of a web training
+    pipeline): sentences whose xpath passes through nav/footer/aside/header
+    are boilerplate; everything else is content. Pure per-doc transform
+    over the parsed context tree. Columns: ``(doc_id, n_content_tokens,
+    n_boiler_tokens, n_content_sentences)``."""
+    import re as _re
+
+    _BOILER = _re.compile(r"/(nav|footer|aside|header)(\[|/|$)")
+    docs = parse_webpages(htmlize_boiler(sf_dir), batch_size=128)
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc in t.to_pylist():
+            content = boiler = n_sent = 0
+            for s in doc["sentences"]:
+                n = len(s["words"])
+                if _BOILER.search(s.get("xpath") or ""):
+                    boiler += n
+                else:
+                    content += n
+                    n_sent += 1
+            rows.append(
+                {
+                    "doc_id": int(doc["doc_name"]),
+                    "n_content_tokens": content,
+                    "n_boiler_tokens": boiler,
+                    "n_content_sentences": n_sent,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_content_tokens", pa.int64()),
+                    ("n_boiler_tokens", pa.int64()),
+                    ("n_content_sentences", pa.int64()),
+                ]
+            ),
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def pdf_visual_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc word-bbox aggregates through the FULL native PDF visual path
     (generate a deterministic text-layer PDF per doc -> pdf_extract_words
