@@ -50,8 +50,11 @@ class ParserConfig:
     sentence_delim: str = "."
     #: "simple" = reference SimpleParser (split on delim, drop empties);
     #: "punct" = spaCy-sentencizer-like (keep terminal punctuation,
-    #: punctuation-only paragraphs become sentences)
-    sentencizer: str = "simple"
+    #: punctuation-only paragraphs become sentences); or ANY object with
+    #: ``split_sentences(text) -> iter of {text, words, char_offsets,
+    #: start}`` — the custom-LingualParser extension hook (reference
+    #: ``lingual_parser/lingual_parser.py:7-46``)
+    sentencizer: object = "simple"
 
     def compiled_replacements(self) -> list[tuple[re.Pattern, str]]:
         return [(re.compile(rgx), repl) for rgx, repl in self.replacements]
@@ -95,6 +98,8 @@ class _DocBuilder:
             from fonduer_ray.parser.lingual import PunctSentencizer
 
             self.sentencizer = PunctSentencizer()
+        elif hasattr(cfg.sentencizer, "split_sentences"):
+            self.sentencizer = cfg.sentencizer  # user-supplied LingualParser
         else:
             self.sentencizer = SimpleSentencizer(cfg.sentence_delim)
         #: text of <head><style>, for CSS-class style merging (set by

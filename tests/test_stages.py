@@ -239,6 +239,55 @@ def test_split_train_eval_flow(ray_session, tmp_path_factory):
     assert agree / len(held) > 0.8
 
 
+def test_custom_feature_fn_extension(doc_ds):
+    """User-extension hook: a custom feature function runs alongside (or
+    instead of) the built-in families (reference custom FeatureExtractor,
+    feature_extractors.py:36-51)."""
+
+    def my_feats(spans, doc):
+        return [f"MY_ARITY_{sum(1 for s in spans if s is not None)}"]
+
+    rows = featurize(doc_ds, feature_fns=[my_feats]).take_all()
+    assert rows
+    assert all(r["keys"] == ["MY_ARITY_2"] for r in rows)
+
+
+def test_custom_sentencizer_extension(ray_session):
+    """User-extension hook: ParserConfig.sentencizer accepts any object
+    with split_sentences (reference custom LingualParser,
+    lingual_parser.py:7-46)."""
+    from fonduer_ray.parser.parse import ParserConfig, parse_document
+
+    class Exclaim:
+        def split_sentences(self, text):
+            start = 0
+            for part in text.split("!"):
+                if part.strip():
+                    words = part.split()
+                    offs, i = [], 0
+                    lead = len(part) - len(part.lstrip())
+                    stripped = part.strip()
+                    offs = []
+                    i = 0
+                    for w in words:
+                        offs.append(stripped.find(w, i))
+                        i = offs[-1] + len(w)
+                    yield {
+                        "text": stripped,
+                        "words": words,
+                        "char_offsets": offs,
+                        "start": start + lead,
+                    }
+                start += len(part) + 1
+
+    doc = parse_document(
+        "d", b"<html><body><p>hello there! goodbye now</p></body></html>",
+        ParserConfig(sentencizer=Exclaim()),
+    )
+    texts = [s["text"] for s in doc["sentences"]]
+    assert texts == ["hello there", "goodbye now"]
+
+
 def test_parse_error_side_channel(ray_session):
     """Unparseable pages surface on an explicit error side-channel instead of
     the reference's silent drop (parser.py:257-264)."""
