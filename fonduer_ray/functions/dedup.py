@@ -797,9 +797,11 @@ def dup_clusters(
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             nodes = sorted(set(df["src"]))
+            # explicit int64 even when nodes == [] so every block shares the
+            # declared Arrow schema (untyped empties downgrade to object/float)
             return pd.DataFrame(
                 {"node": nodes, "label": [find(int(n)) for n in nodes]}
-            )
+            ).astype({"node": "int64", "label": "int64"})
 
         labels = edges.repartition(1).map_batches(
             unionfind, batch_format="pandas", batch_size=None

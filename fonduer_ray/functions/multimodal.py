@@ -104,24 +104,31 @@ class ImageResize:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
+        out, errs = [], []
         for payload in batch["data"].to_pylist():
             payload = payload or b""
             if self.fake:
                 out.append(
                     hashlib.md5(payload + f"{self.width}x{self.height}".encode()).digest()
                 )
+                errs.append(None)
                 continue
-            img, _mode = codecs.image_decode(payload)
-            out.append(
-                codecs.png_encode(codecs.resize_nearest(img, self.width, self.height))
-            )
+            try:
+                img, _mode = codecs.image_decode(payload)
+                out.append(
+                    codecs.png_encode(codecs.resize_nearest(img, self.width, self.height))
+                )
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 - routed, not dropped
+                out.append(None)
+                errs.append(str(exc))
         return pa.table(
             {
                 "key": batch["key"],
                 "data": pa.array(out, pa.binary()),
                 "width": pa.array([self.width] * len(out), pa.int32()),
                 "height": pa.array([self.height] * len(out), pa.int32()),
+                "error": pa.array(errs, pa.string()),
             }
         )
 
@@ -138,20 +145,27 @@ class ImageEmbed:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = []
+        vecs, errs = [], []
         for payload in batch["data"].to_pylist():
             payload = payload or b""
             if self.fake:
                 seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
                 rng = np.random.RandomState(seed)
                 vecs.append(rng.randn(self.dim).astype(np.float32).tolist())
+                errs.append(None)
                 continue
-            img, _mode = codecs.image_decode(payload)
-            vecs.append(codecs.image_features(img, self.dim).tolist())
+            try:
+                img, _mode = codecs.image_decode(payload)
+                vecs.append(codecs.image_features(img, self.dim).tolist())
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 - routed, not dropped
+                vecs.append(None)
+                errs.append(str(exc))
         return pa.table(
             {
                 "key": batch["key"],
                 "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "error": pa.array(errs, pa.string()),
             }
         )
 

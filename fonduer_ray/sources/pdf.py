@@ -409,6 +409,8 @@ def link_word_lists(
         return l, u, L, U
 
     def link_exact(l: int, u: int) -> None:
+        if l >= u:  # empty window (tiny search radius) — nothing to anchor
+            return
         l, u, L, U = get_anchors(l, u)
         html_dict: dict[str, list[int]] = {}
         pdf_dict: dict[str, list[int]] = {}
@@ -425,7 +427,8 @@ def link_word_lists(
                     html_to_pdf[hlist[k]] = plist[k]
                     pdf_to_html[plist[k]] = hlist[k]
 
-    search_radius = search_max // 2
+    # clamp: search_max < 2 would make the windowed-exact stride 0 (div by zero)
+    search_radius = max(1, search_max // 2)
     search_order = [(-1) ** (i % 2) * (i // 2) for i in range(1, search_max + 1)]
 
     def link_fuzzy(i: int) -> None:

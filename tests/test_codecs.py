@@ -144,6 +144,26 @@ def test_image_decode_stage_real(ray_session):
     assert len(emb[0]["embedding"]) == 9
 
 
+def test_resize_embed_route_bad_rows(ray_session):
+    """A corrupt payload lands on the error column; good rows still process."""
+    import ray.data as rd
+
+    from fonduer_ray.functions import multimodal
+
+    png = codecs.png_encode(gradient_rgb(8, 8))
+    ds = rd.from_arrow(pa.table({"key": ["ok", "bad"], "data": [png, b"\x00junk"]}))
+
+    rows = {r["key"]: r for r in multimodal.resize_images(ds, 4, 4).take_all()}
+    assert rows["bad"]["error"] and rows["bad"]["data"] is None
+    assert rows["ok"]["error"] is None
+    out, _ = codecs.png_decode(rows["ok"]["data"])
+    assert out.shape == (4, 4, 3)
+
+    rows = {r["key"]: r for r in multimodal.embed_images(ds, dim=4).take_all()}
+    assert rows["bad"]["error"] and rows["bad"]["embedding"] is None
+    assert rows["ok"]["error"] is None and len(rows["ok"]["embedding"]) == 4
+
+
 def test_audio_decode_stage(ray_session):
     import ray.data as rd
 

@@ -163,3 +163,19 @@ def test_dup_clusters_union_find(ray_session, doc_ds):
         ).take_all()
     }
     assert iter_out == out
+
+
+def test_dup_clusters_empty_pairs_schema(ray_session, doc_ds):
+    """Zero edges must still yield int64 label blocks (no object/float
+    empties breaking the downstream union's Arrow schema)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    out = dedup.dup_clusters(doc_ds, empty)
+    schema = out.schema()
+    assert dict(zip(schema.names, schema.types))["cluster_id"] == pa.int64()
+    rows = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert rows == {i: i for i in range(5)}  # every doc its own cluster

@@ -49,6 +49,15 @@ def test_linker_exact_and_fuzzy():
     assert links[(0, 3)] == (1, 3)
 
 
+def test_linker_tiny_search_max():
+    """search_max < 2 must not divide by zero (radius clamps to 1)."""
+    html = [((0, 0), "alpha"), ((0, 1), "beta")]
+    pdf = [((1, 0), "alpha"), ((1, 1), "beta")]
+    links = link_word_lists(html, pdf, search_max=1)
+    assert links[(0, 0)] == (1, 0)
+    assert links[(0, 1)] == (1, 1)
+
+
 def test_linker_prefix_shortcut():
     """Fuzzy pass accepts prefix/suffix containment before edit distance."""
     html = [((0, 0), "anchor"), ((0, 1), "temperatures")]
