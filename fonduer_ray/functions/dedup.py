@@ -198,40 +198,7 @@ def lsh_candidate_pairs(
             }
         )
 
-    # Bucket rows are tiny (3 ints/row, ~bands rows per doc — orders of
-    # magnitude smaller than the documents). Materialize once so the count
-    # pass and the collision-filter pass don't each recompute signatures.
-    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow").materialize()
-
-    # The vast majority of LSH buckets are singletons (no near-dup): a
-    # map_groups over every bucket pays per-group overhead ~O(corpus).
-    # Instead: native Count aggregate -> keep only collision buckets
-    # (count>=2, a tiny set at realistic dup rates) -> broadcast that set ->
-    # filter the bucket rows -> pair-gen touches only actual collisions.
-    import ray
-
-    import pandas as pd
-
-    def hot_agg(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["band", "bucket"], sort=False).size().reset_index(name="n")
-        return out[out["n"] >= 2][["band", "bucket"]]
-
-    hot = hash_groupby(buckets, ["band", "bucket"], hot_agg).take_all()
-    hot_set = {(r["band"], r["bucket"]) for r in hot}
-    hot_ref = ray.put(hot_set)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        bands_col = batch["band"].to_numpy(zero_copy_only=False)
-        bkt_col = batch["bucket"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            ((int(b), int(k)) in hs for b, k in zip(bands_col, bkt_col)),
-            dtype=bool,
-            count=len(batch),
-        )
-        return batch.filter(pa.array(mask))
-
-    collisions = buckets.map_batches(keep_hot, batch_format="pyarrow")
+    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
 
     import pandas as pd
 
@@ -256,11 +223,23 @@ def lsh_candidate_pairs(
     )
 
     def pairs_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # The vast majority of LSH buckets are singletons (no near-dup);
+        # drop them with one vectorized transform('size') BEFORE the Python
+        # per-group pair loop, which then touches only actual collisions.
+        # hash_groupby colocates every row of a (band, bucket) key in one
+        # partition, so this per-partition filter is exact — and fully
+        # distributed (the round-2 version collected the hot-bucket set to
+        # a driver-side Python set, a multi-GB object at CommonCrawl dup
+        # rates on 10^9 docs x 16 bands).
+        sizes = df.groupby(["band", "bucket"], sort=False)["doc_id"].transform("size")
+        df = df[sizes.to_numpy() >= 2]
+        if df.empty:
+            return _PAIR_EMPTY
         frames = [emit_pairs(g) for _, g in df.groupby(["band", "bucket"], sort=False)]
         frames = [f for f in frames if len(f)]
         return pd.concat(frames, ignore_index=True) if frames else _PAIR_EMPTY
 
-    pairs = hash_groupby(collisions, ["band", "bucket"], pairs_agg)
+    pairs = hash_groupby(buckets, ["band", "bucket"], pairs_agg)
 
     # dedup pairs found in multiple bands
     def dedup_agg(df: pd.DataFrame) -> pd.DataFrame:

@@ -48,6 +48,25 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session, doc_ds):
     assert (0, 1) in out  # near dup pair
 
 
+def test_lsh_candidate_pairs_fully_distributed(ray_session, doc_ds, monkeypatch):
+    """`lsh_candidate_pairs` must never collect unbounded state on the
+    driver: take_all is patched to fail, the pipeline still finds the dup
+    pairs (the collision filter now runs inside the pair-gen groupby)."""
+    sigs = dedup.minhash_signatures(doc_ds).materialize()
+
+    def boom(self):
+        raise AssertionError("driver-side take_all inside the LSH path")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", boom)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs).iter_rows()
+    }
+    assert (0, 4) in pairs  # exact dup pair collides in every band
+    assert (0, 1) in pairs and (1, 4) in pairs  # near dups share bands
+    assert all(a < b for a, b in pairs)
+
+
 def test_simhash_pairs_exact_hamming(ray_session, doc_ds):
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
