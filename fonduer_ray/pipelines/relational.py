@@ -1,8 +1,9 @@
 """Relational operator pipelines over the TPC-H-ish test tables.
 
 These exercise the engine's generic relational capabilities — vectorized
-Arrow map_batches, filters, broadcast joins (small side via ``ray.put``,
-never a shuffle join), partial-then-global aggregation, two-phase distinct,
+Arrow map_batches, filters, size-guarded lookup joins (small side broadcast
+once via ``ray.put``; above ``BROADCAST_ROW_LIMIT`` a hash-partition
+``Dataset.join``), partial-then-global aggregation, two-phase distinct,
 multi-key sort/top-k, and grouped window-style logic — each with a DuckDB
 oracle in ``__ray_entry__.oracle_sql``.
 
@@ -117,48 +118,105 @@ def top_orders(sf_dir: str) -> "ray.data.Dataset":
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
-def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> "ray.ObjectRef":
-    rows = _read(sf_dir, table, [key, val]).take_all()
-    return ray.put({r[key]: r[val] for r in rows})
+#: above this many rows a lookup table is no longer collected into a driver
+#: dict and broadcast (1.5M x SF customers means a multi-GB dict at a 100x
+#: scale-up) — the join switches to a hash-partition ``Dataset.join``, the
+#: same guard pattern as ``linking.link_triples``
+BROADCAST_ROW_LIMIT = 2_000_000
 
 
-def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
-    """orders |x| customer |x| nation via two broadcast lookups (small sides
-    shipped once with ``ray.put``), then a partial-aggregated count."""
-    cust_ref = _broadcast_map(sf_dir, "customer", "c_custkey", "c_nationkey")
-    nation_ref = _broadcast_map(sf_dir, "nation", "n_nationkey", "n_name")
-    ds = _read(sf_dir, "orders", ["o_custkey"])
+def attach_lookup(
+    ds: "ray.data.Dataset",
+    lookup: "ray.data.Dataset",
+    key: str,
+    lookup_key: str,
+    val: str,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """Inner lookup join: attach ``lookup[val]`` to every row of ``ds``
+    matching ``ds[key] == lookup[lookup_key]`` (non-matching rows drop).
 
-    def attach(t: pa.Table) -> pa.Table:
-        cust = ray.get(cust_ref)
-        nation = ray.get(nation_ref)
-        names = [nation[cust[c]] for c in t["o_custkey"].to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string())})
+    Size-guarded strategy: the lookup side is counted first (cheap metadata
+    pass for Parquet). At or below ``broadcast_limit`` it is shipped ONCE
+    via ``ray.put`` and applied as a vectorized dict lookup inside
+    ``map_batches`` — no shuffle of the big side. Above the limit both
+    sides hash-partition through ``Dataset.join`` so nothing driver-sized
+    ever materializes."""
+    lookup = lookup.select_columns([lookup_key, val])
 
+    if lookup.count() <= broadcast_limit:
+        schema = lookup.schema()
+        val_type = dict(zip(schema.names, schema.types))[val]
+        lkp_ref = ray.put(
+            {
+                k: v
+                for batch in lookup.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for k, v in zip(batch[lookup_key].to_pylist(), batch[val].to_pylist())
+            }
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            lkp = ray.get(lkp_ref)
+            vals = [lkp.get(k) for k in t[key].to_pylist()]
+            mask = pa.array([v is not None for v in vals])
+            out = t.append_column(val, pa.array(vals, type=val_type))
+            return out.filter(mask)
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    joined = ds.join(
+        lookup,
+        "inner",
+        num_partitions=max(2 * cpus, 8),
+        on=(key,),
+        right_on=(lookup_key,),
+    )
+    drop = [c for c in (lookup_key,) if c != key and c in joined.columns()]
+    return joined.drop_columns(drop) if drop else joined
+
+
+def orders_per_nation(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """orders |x| customer |x| nation, then a partial-aggregated count.
+    Both lookups go through the size-guarded ``attach_lookup`` (customer is
+    the side that outgrows a broadcast at web scale; nation never does)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    with_nk = attach_lookup(
+        orders, customer, "o_custkey", "c_custkey", "c_nationkey", broadcast_limit
+    )
+    with_name = attach_lookup(
+        with_nk, nation, "c_nationkey", "n_nationkey", "n_name", broadcast_limit
+    )
     return (
-        ds.map_batches(attach, batch_format="pyarrow")
+        with_name.select_columns(["n_name"])
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"))
     )
 
 
-def supplier_region(sf_dir: str) -> "ray.data.Dataset":
-    """supplier -> nation -> region multi-hop broadcast join + count."""
-    nation_rows = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
-    region_rows = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
-    region = {r["r_regionkey"]: r["r_name"] for r in region_rows}
-    n2r = {r["n_nationkey"]: region[r["n_regionkey"]] for r in nation_rows}
-    ref = ray.put(n2r)
-    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+def supplier_region(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """supplier -> nation -> region multi-hop guarded lookup join + count."""
+    supplier = _read(sf_dir, "supplier", ["s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
 
-    def attach(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        return pa.table(
-            {"r_name": pa.array([lookup[n] for n in t["s_nationkey"].to_pylist()], pa.string())}
-        )
-
+    with_rk = attach_lookup(
+        supplier, nation, "s_nationkey", "n_nationkey", "n_regionkey", broadcast_limit
+    )
+    with_name = attach_lookup(
+        with_rk, region, "n_regionkey", "r_regionkey", "r_name", broadcast_limit
+    )
     return (
-        ds.map_batches(attach, batch_format="pyarrow")
+        with_name.select_columns(["r_name"])
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"))
     )

@@ -190,3 +190,43 @@ def test_linking_under_head_entity_skew(ray_session):
     assert sorted(map(key, joined.take_all())) == sorted(
         map(key, linked.take_all())
     )
+
+
+def test_relational_lookup_join_guard(ray_session):
+    """`attach_lookup`'s Dataset.join path (lookup above the broadcast
+    guard) matches the broadcast path exactly, including inner-join drops."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    big = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 2, 9], "payload": ["a", "b", "c", "d", "e"]})
+    ).repartition(3)
+    small = rd.from_arrow(
+        pa.table({"id": [1, 2, 3, 4], "name": ["one", "two", "three", "four"]})
+    )
+
+    key = lambda r: (r["k"], r["payload"], r["name"])
+    bcast = sorted(
+        map(key, attach_lookup(big, small, "k", "id", "name").take_all())
+    )
+    joined = sorted(
+        map(key, attach_lookup(big, small, "k", "id", "name", broadcast_limit=0).take_all())
+    )
+    assert bcast == joined
+    assert bcast == [(1, "a", "one"), (2, "b", "two"), (2, "d", "two"), (3, "c", "three")]
+
+
+def test_orders_per_nation_join_path_equality(ray_session, sf_dir):
+    """orders_per_nation through the guarded Dataset.join path equals the
+    broadcast path (and hence the DuckDB oracle)."""
+    from fonduer_ray.pipelines.relational import orders_per_nation
+
+    rows = lambda ds: sorted(
+        (r["n_name"], r["n_orders"]) for r in ds.take_all()
+    )
+    assert rows(orders_per_nation(sf_dir, broadcast_limit=0)) == rows(
+        orders_per_nation(sf_dir)
+    )
