@@ -16,10 +16,17 @@ Distributed layout (nothing trains driver-side):
    row per key it saw).
 3. weights ``w_k = ln((n_k1+a)/(n1+2a)) - ln((n_k0+a)/(n0+2a))``, bias
    ``ln((n1+a)/(n0+a))`` (Laplace-smoothed log odds).
-4. scoring: weights broadcast once via ``ray.put``; a stateless
-   ``map_batches`` computes ``sigmoid(bias + sum w_k)``, summing in sorted
-   key order so the float result is order-deterministic (bit-identical to
-   the oracle's ``list_reduce`` over ``list(wt ORDER BY key)``).
+4. scoring: size-guarded on vocabulary. At or below
+   ``VOCAB_BROADCAST_LIMIT`` keys, weights broadcast once via ``ray.put``
+   and a stateless ``map_batches`` computes ``sigmoid(bias + sum w_k)``,
+   summing in sorted key order so the float result is order-deterministic
+   (bit-identical to the oracle's ``list_reduce`` over ``list(wt ORDER BY
+   key)``). Above the limit (a 10^8-key web vocabulary is a multi-GB dict)
+   the weight table stays a Dataset: candidates explode to (candidate, key)
+   rows, hash-partition ``Dataset.join`` against the weight shard, and the
+   per-candidate sum runs as ``np.add.reduceat`` over rows sorted by
+   (candidate, key) — sequential left-to-right IEEE adds, so both paths
+   produce bit-identical scores.
 """
 
 from __future__ import annotations
@@ -34,20 +41,28 @@ import ray.data
 from fonduer_ray.stages.util import hash_groupby
 
 
+#: above this many feature keys the weight table is no longer collected into
+#: a driver dict — ``fit_log_odds`` returns it as a Dataset and
+#: ``score_log_odds`` scores through a hash-partition join (same guard
+#: pattern as ``linking.link_triples``)
+VOCAB_BROADCAST_LIMIT = 2_000_000
+
+
 def fit_log_odds(
     feats: "ray.data.Dataset",
     y_ds: "ray.data.Dataset",
     alpha: float = 1.0,
     num_partitions: int | None = None,
-) -> tuple[dict[str, float], float]:
+    vocab_limit: int = VOCAB_BROADCAST_LIMIT,
+) -> "tuple[dict[str, float] | ray.data.Dataset, float]":
     """Closed-form discriminative fit; returns ``(weights, bias)``.
 
     ``feats``: rows with ``candidate_stable_id`` and ``keys`` (distinct per
     candidate). ``y_ds``: rows ``(candidate_stable_id, y)`` with y in {0,1}.
-    The collected weight dict is vocabulary-sized (the reference's
-    FeatureKey table analog) — at a 10^8-key web vocabulary, shard the
-    weight table and switch scoring to a shuffle join exactly like
-    ``linking.link_triples`` does for the canonical map."""
+    ``weights`` is a plain dict when the vocabulary fits under
+    ``vocab_limit`` (the reference's FeatureKey table analog), else a
+    ``(key, wt)`` Dataset kept sharded in the object store;
+    ``score_log_odds`` accepts either and picks the matching strategy."""
     if num_partitions is None:
         # Dataset.join spawns one aggregator ACTOR per partition; actor
         # cold-start dominates small fits (measured 25s at 64 partitions vs
@@ -115,6 +130,36 @@ def fit_log_odds(
         # the summed negatives swamp the bias) — predict the majority class
         return {}, math.log((n1 + alpha) / (n0 + alpha))
 
+    bias = math.log((n1 + alpha) / (n0 + alpha))
+    per_key = per_key.materialize()  # vocab-sized, stays sharded in the store
+
+    if per_key.count() > vocab_limit:
+        def to_weights(batch: pa.Table) -> pa.Table:
+            # math.log (not np.log, which can differ in the last ulp) so the
+            # sharded weights are bit-identical to the dict path's
+            wt = [
+                math.log((c1 + alpha) / (n1 + 2 * alpha))
+                - math.log((c0 + alpha) / (n0 + 2 * alpha))
+                for c0, c1 in zip(batch["n0"].to_pylist(), batch["n1"].to_pylist())
+            ]
+            # explicit cast: empty partitions otherwise yield null-typed key
+            # blocks whose schema breaks the downstream scoring join
+            return pa.table(
+                {
+                    "key": batch["key"].cast(pa.string()),
+                    "wt": pa.array(wt, pa.float64()),
+                }
+            )
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        # repartition: coalesces fragmented map_groups output AND drops the
+        # schemaless zero-row blocks empty hash partitions emit (acero's
+        # join rejects a right side containing a block without the key col)
+        weights_ds = per_key.map_batches(to_weights, batch_format="pyarrow").repartition(
+            max(2 * cpus, 8)
+        )
+        return weights_ds, bias
+
     weights: dict[str, float] = {}
     for batch in per_key.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for k, c0, c1 in zip(
@@ -123,15 +168,22 @@ def fit_log_odds(
             weights[k] = math.log((c1 + alpha) / (n1 + 2 * alpha)) - math.log(
                 (c0 + alpha) / (n0 + 2 * alpha)
             )
-    bias = math.log((n1 + alpha) / (n0 + alpha))
     return weights, bias
 
 
 def score_log_odds(
-    feats: "ray.data.Dataset", weights: dict[str, float], bias: float
+    feats: "ray.data.Dataset",
+    weights: "dict[str, float] | ray.data.Dataset",
+    bias: float,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Apply the trained weights: ``(doc_name, candidate_stable_id, score)``.
-    Keys are summed in sorted order so float accumulation is deterministic."""
+    Keys are summed in sorted order so float accumulation is deterministic.
+    ``weights`` as a dict scores via broadcast; as a ``(key, wt)`` Dataset
+    (the over-``VOCAB_BROADCAST_LIMIT`` fit output) via a hash-partition
+    join — both bit-identical."""
+    if isinstance(weights, ray.data.Dataset):
+        return _score_log_odds_sharded(feats, weights, bias, num_partitions)
     weights_ref = ray.put(weights)
 
     def apply(batch: pa.Table) -> pa.Table:
@@ -151,3 +203,81 @@ def score_log_odds(
         )
 
     return feats.map_batches(apply, batch_format="pyarrow")
+
+
+def _score_log_odds_sharded(
+    feats: "ray.data.Dataset",
+    weights_ds: "ray.data.Dataset",
+    bias: float,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Web-vocabulary scoring: candidates explode to one row per key, join
+    the sharded weight table on the key, and the per-candidate sum runs
+    sequentially over rows sorted by (candidate, key) — the same
+    left-to-right float64 add order as the broadcast path's sorted-key
+    loop, so scores are bit-identical (numpy's pairwise/SIMD reductions
+    would not be). An empty-key sentinel row per candidate (key "", weight
+    0.0, sorts first and adds exactly nothing) keeps featureless candidates
+    in the output."""
+    import pandas as pd
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(cpus // 4, 4)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cands, docs, keys = [], [], []
+        for cand, doc, ks in zip(
+            batch["candidate_stable_id"].to_pylist(),
+            batch["doc_name"].to_pylist(),
+            batch["keys"].to_pylist(),
+        ):
+            cands.append(cand)
+            docs.append(doc)
+            keys.append("")  # sentinel: candidate survives with zero keys
+            for k in ks:
+                cands.append(cand)
+                docs.append(doc)
+                keys.append(k)
+        return pa.table(
+            {
+                "candidate_stable_id": pa.array(cands, pa.string()),
+                "doc_name": pa.array(docs, pa.string()),
+                "key": pa.array(keys, pa.string()),
+            }
+        )
+
+    joined = feats.map_batches(explode, batch_format="pyarrow").join(
+        weights_ds,
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("key",),
+    )
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["candidate_stable_id", "key"], kind="mergesort", ignore_index=True
+        )
+        wts = df["wt"].fillna(0.0).tolist()
+        cands = df["candidate_stable_id"].tolist()
+        docs = df["doc_name"].tolist()
+        out_doc, out_cand, out_score = [], [], []
+        i, n = 0, len(cands)
+        while i < n:
+            cand, z, j = cands[i], bias, i
+            while j < n and cands[j] == cand:
+                z += wts[j]
+                j += 1
+            out_doc.append(docs[i])
+            out_cand.append(cand)
+            out_score.append(1.0 / (1.0 + math.exp(-z)))
+            i = j
+        return pd.DataFrame(
+            {
+                "doc_name": pd.Series(out_doc, dtype="object"),
+                "candidate_stable_id": pd.Series(out_cand, dtype="object"),
+                "score": pd.Series(out_score, dtype="float64"),
+            }
+        )
+
+    return hash_groupby(joined, ["candidate_stable_id"], score_part)

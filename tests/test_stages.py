@@ -182,6 +182,41 @@ def test_log_odds_trained_scorer(ray_session):
     w2, bias2 = fit_log_odds(feats, y)
     assert w == w2 and bias == bias2
 
+    # the sharded-vocabulary path (weights as a Dataset + hash-partition
+    # scoring join) must be BIT-identical to the broadcast path, including
+    # a featureless candidate that only the sentinel row keeps alive
+    import ray.data as rd2  # noqa: F401 - clarity
+
+    feats_plus = rd.from_arrow(
+        pa.concat_tables(
+            [
+                rows,
+                pa.table(
+                    {
+                        "doc_name": ["dz"],
+                        "candidate_stable_id": ["cz"],
+                        "keys": pa.array([[]], pa.list_(pa.string())),
+                    }
+                ),
+            ]
+        )
+    )
+    w_ds, bias_ds = fit_log_odds(feats_plus, y, vocab_limit=0)
+    assert isinstance(w_ds, rd.Dataset) and bias_ds == bias
+    assert {
+        (r["key"], r["wt"]) for r in w_ds.take_all()
+    } == {(k, v) for k, v in w.items()}
+    sharded = {
+        r["candidate_stable_id"]: r["score"]
+        for r in score_log_odds(feats_plus, w_ds, bias_ds, num_partitions=4).take_all()
+    }
+    bcast = {
+        r["candidate_stable_id"]: r["score"]
+        for r in score_log_odds(feats_plus, w, bias).take_all()
+    }
+    assert sharded == bcast  # float-exact, all 201 candidates present
+    assert len(sharded) == n + 1 and "cz" in sharded
+
 
 def test_split_train_eval_flow(ray_session, tmp_path_factory):
     """Reference e2e flow (test_e2e.py:271-425): train a discriminative
