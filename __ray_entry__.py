@@ -357,9 +357,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_id", "neighbor_id", "rank"])
 
-    def embedding_dups(sf_dir: str) -> pa.Table:
+    def embedding_dups(sf_dir: str):
+        """Exact all-pairs baseline — sharded broadcast + streaming output
+        (memory-bounded at any n; the LSH query below is the compute-scale
+        path)."""
         out = similarity.embedding_dup_pairs_exact(_emb(sf_dir), threshold=0.4)
-        return out.select(["id_a", "id_b"])
+        return out.select_columns(["id_a", "id_b"])
 
     def embedding_dups_lsh(sf_dir: str):
         """(n_bits=3, n_tables=48) gives per-pair miss < 1e-6 at cosine 0.4

@@ -283,44 +283,70 @@ def embedding_dup_pairs_exact(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pa.Table:
-    """Exact all-pairs cosine duplicates: the full (id, vec) matrix is
-    broadcast once via ``ray.put`` and each block matmuls against it —
-    O(n^2 / p) work, exact answer. Baseline for the LSH variant below;
-    suitable up to ~10^6 vectors per broadcast shard."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-    all_vecs = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
-    ref = ray.put((all_ids, all_vecs))
+    shard_rows: int = 250_000,
+) -> "ray.data.Dataset":
+    """Exact all-pairs cosine duplicates — O(n^2 / p) work by definition,
+    but memory-bounded at any n: the (id, vec) matrix ships as a list of
+    ``shard_rows``-row shards (one ``ray.put`` each; driver peak = one
+    shard, built streaming from ``iter_batches``) and each block matmuls
+    against the shards in turn. The result is a streaming Dataset, never a
+    driver-side collection. For web-scale corpora prefer the LSH variant
+    below, which avoids the quadratic compute entirely."""
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    shard_refs: list = []
+    buf_ids: list[np.ndarray] = []
+    buf_vecs: list[np.ndarray] = []
+    buffered = 0
+
+    def flush() -> None:
+        nonlocal buffered
+        if not buffered:
+            return
+        ids = np.concatenate(buf_ids)
+        vecs = _normalize(np.concatenate(buf_vecs))
+        shard_refs.append(ray.put((ids, vecs)))
+        buf_ids.clear()
+        buf_vecs.clear()
+        buffered = 0
+
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        buf_ids.append(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        buf_vecs.append(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        buffered += len(batch)
+        if buffered >= shard_rows:
+            flush()
+    flush()
 
     def block_pairs(batch: pa.Table) -> pa.Table:
-        ids_all, vecs_all = ray.get(ref)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
-        sims = vecs @ vecs_all.T
-        ii, jj = np.where(sims >= threshold)
-        keep = ids[ii] < ids_all[jj]  # dedup: emit only id_a < id_b
+        a_parts, b_parts, s_parts = [], [], []
+        for ref in shard_refs:
+            ids_all, vecs_all = ray.get(ref)
+            sims = vecs @ vecs_all.T
+            ii, jj = np.where(sims >= threshold)
+            keep = ids[ii] < ids_all[jj]  # dedup: emit only id_a < id_b
+            a_parts.append(ids[ii][keep])
+            b_parts.append(ids_all[jj][keep])
+            s_parts.append(sims[ii, jj][keep])
+        a = np.concatenate(a_parts) if a_parts else np.array([], dtype=np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=np.int64)
+        s = np.concatenate(s_parts) if s_parts else np.array([], dtype=np.float64)
         return pa.table(
             {
-                "id_a": pa.array(ids[ii][keep], pa.int64()),
-                "id_b": pa.array(ids_all[jj][keep], pa.int64()),
-                "sim": pa.array(sims[ii, jj][keep], pa.float64()),
+                "id_a": pa.array(a.astype(np.int64), pa.int64()),
+                "id_b": pa.array(b.astype(np.int64), pa.int64()),
+                "sim": pa.array(s, pa.float64()),
             }
         )
 
-    out = ds.map_batches(
+    return ds.map_batches(
         block_pairs,
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=None,
     )
-    tbl = pa.Table.from_pylist(
-        out.take_all(),
-        schema=pa.schema(
-            [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
-        ),
-    )
-    return tbl
 
 
 def embedding_dup_pairs(

@@ -137,6 +137,34 @@ def test_knn_ivf_deterministic(ray_session, vec_ds):
     assert a == b
 
 
+def test_embedding_dup_pairs_exact_sharded(ray_session, vec_ds):
+    """The sharded-broadcast exact path (several small matrix shards) finds
+    exactly the same pair set as a single-shard run and as brute force."""
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dup_pairs_exact(vec_ds, threshold=0.3).take_all()
+    }
+    many = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dup_pairs_exact(
+            vec_ds, threshold=0.3, shard_rows=64
+        ).take_all()
+    }
+    assert one == many and one
+    rows = vec_ds.take_all()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+    brute = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                s = vecs[a] @ vecs[b] / (
+                    np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+                )
+                if s >= 0.3:
+                    brute.add((a, b))
+    assert one == brute
+
+
 def test_pair_bloom_prefilter(ray_session):
     """The Bloom prefilter never drops a pair-referenced id (no false
     negatives) and rejects the vast majority of unrelated ids."""
