@@ -8,8 +8,9 @@ stage aligns those hOCR tokens with the sentence's own words, writes
 per-word ``page/top/left/bottom/right`` arrays, and strips the bbox attrs.
 
 The PDF path of the reference (``pdf_visual_parser.py:40-362``) shells out
-to ``pdftotext``, which is unavailable here; ``PdfVisualParser`` raises
-``NotImplementedError`` but documents the actor-pool shape it would use.
+to ``pdftotext``; ``PdfVisualParser`` below instead uses the native PDF
+text-layer extractor in ``sources/pdf.py`` plus a faithful port of the
+reference's 3-pass html<->pdf word linker — no external binary needed.
 
 Pure per-document function -> runs inside the parse ``map_batches`` stage
 or as its own stage.

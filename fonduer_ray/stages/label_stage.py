@@ -140,18 +140,52 @@ def score_with(label_ds, scorer, concurrency=None):
     )
 
 
-def label_matrix(label_ds: "ray.data.Dataset", lf_names: list[str]):
-    """Dense label matrix (rows = candidates, cols = LFs, -1 = abstain),
-    collected driver-side for small/test scales (analog of
-    ``get_label_matrices``, ``labeler.py:309-417``)."""
+def label_matrix_ds(
+    label_ds: "ray.data.Dataset", lf_names: list[str]
+) -> "ray.data.Dataset":
+    """Distributed dense label matrix (analog of ``get_label_matrices``,
+    ``labeler.py:309-417``): one row per candidate with its LF-vote vector
+    as ``row: list<int64>`` (-1 = abstain), computed inside ``map_batches``
+    — the matrix lives as Dataset blocks in the object store, never as one
+    driver-side array. Consumers (the label model's sufficient-statistics
+    passes, matrix export sinks) stream over it block by block."""
     import numpy as np
 
-    rows = label_ds.take_all()
-    ids = [r["candidate_stable_id"] for r in rows]
     name_idx = {n: i for i, n in enumerate(lf_names)}
-    mat = -np.ones((len(rows), len(lf_names)), dtype=np.int64)
-    for i, r in enumerate(rows):
-        for k, v in zip(r["keys"], r["values"]):
-            if k in name_idx:
-                mat[i, name_idx[k]] = v - 1
-    return ids, mat
+    n_lfs = len(lf_names)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        mat = -np.ones((len(batch), n_lfs), dtype=np.int64)
+        for i, (keys, values) in enumerate(
+            zip(batch["keys"].to_pylist(), batch["values"].to_pylist())
+        ):
+            for k, v in zip(keys, values):
+                j = name_idx.get(k)
+                if j is not None:
+                    mat[i, j] = v - 1
+        return pa.table(
+            {
+                "candidate_stable_id": batch["candidate_stable_id"],
+                "row": pa.array(mat.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    return label_ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def label_matrix(label_ds: "ray.data.Dataset", lf_names: list[str]):
+    """Driver-side (ids, matrix) convenience over ``label_matrix_ds`` for
+    small/test scales — the per-candidate vote vectors are computed
+    distributed; only the final assembly streams to the driver."""
+    import numpy as np
+
+    ids: list[str] = []
+    blocks: list[np.ndarray] = []
+    for batch in label_matrix_ds(label_ds, lf_names).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids.extend(batch["candidate_stable_id"].to_pylist())
+        blocks.append(np.asarray(batch["row"].to_pylist(), dtype=np.int64))
+    if not blocks:
+        return ids, -np.ones((0, len(lf_names)), dtype=np.int64)
+    return ids, np.concatenate(blocks, axis=0)
