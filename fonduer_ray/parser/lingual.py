@@ -4,13 +4,20 @@
 (``parser/lingual_parser/simple_parser.py:9-61``): split on a delimiter,
 whitespace-tokenize, cumulative char offsets, no NLP.
 
-``HeuristicLinguist`` stands in for the reference's spaCy stage
-(``spacy_parser.py:102-249``). spaCy models are not available in this
-environment, so enrichment is a deterministic, rule-based tagger with the
-same *shape*: token-aligned ``lemmas``, ``pos_tags``, ``ner_tags`` ("O"
-default), ``dep_parents`` (sentence-local, 0 = root), ``dep_labels``.
-It is designed to run as an actor-pool ``map_batches`` stage — all state
-(compiled regexes, gazetteers) is built once in ``__init__``.
+``SpacyLinguist`` is the real NLP stage (reference
+``spacy_parser.py:102-319``): full-pipe enrichment over a token-preserving
+Doc with pinned sentence boundaries, model loaded once per actor. It is
+selected automatically by ``default_linguist("auto")`` whenever ``import
+spacy`` (plus a model) succeeds.
+
+``HeuristicLinguist`` is the deterministic fallback when spaCy is absent
+(as in this container): a rule-based tagger with the same *shape* —
+token-aligned ``lemmas``, ``pos_tags``, ``ner_tags`` ("O" default),
+``dep_parents`` (sentence-local, 0 = root), ``dep_labels``.
+
+Both run inside the parse ``map_batches`` stage — all state (spaCy model /
+compiled regexes) is built once per worker, work happens per document via
+``enrich_document``.
 """
 
 from __future__ import annotations
@@ -203,3 +210,158 @@ class HeuristicLinguist:
         sentence["dep_parents"] = [0] + [1] * (n - 1) if n else []
         sentence["dep_labels"] = (["ROOT"] + ["dep"] * (n - 1)) if n else []
         return sentence
+
+    def enrich_document(self, sentences: list[dict]) -> list[dict]:
+        """Per-document entry point (shared interface with SpacyLinguist)."""
+        for s in sentences:
+            self.enrich(s)
+        return sentences
+
+
+# ---------------------------------------------------------------------------
+# real-spaCy plug point (reference spacy_parser.py:102-319)
+# ---------------------------------------------------------------------------
+
+
+def spacy_available() -> bool:
+    """True when the spaCy package can be imported (model availability is
+    checked at ``SpacyLinguist`` construction)."""
+    import importlib.util
+
+    return importlib.util.find_spec("spacy") is not None
+
+
+def _char_limit_batches(sentences: list[dict], limit: int) -> list[list[dict]]:
+    """Greedy char-bounded batching of one document's sentences so each
+    merged Doc stays under spaCy's ``max_length`` (reference
+    ``spacy_parser.py:177-189``)."""
+    batches: list[list[dict]] = [[]]
+    num_chars = 0
+    for s in sentences:
+        if num_chars + len(s["text"]) >= limit:
+            batches.append([s])
+            num_chars = len(s["text"])
+        else:
+            batches[-1].append(s)
+            num_chars += len(s["text"])
+    return [b for b in batches if b]
+
+
+def _words_and_spaces(
+    sentences: list[dict],
+) -> tuple[list[str], list[bool], list[int]]:
+    """Token-preserving Doc inputs (reference ``TokenPreservingTokenizer``,
+    ``spacy_parser.py:288-319``): the already-tokenized sentence words plus
+    a trailing-space flag per token recovered from the sentence text, and
+    the doc-level index of each sentence's first token (for boundary
+    pinning, ``set_custom_boundary`` ``spacy_parser.py:252-269``)."""
+    import string
+
+    ws = tuple(string.whitespace)
+    all_words: list[str] = []
+    all_spaces: list[bool] = []
+    starts: list[int] = []
+    for s in sentences:
+        words = s["words"]
+        if not words:
+            continue
+        starts.append(len(all_words))
+        all_words.extend(words)
+        spaces = [True] * len(words)  # last word always space-followed
+        pos = 0
+        for i, w in enumerate(words[:-1]):
+            pos = s["text"].find(w, pos)
+            if pos == -1:
+                raise AttributeError("Could not find token in its parent sentence")
+            pos += len(w)
+            if not s["text"][pos:].startswith(ws):
+                spaces[i] = False
+        all_spaces.extend(spaces)
+    return all_words, all_spaces, starts
+
+
+class SpacyLinguist:
+    """Real spaCy enrichment, faithful to the reference semantics
+    (``spacy_parser.py:102-175``): sentences keep OUR tokenization and OUR
+    boundaries (token-preserving Doc + pinned ``is_sent_start``), the full
+    pipeline runs over the merged document text, and each sentence gets
+    token-aligned ``lemmas``/``pos_tags`` (``tag_``)/``ner_tags``
+    (``ent_type_`` or "O")/``dep_parents`` (0 = root, else sentence-local
+    1-based head index)/``dep_labels``.
+
+    HEAVY state: the model loads once per actor — run the parse stage as an
+    actor pool (``map_batches(ParseStage, concurrency=N)``) when using it.
+    """
+
+    def __init__(self, lang: str = "en", model_name: str | None = None):
+        import spacy
+
+        name = model_name or lang
+        try:
+            self.model = spacy.load(name)
+        except OSError:
+            if name == "en":  # bare lang code: fall back to the small model
+                self.model = spacy.load("en_core_web_sm")
+            else:
+                raise
+        # boundaries come pinned from our sentencizer, never from spaCy's
+        # (reference removes these pipes, spacy_parser.py:120-128)
+        for pipe in ("sentencizer", "sentence_boundary_detector"):
+            if self.model.has_pipe(pipe):
+                self.model.remove_pipe(pipe)
+
+    def enrich_document(self, sentences: list[dict]) -> list[dict]:
+        from spacy.tokens import Doc
+
+        for batch in _char_limit_batches(sentences, self.model.max_length):
+            nonempty = [s for s in batch if s["words"]]
+            if not nonempty:
+                continue
+            words, spaces, starts = _words_and_spaces(nonempty)
+            doc = Doc(self.model.vocab, words=words, spaces=spaces)
+            start_set = set(starts)
+            for i, tok in enumerate(doc):
+                tok.is_sent_start = i in start_set
+            for _name, proc in self.model.pipeline:
+                doc = proc(doc)
+            for sent, s in zip(doc.sents, nonempty):
+                lemmas, poss, ners, parents, labels = [], [], [], [], []
+                first = sent[0].i
+                for token in sent:
+                    lemmas.append(token.lemma_)
+                    poss.append(token.tag_)
+                    ners.append(token.ent_type_ if token.ent_type_ else "O")
+                    parents.append(
+                        0 if token.head is token else token.head.i - first + 1
+                    )
+                    labels.append(token.dep_)
+                s["lemmas"] = lemmas
+                s["pos_tags"] = poss
+                s["ner_tags"] = ners
+                s["dep_parents"] = parents
+                s["dep_labels"] = labels
+        return sentences
+
+
+def default_linguist(linguist: "str | object" = "auto", lang: str = "en"):
+    """Resolve a linguist selector: ``"auto"`` picks ``SpacyLinguist`` when
+    spaCy imports (falling back if no model is installed), ``"spacy"``
+    demands it, ``"heuristic"`` forces the deterministic tagger, ``None``
+    disables enrichment, and any object with ``enrich_document`` passes
+    through (user extension hook)."""
+    if linguist is None:
+        return None
+    if hasattr(linguist, "enrich_document"):
+        return linguist
+    if linguist == "heuristic":
+        return HeuristicLinguist()
+    if linguist == "spacy":
+        return SpacyLinguist(lang)
+    if linguist == "auto":
+        if spacy_available():
+            try:
+                return SpacyLinguist(lang)
+            except Exception:  # no model installed: deterministic fallback
+                return HeuristicLinguist()
+        return HeuristicLinguist()
+    raise ValueError(f"unknown linguist selector {linguist!r}")

@@ -173,14 +173,40 @@ def load_spec(path: str) -> dict:
         return json.loads(text)
 
 
+def build_parser_config(node: dict) -> "Any":
+    """spec ``parser`` section -> ``ParserConfig``. Accepted keys mirror the
+    dataclass fields (``blacklist``, ``flatten``, ``sentence_delim``, ...);
+    ``sentencizer`` may be ``"simple"``, ``"punct"``, or a registered /
+    user-supplied object with ``split_sentences`` (passed through)."""
+    from fonduer_ray.parser.parse import ParserConfig
+
+    fields = {f for f in ParserConfig.__dataclass_fields__}
+    kwargs = {}
+    for k, v in node.items():
+        if k == "linguist":
+            continue  # consumed by run_spec, not ParserConfig
+        if k not in fields:
+            raise ValueError(f"unknown parser config key '{k}'")
+        kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return ParserConfig(**kwargs)
+
+
 def run_spec(
     pages, spec: dict
 ) -> "Any":
-    """pages Dataset + spec dict -> deduped canonical triples Dataset."""
+    """pages Dataset + spec dict -> deduped canonical triples Dataset.
+
+    The optional ``parser`` section configures the parse step, including
+    the NLP plug point: ``{"parser": {"linguist": "spacy"}}`` demands real
+    spaCy enrichment (actor-loaded model), ``"heuristic"`` the
+    deterministic tagger, ``"auto"`` (default) picks spaCy when installed."""
     from fonduer_ray.stages.fused import pages_to_triples
     from fonduer_ray.stages.linking import canonicalize_triples
 
     mention_specs, relation_specs, lfs, cfg = build_pipeline(spec)
+    parser_node = dict(spec.get("parser", {}))
+    linguist = parser_node.get("linguist", "auto")
+    parser_cfg = build_parser_config(parser_node) if parser_node else None
     triples = pages_to_triples(
         pages,
         mention_specs,
@@ -189,5 +215,7 @@ def run_spec(
         pred_names=cfg["pred_names"],
         weights=cfg["weights"],
         threshold=cfg["threshold"],
+        cfg=parser_cfg,
+        linguist=linguist,
     )
     return canonicalize_triples(triples)

@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from fonduer_ray.parser.lingual import HeuristicLinguist
+from fonduer_ray.parser.lingual import default_linguist
 from fonduer_ray.parser.parse import ParserConfig, parse_document
 from fonduer_ray.stages.candidate_stage import CandidateStage, RelationSpec
 from fonduer_ray.stages.mention_stage import MentionSpec, MentionStage
@@ -37,9 +37,10 @@ class FusedKGStage:
         threshold: float = 0.6,
         cfg: ParserConfig | None = None,
         enrich: bool = True,
+        linguist: "str | object" = "auto",
     ):
         self.cfg = cfg or ParserConfig()
-        self.linguist = HeuristicLinguist() if enrich else None
+        self.linguist = default_linguist(linguist) if enrich else None
         self.mentions = MentionStage(mention_specs)
         self.candidates = CandidateStage(relation_specs)
         self.triples = TripleStage(lfs, pred_names, weights, threshold)
@@ -60,8 +61,7 @@ class FusedKGStage:
             if doc is None:
                 continue
             if self.linguist is not None and (lang or "en").startswith("en"):
-                for s in doc["sentences"]:
-                    self.linguist.enrich(s)
+                self.linguist.enrich_document(doc["sentences"])
             doc["mentions"] = self.mentions.extract_doc(doc)
             doc["candidates"] = self.candidates.extract_doc(doc)
             sent_by_pos = {s["position"]: s for s in doc["sentences"]}
@@ -112,6 +112,7 @@ def pages_to_triples(
     threshold: float = 0.6,
     cfg: ParserConfig | None = None,
     enrich: bool = True,
+    linguist: "str | object" = "auto",
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
 ) -> "ray.data.Dataset":
@@ -124,6 +125,7 @@ def pages_to_triples(
         "threshold": threshold,
         "cfg": cfg,
         "enrich": enrich,
+        "linguist": linguist,
     }
     from ray import cloudpickle  # plain pickle cannot key lambda/closure state
 

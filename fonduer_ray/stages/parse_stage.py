@@ -17,13 +17,17 @@ import ray.data
 
 from fonduer_ray.stages.util import map_stage
 
-from fonduer_ray.parser.lingual import HeuristicLinguist
+from fonduer_ray.parser.lingual import default_linguist
 from fonduer_ray.parser.parse import ParserConfig, parse_document
 from fonduer_ray.stages.schemas import DOC_SCHEMA
 
 
 class ParseStage:
-    """Callable class for ``ds.map_batches(ParseStage, concurrency=N)``."""
+    """Callable class for ``ds.map_batches(ParseStage, concurrency=N)``.
+
+    ``linguist`` selects NLP enrichment: ``"auto"`` (spaCy when installed,
+    else the deterministic heuristic), ``"spacy"``, ``"heuristic"``, or any
+    object with ``enrich_document`` (see ``parser.lingual``)."""
 
     def __init__(
         self,
@@ -33,9 +37,10 @@ class ParseStage:
         html_col: str = "html",
         lang_col: str = "lang",
         emit_errors: bool = False,
+        linguist: "str | object" = "auto",
     ):
         self.cfg = cfg or ParserConfig()
-        self.linguist = HeuristicLinguist() if enrich else None
+        self.linguist = default_linguist(linguist) if enrich else None
         self.url_col = url_col
         self.html_col = html_col
         self.lang_col = lang_col
@@ -67,8 +72,7 @@ class ParseStage:
             # keep the SimpleParser output (reference fallback,
             # parser/parser.py:207-221)
             if self.linguist is not None and (lang or "en").startswith("en"):
-                for s in doc["sentences"]:
-                    self.linguist.enrich(s)
+                self.linguist.enrich_document(doc["sentences"])
             doc["lang"] = lang or ""
             rows.append(doc)
         if not self.emit_errors:

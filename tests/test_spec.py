@@ -83,6 +83,26 @@ def test_run_spec_end_to_end(ray_session):
     }
 
 
+def test_run_spec_parser_section(ray_session):
+    """The spec's ``parser`` section reaches the parse step: linguist
+    selection plus ParserConfig keys (here the punct sentencizer keeps the
+    terminal '.' attached, unlike the simple-delim default)."""
+    html = (
+        "<html><body><p>Device AB123 is rated 85 degrees."
+        " Other text here.</p></body></html>"
+    ).encode()
+    pages = ray.data.from_arrow(
+        pa.table({"url": ["u0"], "html": [html], "lang": ["en"]})
+    )
+    spec = dict(SPEC, parser={"linguist": "heuristic", "sentencizer": "punct"})
+    out = S.run_spec(pages, spec).take_all()
+    assert {(r["subj"], r["pred"], r["obj"]) for r in out} == {
+        ("AB123", "rated_at", "85")
+    }
+    with pytest.raises(ValueError):
+        S.build_parser_config({"no_such_key": 1})
+
+
 def test_spec_yaml_roundtrip(tmp_path):
     import yaml
 
