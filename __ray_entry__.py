@@ -441,6 +441,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fonduer-style pipeline over the documents table (full HTML path)
         "parse_doc_stats": docops.parse_doc_stats,
         "mention_counts": docops.mention_counts,
+        # matcher-algebra combinators (Union/Intersect/Inverse/Concat)
+        "union_mentions": docops.union_mentions,
+        "intersect_mentions": docops.intersect_mentions,
+        "inverse_mentions": docops.inverse_mentions,
+        "concat_mentions": docops.concat_mentions,
         "candidate_counts": docops.candidate_counts,
         "triples_kg": docops.triples,
         "triples_kg_spec": docops.triples_via_spec,
@@ -522,6 +527,47 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE w IN {SUBJ_IN} OR w IN {OBJ_IN}
             GROUP BY doc_id, w
+        """,
+        "union_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            )
+            SELECT doc_id, w AS mention, count(*) AS n_mentions
+            FROM toks
+            WHERE w IN {SUBJ_IN} OR w IN {OBJ_IN}
+            GROUP BY doc_id, w
+        """,
+        "intersect_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            )
+            SELECT doc_id, w AS mention, count(*) AS n_mentions
+            FROM toks
+            WHERE (w IN {SUBJ_IN} OR w IN {OBJ_IN}) AND w LIKE 's%'
+            GROUP BY doc_id, w
+        """,
+        "inverse_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            )
+            SELECT doc_id, w AS mention, count(*) AS n_mentions
+            FROM toks
+            WHERE w LIKE 's%' AND w NOT IN {SUBJ_IN}
+            GROUP BY doc_id, w
+        """,
+        "concat_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            )
+            SELECT a.doc_id, a.w || ' ' || b.w AS mention, count(*) AS n_mentions
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+            WHERE a.w IN {SUBJ_IN} AND b.w IN {OBJ_IN}
+            GROUP BY a.doc_id, a.w, b.w
         """,
         "candidate_counts": f"""
             WITH toks AS (

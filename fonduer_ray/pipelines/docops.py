@@ -100,9 +100,12 @@ def mention_docs(sf_dir: str) -> "ray.data.Dataset":
     return extract_mentions(parsed_docs(sf_dir), _mention_specs(), batch_size=128)
 
 
-def mention_counts(sf_dir: str) -> "ray.data.Dataset":
-    """(doc_id, mention, n_mentions) via the real mention stage."""
-    m = mentions_table(mention_docs(sf_dir))
+def _mention_count_query(
+    sf_dir: str, specs: list[MentionSpec]
+) -> "ray.data.Dataset":
+    """(doc_id, mention, n_mentions) through the real parse+mention stages
+    for arbitrary mention specs."""
+    m = mentions_table(extract_mentions(parsed_docs(sf_dir), specs, batch_size=128))
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -126,6 +129,65 @@ def mention_counts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hash_groupby(m.map_batches(prep, batch_format="pyarrow"), ["doc_id", "mention"], agg)
+
+
+def mention_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, mention, n_mentions) via the real mention stage."""
+    return _mention_count_query(sf_dir, _mention_specs())
+
+
+def union_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """Matcher-algebra Union (reference ``matchers.py:158-168``): one spec
+    whose matcher is ``Union(Dict(SUBJ), Dict(OBJ))``."""
+    from fonduer_ray.core.matchers import Union
+
+    spec = MentionSpec(
+        "any",
+        MentionNgrams(1, 1),
+        Union(DictionaryMatch(d=SUBJ_DICT), DictionaryMatch(d=OBJ_DICT)),
+    )
+    return _mention_count_query(sf_dir, [spec])
+
+
+def intersect_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """Matcher-algebra Intersect: dictionary AND regex ``s.*`` (anchored
+    full-match wrap, reference ``matchers.py:171-181, 283-361``)."""
+    from fonduer_ray.core.matchers import Intersect, RegexMatchSpan
+
+    spec = MentionSpec(
+        "s_word",
+        MentionNgrams(1, 1),
+        Intersect(
+            DictionaryMatch(d=SUBJ_DICT + OBJ_DICT), RegexMatchSpan(rgx=r"s.*")
+        ),
+    )
+    return _mention_count_query(sf_dir, [spec])
+
+
+def inverse_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """Matcher-algebra Inverse: regex ``s.*`` AND NOT in the subject
+    dictionary (reference ``matchers.py:184-208``)."""
+    from fonduer_ray.core.matchers import Intersect, Inverse, RegexMatchSpan
+
+    spec = MentionSpec(
+        "s_not_subj",
+        MentionNgrams(1, 1),
+        Intersect(RegexMatchSpan(rgx=r"s.*"), Inverse(DictionaryMatch(d=SUBJ_DICT))),
+    )
+    return _mention_count_query(sf_dir, [spec])
+
+
+def concat_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """Matcher-algebra Concat over bigrams: left half in SUBJ, right half
+    in OBJ, adjacent within one sentence (reference ``matchers.py:211-280``)."""
+    from fonduer_ray.core.matchers import Concat
+
+    spec = MentionSpec(
+        "subj_obj_pair",
+        MentionNgrams(2, 2),
+        Concat(DictionaryMatch(d=SUBJ_DICT), DictionaryMatch(d=OBJ_DICT)),
+    )
+    return _mention_count_query(sf_dir, [spec])
 
 
 def _throttler(spans) -> bool:
