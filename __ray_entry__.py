@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_scores": docops.logreg_scores,
         "ner_person_mentions": docops.ner_person_mentions,
         "hocr_visual_stats": docops.hocr_visual_stats,
+        "jpeg_decode_stats": docops.jpeg_decode_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
         "boilerplate_stats": docops.boilerplate_stats,
         # relational operator coverage
@@ -527,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE w IN {SUBJ_IN} OR w IN {OBJ_IN}
             GROUP BY doc_id, w
+        """,
+        "jpeg_decode_stats": """
+            SELECT doc_id,
+                   CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+                   CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
+                   CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+            FROM documents
         """,
         "union_mentions": f"""
             WITH toks AS (

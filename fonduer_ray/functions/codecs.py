@@ -9,10 +9,13 @@ public specifications are decoded natively:
   scanlines (used for resize output and test fixtures).
 - **BMP**: 24-bit uncompressed bottom-up DIB.
 - **WAV**: PCM via the stdlib ``wave`` module -> int16/uint8 numpy samples.
+- **JPEG**: baseline JFIF (Huffman + DCT) in ``functions/jpeg.py`` — the
+  dominant real-web image format; progressive JPEGs raise with a clear
+  message.
 
-JPEG / MP3 / video codecs are deliberately out of scope (entropy-coded
-formats; a container with the real libraries swaps them in behind the same
-stage signatures — see ``functions/multimodal.py``).
+MP3 / video codecs remain out of scope (a container with the real
+libraries swaps them in behind the same stage signatures — see
+``functions/multimodal.py``).
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -215,13 +220,17 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def image_decode(data: bytes) -> tuple[np.ndarray, str]:
-    """Sniff + decode PNG or BMP."""
+    """Sniff + decode PNG, BMP or baseline JPEG."""
     fmt = sniff_format(data)
     if fmt == "png":
         return png_decode(data)
     if fmt == "bmp":
         return bmp_decode(data)
-    raise ValueError("unsupported image format (PNG/BMP supported natively)")
+    if fmt == "jpeg":
+        from fonduer_ray.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    raise ValueError("unsupported image format (PNG/BMP/JPEG supported natively)")
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -1,12 +1,11 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
-Decode kernels are REAL for the formats with simple public specs — PNG and
-BMP images and PCM WAV audio, via the pure-Python/numpy codecs in
-``functions/codecs.py`` — and stubbed for entropy-coded formats (JPEG,
-MP3, video codecs): those raise ``NotImplementedError`` unless ``fake=True``
-supplies the deterministic stand-in used by the plumbing tests. In a
-container with the real libraries the stand-ins swap out behind the same
-stage signatures.
+Decode kernels are REAL for PNG, BMP, baseline JPEG (``functions/jpeg.py``,
+pure-numpy Huffman+DCT) and PCM WAV audio via ``functions/codecs.py``;
+MP3 and video codecs remain stubbed: those raise ``NotImplementedError``
+unless ``fake=True`` supplies the deterministic stand-in used by the
+plumbing tests. In a container with the real libraries the stand-ins swap
+out behind the same stage signatures.
 
 Pattern per stage: callable class (state built once per actor),
 ``map_batches(Cls, batch_size=SMALL, concurrency=N)``; binary payloads

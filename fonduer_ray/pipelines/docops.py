@@ -806,3 +806,53 @@ def triples(sf_dir: str) -> "ray.data.Dataset":
     )
     deduped = canonicalize_triples(t, n_salts=KGConfig().n_salts)
     return deduped.select_columns(["subj", "pred", "obj", "support"])
+
+
+class _JpegStatsStage:
+    """Deterministic JPEG fixture -> real decode -> closed-form stats.
+
+    Each doc_id derives a uniform-gray baseline JPEG (dims ``16+(id%4)*8 x
+    16+(id%3)*8``, color ``id%256``, q=90). Uniform images are DC-only and
+    the DC quant step at q=90 keeps the error under half a level, so the
+    decode is EXACT — width/height/mean are SQL-expressible in the oracle.
+    Encode + decode both run inside the stage (one pass, no payload
+    shuffle); the multimodal stage signatures are covered by tests."""
+
+    def __init__(self, quality: int = 90):
+        self.quality = quality
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fonduer_ray.functions import codecs
+        from fonduer_ray.functions.jpeg import jpeg_encode
+
+        ids, ws, hs, means = [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            w = 16 + (doc_id % 4) * 8
+            h = 16 + (doc_id % 3) * 8
+            c = doc_id % 256
+            img = np.full((h, w), c, dtype=np.uint8)
+            out, mode = codecs.image_decode(jpeg_encode(img, quality=self.quality))
+            ids.append(doc_id)
+            hs.append(out.shape[0])
+            ws.append(out.shape[1])
+            means.append(int(out.mean()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "mean_pixel": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def jpeg_decode_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, width, height, mean_pixel) through the real baseline-JPEG
+    encode->decode path (``functions/jpeg.py``), oracle-checked in closed
+    form against the doc_id-derived fixture parameters."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return map_stage(ds, _JpegStatsStage, {}, 64)
