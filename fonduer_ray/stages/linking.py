@@ -435,70 +435,73 @@ def canonicalize_triples(
     touches only the aggregated rows: below ``small_finish_limit`` it runs
     as one coalesced worker task; above it, the guarded broadcast/shuffle
     join of ``_apply_canonical`` + a final hash_groupby (the 100 TB path)."""
+    import os
+
     import pandas as pd
 
     from fonduer_ray.stages.util import hash_groupby
 
-    tm = triples.materialize()  # extraction runs with full parallelism
-    # The extraction inherits the corpus' fine-grained block count (great
-    # for task scheduling, poison for the all-to-all below: 256 near-empty
-    # blocks cost ~6s of per-block shuffle overhead at 32 CPUs vs ~1s
-    # coalesced). Coalesce fragmented triple output before the shuffle.
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    n_blocks = tm.num_blocks()
-    if n_blocks > 2 * cpus and tm.count() / max(n_blocks, 1) < 50_000:
-        tm = tm.repartition(2 * cpus).materialize()
-
+    if os.environ.get("FONDUER_RAY_CANON_STREAM", "0") != "1":
+        # Pin the extraction output before the aggregate. Counter-intuitive
+        # but measured (A/B in one process, 32 CPUs, 480k docs): streaming
+        # extraction straight into the dual-partial pass + Sort runs ~40%
+        # SLOWER (19-25s vs 11-13s) because the streaming executor's
+        # per-operator resource reservation splits the CPU budget across the
+        # whole 7-operator DAG, capping the expensive extraction map at ~13
+        # effective CPUs while the downstream operators sit mostly idle.
+        # With the barrier, extraction owns the node, and the post-extraction
+        # phase (partials -> one shuffle -> finish) costs ~1.5s fixed. The
+        # triple table is 100-1000x smaller than the corpus, so pinning it
+        # in the object store (with spill) is the right stage boundary.
+        # FONDUER_RAY_CANON_STREAM=1 restores the fully-streaming form.
+        triples = triples.materialize()
     def dual_partials(batch: pa.Table) -> pa.Table:
-        tri: dict[tuple, list] = {}
-        canon: dict[tuple[str, str], int] = {}
-        for r in batch.select(
+        df = batch.select(
             ["subj", "pred", "obj", "doc_name", "candidate_stable_id", "score"]
-        ).to_pylist():
-            key = (r["subj"], r["pred"], r["obj"])
-            cur = tri.get(key)
-            if cur is None:
-                tri[key] = [1, r["score"], r["doc_name"], r["candidate_stable_id"]]
-            else:
-                cur[0] += 1
-                if r["score"] > cur[1]:
-                    cur[1] = r["score"]
-                if r["doc_name"] < cur[2]:
-                    cur[2], cur[3] = r["doc_name"], r["candidate_stable_id"]
-            for v in (r["subj"], r["obj"]):
-                if v:
-                    ck = (normalize_surface(v), v)
-                    canon[ck] = canon.get(ck, 0) + 1
-        rows = [
+        ).to_pandas()
+        tri = (
+            df.groupby(["subj", "pred", "obj"], sort=False)
+            .agg(
+                support=("score", "size"),
+                score=("score", "max"),
+                provenance_doc=("doc_name", "min"),
+                provenance_candidate=("candidate_stable_id", "min"),
+            )
+            .reset_index()
+        )
+        tri_out = pd.DataFrame(
             {
                 "gkind": 0,
-                "subj": k[0],
-                "pred": k[1],
-                "obj": k[2],
-                "support": v[0],
-                "score": v[1],
-                "provenance_doc": v[2],
-                "provenance_candidate": v[3],
-                "norm": f"T|{k[0]}|{k[1]}|{k[2]}",
+                "subj": tri["subj"],
+                "pred": tri["pred"],
+                "obj": tri["obj"],
+                "support": tri["support"].astype("int64"),
+                "score": tri["score"],
+                "provenance_doc": tri["provenance_doc"],
+                "provenance_candidate": tri["provenance_candidate"],
+                "norm": "T|" + tri["subj"] + "|" + tri["pred"] + "|" + tri["obj"],
                 "canonical": None,
             }
-            for k, v in tri.items()
-        ] + [
+        )
+        surf = pd.concat([df["subj"], df["obj"]], ignore_index=True)
+        surf = surf[surf.notna() & (surf != "")]
+        counts = surf.value_counts()  # one normalize call per DISTINCT surface
+        can_out = pd.DataFrame(
             {
                 "gkind": 1,
                 "subj": None,
                 "pred": None,
                 "obj": None,
-                "support": c,
+                "support": counts.to_numpy().astype("int64"),
                 "score": 0.0,
                 "provenance_doc": None,
                 "provenance_candidate": None,
-                "norm": n,
-                "canonical": s,
+                "norm": [normalize_surface(s) for s in counts.index],
+                "canonical": counts.index.to_numpy(),
             }
-            for (n, s), c in canon.items()
-        ]
-        return pa.Table.from_pylist(rows, schema=_LINK_SCHEMA)
+        )
+        out = pd.concat([tri_out, can_out], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=_LINK_SCHEMA, preserve_index=False)
 
     def dual_agg(df: pd.DataFrame) -> pd.DataFrame:
         tri = df[df["gkind"] == 0]
@@ -539,9 +542,17 @@ def canonicalize_triples(
         )
         return pd.concat([tri, can], ignore_index=True)
 
-    agg = hash_groupby(
-        tm.map_batches(dual_partials, batch_format="pyarrow"), ["norm"], dual_agg
-    ).materialize()
+    # ``num_cpus=0.25`` deliberately differs from the upstream extraction
+    # map's remote args: identical args would let Ray FUSE extraction with
+    # this combiner, and the combiner's ``batch_size`` would then govern the
+    # fused operator's input bundling — collapsing extraction from ~hundreds
+    # of tasks to a handful (measured: 14 tasks / 2x wall time at 32 CPUs).
+    # Unfused, extraction keeps per-block granularity and the combiner
+    # bundles its SMALL triple output into full batches.
+    partials = triples.map_batches(
+        dual_partials, batch_format="pyarrow", batch_size=32768, num_cpus=0.25
+    )
+    agg = hash_groupby(partials, ["norm"], dual_agg).materialize()
     n_rows = agg.count()
 
     tri_ds = agg.filter(expr="gkind == 0")

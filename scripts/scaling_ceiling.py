@@ -46,9 +46,18 @@ def _worker(q: Queue, shard: str) -> None:
 
 
 def main() -> None:
+    """argv: [corpus_shard] [comma-separated proc counts, default 1,6,24].
+
+    The last two counts form the N -> 4N pair for the printed ceiling
+    efficiency (run e.g. ``... shard 1,8,32`` for the pair bench.py uses)."""
     shard = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SHARD
+    counts = (
+        tuple(int(x) for x in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (1, 6, 24)
+    )
     out = {}
-    for n in (1, 6, 24):
+    for n in counts:
         q: Queue = Queue()
         ps = [Process(target=_worker, args=(q, shard)) for _ in range(n)]
         for p in ps:
@@ -58,7 +67,11 @@ def main() -> None:
             p.join()
         out[n] = sum(rates)
         print(f"nproc={n} per_proc={sum(rates)/len(rates):.0f} total={sum(rates):.0f}")
-    print(f"ceiling_efficiency_6_to_24={(out[24] / out[6]) / 4:.3f}")
+    lo, hi = counts[-2], counts[-1]
+    print(
+        f"ceiling_efficiency_{lo}_to_{hi}="
+        f"{(out[hi] / out[lo]) / (hi / lo):.3f}"
+    )
 
 
 if __name__ == "__main__":
