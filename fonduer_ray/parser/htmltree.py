@@ -16,7 +16,9 @@ Pure Python, no Ray: runs inside map_batches workers.
 
 from __future__ import annotations
 
-from html import escape
+import re
+
+from html import escape, unescape
 from html.parser import HTMLParser
 
 VOID_TAGS = frozenset(
@@ -134,6 +136,151 @@ class _TreeBuilder(HTMLParser):
         self._add_text(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (regex) with stdlib fallback
+#
+# ``html.parser`` is layered pure Python (goahead -> check_for_whole_start_tag
+# -> tagfind -> attrfind loop -> updatepos ...) and dominates the parse
+# stage's CPU (profiled: ~30% of fused-extraction time). ``_fast_feed`` drives
+# the SAME ``_TreeBuilder`` hooks from a single-pass regex tokenizer for the
+# common well-formed subset, and returns False — triggering a from-scratch
+# stdlib re-parse — for anything outside the subset it provably matches
+# (bug-compat quirks included; each case below is annotated with the stdlib
+# behavior it mirrors, from python3.11/html/parser.py).
+# ---------------------------------------------------------------------------
+
+#: strict start tag: name + zero-or-more whitespace-separated attributes
+#: (double-quoted / single-quoted / non-quote-led bare values, ``=+`` value
+#: indicator like stdlib attrfind_tolerant) + optional self-close. Anything
+#: else (attr after quote with no space, leading-= names, unterminated
+#: quotes, tabs-in-names...) fails the match and falls back.
+_STRICT_START = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?)*)"
+    r"\s*(/?)>"
+)
+_STRICT_ATTR = re.compile(
+    r"([^\s/>=]+)(\s*=+\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?"
+)
+#: stdlib ``endtagfind``: ``</`` + optional space + name + optional space + >
+_STRICT_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+#: stdlib ``tagfind_tolerant`` name part (for tolerant end tags)
+_TOLERANT_NAME = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
+#: stdlib ``commentclose``
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+#: CDATA close patterns for the two stdlib CDATA_CONTENT_ELEMENTS
+_CDATA_CLOSE = {
+    name: (
+        re.compile(rf"</\s*{name}\s*>", re.I),
+        re.compile(rf"</\s*{name}", re.I),
+    )
+    for name in ("script", "style")
+}
+
+
+def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> bool:
+    """Feed ``rawdata`` through ``builder``'s hooks via regex tokenization.
+
+    Returns True on success; False means "outside the verified subset" — the
+    caller must discard the builder and re-parse with stdlib ``HTMLParser``.
+    Equivalence contract (tested in tests/test_parser_properties.py): for
+    every input where this returns True, the resulting tree is byte-identical
+    to the stdlib-built tree."""
+    i, n = 0, len(rawdata)
+    find = rawdata.find
+    handle_data = builder.handle_data
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            # stdlib: handle_data(unescape(chunk)) per inter-tag chunk
+            handle_data(unescape(rawdata[i:j]))
+        i = j
+        if i >= n:
+            break
+        c = rawdata[i + 1 : i + 2]
+        if c.isalpha():
+            m = _STRICT_START.match(rawdata, i)
+            if m is None:
+                return False  # tolerant-only start tag or incomplete at EOF
+            name = m.group(1).lower()
+            attrs_s = m.group(2)
+            attrs: list[tuple[str, str | None]] = []
+            if attrs_s and not attrs_s.isspace():
+                for am in _STRICT_ATTR.finditer(attrs_s):
+                    aname, rest, aval = am.group(1, 2, 3)
+                    if not rest:
+                        aval = None
+                    elif aval[:1] == "'" == aval[-1:] or aval[:1] == '"' == aval[-1:]:
+                        aval = aval[1:-1]
+                    if aval:
+                        aval = unescape(aval)
+                    attrs.append((aname.lower(), aval))
+            i = m.end()
+            if m.group(3):
+                builder.handle_startendtag(name, attrs)
+                continue
+            builder.handle_starttag(name, attrs)
+            if name in ("script", "style"):
+                # stdlib CDATA mode: raw data (no charref conversion) until a
+                # full ``</name>`` end tag; close-ish sequences that are not
+                # full end tags pass through verbatim as data either way, so
+                # searching for the STRICT close directly is equivalent.
+                strict_close, loose_close = _CDATA_CLOSE[name]
+                sm = strict_close.search(rawdata, i)
+                if sm is not None:
+                    if sm.start() > i:
+                        handle_data(rawdata[i : sm.start()])
+                    builder.handle_endtag(name)
+                    i = sm.end()
+                elif loose_close.search(rawdata, i):
+                    return False  # partial close at EOF: stdlib chunk quirks
+                else:
+                    break  # unterminated CDATA: stdlib drops it at close()
+        elif c == "/":
+            m = _STRICT_END.match(rawdata, i)
+            if m is not None:
+                builder.handle_endtag(m.group(1).lower())
+                i = m.end()
+            elif rawdata.startswith("</>", i):
+                i += 3  # stdlib: consumed, no event
+            elif find(">", i + 1) < 0:
+                return False  # incomplete end tag at EOF
+            else:
+                nm = _TOLERANT_NAME.match(rawdata, i + 2)
+                if nm is None:
+                    i = find(">", i + 2) + 1  # bogus comment: dropped
+                    if i == 0:
+                        return False
+                else:
+                    # stdlib tolerant end tag: name, then skip to '>'
+                    builder.handle_endtag(nm.group(1).lower())
+                    i = find(">", nm.end()) + 1
+        elif rawdata.startswith("<!--", i):
+            cm = _COMMENT_CLOSE.search(rawdata, i + 4)
+            if cm is None:
+                return False  # unterminated comment: stdlib data-flush quirks
+            i = cm.end()  # comments are dropped (builder has no hook)
+        elif c == "?":
+            g = find(">", i + 2)
+            if g < 0:
+                return False
+            i = g + 1  # processing instruction: dropped
+        elif c == "!":
+            if rawdata.startswith("<![", i):
+                return False  # marked section (rare): stdlib-only
+            g = find(">", i + 2)
+            if g < 0:
+                return False
+            i = g + 1  # doctype / bogus declaration: dropped
+        else:
+            # stdlib: '<' followed by anything else is literal text
+            handle_data("<")
+            i += 1
+    return True
+
+
 def parse_html(html: bytes | str) -> Node | None:
     """Parse HTML into a tree; returns the single ``<html>`` element if
     present (reference requires exactly one, ``html_doc_preprocessor.py:18-22``),
@@ -141,8 +288,10 @@ def parse_html(html: bytes | str) -> Node | None:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
+    if not _fast_feed(builder, html):
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
     root = builder.root
     html_nodes = [c for c in root.children if c.tag == "html"]
     if len(html_nodes) == 1:

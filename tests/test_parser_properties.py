@@ -141,3 +141,117 @@ def test_flatten_fixed_point(html):
     doc2 = parse_document("prop", text1, ParserConfig())
     assert doc2["text"] == text1
     assert doc2["sentences"] == doc["sentences"]
+
+
+# ---------------------------------------------------------------------------
+# Fast-tokenizer equivalence (htmltree._fast_feed)
+# ---------------------------------------------------------------------------
+
+from fonduer_ray.parser.htmltree import _TreeBuilder, _fast_feed
+
+
+def _tree_fingerprint(node):
+    out = []
+
+    def rec(n, d):
+        out.append((d, n.tag, tuple(n.attrs), n.text, n.tail))
+        for c in n.children:
+            rec(c, d + 1)
+
+    rec(node, 0)
+    return out
+
+
+def _stdlib_tree(s):
+    b = _TreeBuilder()
+    b.feed(s)
+    b.close()
+    return b.root
+
+
+def _assert_fast_equiv(s):
+    """Core contract: whenever _fast_feed claims success, the tree must be
+    byte-identical to the stdlib HTMLParser tree. Falling back is always
+    allowed; diverging is never allowed."""
+    fast = _TreeBuilder()
+    if _fast_feed(fast, s):
+        assert _tree_fingerprint(fast.root) == _tree_fingerprint(_stdlib_tree(s)), repr(s)
+
+
+_FAST_ADVERSARIAL = [
+    "<p>a &amp; b &lt;c&gt;</p>",
+    "<p>unterminated &am",
+    "<div class='x' id=\"y\" data-z=1 checked>t</div>",
+    "<div a = 'b' c ==\"d\">x</div>",
+    "<br/><hr /><img src=x.png/>",
+    "<script>if (a<b && c>d) { x(); }</script>",
+    "<script>var s = '</scr'+'ipt>';</script>",
+    "<style>p>a { color: red }</style>",
+    "<SCRIPT>x</SCRIPT>after",
+    "<script>unterminated",
+    "<script>almost</script",
+    "<!-- comment --><p>x</p>",
+    "<!-- unterminated",
+    "<!--->tricky<p>y</p>",
+    "<!DOCTYPE html><html></html>",
+    "<?php echo 1; ?><p>x</p>",
+    "<![CDATA[raw]]><p>x</p>",
+    "</><p>x</p>",
+    "</ p><p>x</p>",
+    "</123><p>x</p>",
+    "</p extra stuff><div>x</div>",
+    "3 < 5 and 6 > 2",
+    "<p>x<1>y</p>",
+    "<p =bad>x</p>",
+    "<p a=>x</p>",
+    "<p a='unterminated>x",
+    "<p a=b/>x",
+    "<em><b>nest</em></b>",
+    "<table><tr><td>1</td><td rowspan=2 colspan='3'>2</td></tr></table>",
+    "<p>&#65;&#x42;&quot;</p>",
+    "<p title='&amp; &lt;'>x</p>",
+    "<p>tail</p>after<div>mid</div>end",
+    "<p>incomplete <span",
+    "<div a==b>x</div>",
+    "<input value=a>b>",
+    "<option selected value='1'>one",
+    "<p>&gt</p>",
+]
+
+
+def test_fast_feed_adversarial_equivalence():
+    for s in _FAST_ADVERSARIAL:
+        _assert_fast_equiv(s)
+
+
+_FUZZ_TOKENS = [
+    "<p>", "</p>", "<div class='x'>", "</div>", "<br/>", "text", "&amp;",
+    "&", "<", ">", "'", '"', "<!--", "-->", "<script>", "</script>", "a<b",
+    "<em>", "</em>", " ", "=", "/", "<!DOCTYPE html>", "<?pi?>", "</>",
+    "</ x>", "\n", "\t", "&#65;", "&bogus;", "<x y=z>", "<x y='z w'>",
+    "]]>", "<![CDATA[", "<style>", "</style>",
+]
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.sampled_from(_FUZZ_TOKENS), min_size=1, max_size=25))
+def test_fast_feed_fuzz_equivalence(tokens):
+    _assert_fast_equiv("".join(tokens))
+
+
+def test_fast_feed_handles_generated_corpus():
+    """Every page shape the synthetic corpus generator emits must take the
+    fast path (no fallback) and match the stdlib tree."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.sources.webpages import generate_corpus
+
+    info = generate_corpus("/tmp/fastfeed_corpus_test", n_docs=120, seed=3)
+    for f in sorted(glob.glob(info["corpus"] + "/*.parquet")):
+        for raw in pq.read_table(f).column("html").to_pylist():
+            s = raw.decode("utf-8", "replace")
+            fast = _TreeBuilder()
+            assert _fast_feed(fast, s), "corpus page fell off the fast path"
+            assert _tree_fingerprint(fast.root) == _tree_fingerprint(_stdlib_tree(s))
