@@ -330,7 +330,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fonduer_ray.functions import dedup, similarity, textstats
+    from fonduer_ray.functions import dedup, similarity, textstats, webclean
     from fonduer_ray.pipelines import docops, relational
 
     import pyarrow as pa
@@ -485,6 +485,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tfidf": lambda sf: textstats.doc_top_tfidf(_docs(sf)),
         "doc_fingerprint_md5": doc_md5,
         "doc_fingerprint_rolling": doc_rolling_fp,
+        # web-text cleaning (Gopher/C4 rule families + PII)
+        "quality_filter": lambda sf: webclean.quality_filter(_docs(sf)),
+        "repetition_stats": lambda sf: webclean.repetition_stats(_docs(sf)),
+        "pii_scan": lambda sf: webclean.pii_scan_augmented(_docs(sf)),
         # dedup
         "dedup_exact": lambda sf: dedup.dedup_exact(_docs(sf)),
         "minhash_signatures": minhash_sigs,
@@ -493,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": simhash_pairs,
         "ngram_jaccard_pairs": jaccard_pairs,
         "jaccard_dup_clusters": jaccard_clusters,
+        "dup_ngram_coverage": lambda sf: dedup.duplicate_ngram_coverage(
+            _docs(sf), k=5
+        ),
         # similarity search
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf_q,
@@ -892,6 +899,148 @@ def oracle_sql() -> dict[str, str]:
                      (acc, x) -> (acc * 1000003 + x) % ((1::HUGEINT << 61) - 1)
                    ) AS BIGINT) AS rolling_hash
             FROM documents
+        """,
+        "dup_ngram_coverage": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            ),
+            gl AS (
+              SELECT doc_id, len(toks) AS n,
+                     list_transform(range(1, len(toks) - 3),
+                       i -> toks[CAST(i AS INT)] || ' ' ||
+                            toks[CAST(i AS INT) + 1] || ' ' ||
+                            toks[CAST(i AS INT) + 2] || ' ' ||
+                            toks[CAST(i AS INT) + 3] || ' ' ||
+                            toks[CAST(i AS INT) + 4]) AS grams
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, n, generate_subscripts(grams, 1) AS pos,
+                     unnest(grams) AS gram
+              FROM gl
+            ),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            docc AS (
+              SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+            ),
+            cov AS (
+              SELECT doc_id, count(DISTINCT p) AS covered FROM (
+                SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM docc
+              ) GROUP BY doc_id
+            ),
+            cnt AS (
+              SELECT doc_id, count(*) AS n_dup_grams FROM docc GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cnt.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN len(t.toks) = 0 THEN 0.0
+                        ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                             / len(t.toks) END AS dup_coverage
+            FROM t
+            LEFT JOIN cov ON t.doc_id = cov.doc_id
+            LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+        """,
+        "quality_filter": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(toks) AS n,
+                     CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / len(toks) AS ml,
+                     CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / len(toks) AS af,
+                     len(list_filter(toks, x -> x IN {stop_list})) AS sh
+              FROM t
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words, ml AS mean_word_len,
+                   af AS alpha_word_frac, CAST(sh AS BIGINT) AS stopword_hits,
+                   (n BETWEEN 20 AND 100000 AND ml BETWEEN 2.0 AND 12.0
+                    AND af >= 0.8 AND sh >= 2) AS keep
+            FROM s
+        """,
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            ),
+            big AS (  -- most-frequent-bigram count per doc (n >= 2 only)
+              SELECT doc_id, max(cnt) AS best FROM (
+                SELECT doc_id, bg, count(*) AS cnt FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks)),
+                           i -> toks[CAST(i AS INT)] || ' ' ||
+                                toks[CAST(i AS INT) + 1])) AS bg
+                  FROM t
+                ) GROUP BY doc_id, bg
+              ) GROUP BY doc_id
+            ),
+            runs AS (  -- gaps-and-islands longest consecutive equal-token run
+              SELECT doc_id, max(run_len) AS max_run FROM (
+                SELECT doc_id, w, grp, count(*) AS run_len FROM (
+                  SELECT doc_id, i, w,
+                         i - row_number() OVER (
+                           PARTITION BY doc_id, w ORDER BY i) AS grp
+                  FROM (
+                    SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                           unnest(toks) AS w
+                    FROM t
+                  )
+                ) GROUP BY doc_id, w, grp
+              ) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CASE WHEN len(toks) < 2 THEN 0.0
+                        ELSE least(1.0, 2.0 * big.best / len(toks)) END
+                     AS top_bigram_frac,
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks) AS dup_token_frac,
+                   CAST(coalesce(runs.max_run, CASE WHEN len(toks) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS max_run_len
+            FROM t
+            LEFT JOIN big ON t.doc_id = big.doc_id
+            LEFT JOIN runs ON t.doc_id = runs.doc_id
+        """,
+        "pii_scan": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 tel +1555'
+                          || CAST(doc_id + 1000000 AS VARCHAR) AS t
+              FROM documents
+            ),
+            r1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM aug
+            ),
+            r2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                     regexp_replace(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+              FROM r1
+            ),
+            r3 AS (
+              SELECT doc_id, n_email, n_ip,
+                     CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,14}\d')) AS BIGINT)
+                       AS n_phone,
+                     regexp_replace(t, '\+\d[\d-]{7,14}\d', '<PHONE>', 'g') AS t
+              FROM r2
+            )
+            SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS redacted_md5
+            FROM r3
         """,
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_dedup_pairs": """

@@ -906,3 +906,106 @@ def _assign_cluster_labels(
         docs_as_join_rows, batch_format="pyarrow"
     ).union(labels.map_batches(labels_as_join_rows, batch_format="pyarrow"))
     return hash_groupby(unioned, ["key"], assign)
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated n-gram coverage (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_coverage(
+    ds: "ray.data.Dataset", k: int = 5
+) -> "ray.data.Dataset":
+    """Per-doc coverage by n-grams that recur across documents.
+
+    The per-document signal behind exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its tokens covered by at least one k-gram
+    that also occurs in some OTHER document. High coverage = boilerplate /
+    near-copy; the full suffix-array dedup cuts those spans, this operator
+    computes where it would cut.
+
+    Output: ``(doc_id, n_tokens, n_dup_grams, dup_coverage)`` for EVERY
+    input doc (zero rows included).
+
+    Scale design — two bounded shuffles, nothing driver-side:
+
+    1. ``map_batches`` emits one (gram_hash, doc_id, pos, n_tokens) row per
+       k-gram occurrence, plus one sentinel row per doc (``pos = -1``,
+       gram_hash = doc-salted) so empty-coverage docs survive to the output;
+       sentinels hash-distribute like any key.
+    2. ``hash_groupby(gram_hash)`` keeps occurrences whose gram spans >= 2
+       distinct docs (the df-filter folds INTO the groupby — no global
+       dup-gram set, no driver collection, the same in-group pattern as
+       ``lsh_candidate_pairs``).
+    3. ``hash_groupby(doc_id)`` unions the fixed-length intervals per doc
+       vectorized (sorted positions, gaps clipped at k).
+    """
+    import pandas as pd
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gh, did, pos, ntok = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            n = len(toks)
+            # sentinel: keeps the doc in the pipeline even with 0 dup grams
+            gh.append(_md5_64(f"\x00doc:{doc_id}"))
+            did.append(doc_id)
+            pos.append(-1)
+            ntok.append(n)
+            for i in range(n - k + 1):
+                gh.append(_md5_64(" ".join(toks[i : i + k])))
+                did.append(doc_id)
+                pos.append(i)
+                ntok.append(n)
+        return pa.table(
+            {
+                "gram": pa.array(gh, pa.uint64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(grams, batch_format="pyarrow", batch_size=1024)
+
+    def keep_dup(df: "pd.DataFrame") -> "pd.DataFrame":
+        df_docs = df.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        return df[(df["pos"] < 0) | (df_docs >= 2)][
+            ["doc_id", "pos", "n_tokens"]
+        ]
+
+    dup_occ = hash_groupby(occ, ["gram"], keep_dup)
+
+    def coverage(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            n = int(g["n_tokens"].iloc[0])
+            p = np.sort(g.loc[g["pos"] >= 0, "pos"].to_numpy())
+            if len(p) == 0:
+                covered = 0
+            else:
+                gaps = np.minimum(np.diff(p), k)
+                covered = int(gaps.sum()) + k
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "n_tokens": n,
+                    "n_dup_grams": int(len(p)),
+                    "dup_coverage": (covered / n) if n else 0.0,
+                }
+            )
+        return pd.DataFrame(
+            out, columns=["doc_id", "n_tokens", "n_dup_grams", "dup_coverage"]
+        ).astype(
+            {
+                "doc_id": "int64",
+                "n_tokens": "int64",
+                "n_dup_grams": "int64",
+                "dup_coverage": "float64",
+            }
+        )
+
+    return hash_groupby(dup_occ, ["doc_id"], coverage)

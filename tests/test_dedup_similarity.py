@@ -226,3 +226,36 @@ def test_dup_clusters_empty_pairs_schema(ray_session, doc_ds):
     assert dict(zip(schema.names, schema.types))["cluster_id"] == pa.int64()
     rows = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
     assert rows == {i: i for i in range(5)}  # every doc its own cluster
+
+
+def test_duplicate_ngram_coverage_vs_bruteforce(ray_session, doc_ds):
+    k = 3
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_ngram_coverage(doc_ds, k=k).take_all()
+    }
+    texts = {r["doc_id"]: r["text"] for r in doc_ds.take_all()}
+    # brute force: gram -> set of docs; covered positions per doc
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    doc_grams = {}
+    for d, t in texts.items():
+        toks = t.split()
+        doc_grams[d] = [
+            (" ".join(toks[i : i + k]), i) for i in range(len(toks) - k + 1)
+        ]
+        for g, _ in doc_grams[d]:
+            gram_docs[g].add(d)
+    assert set(out) == set(texts)
+    for d, t in texts.items():
+        n = len(t.split())
+        dup_pos = [i for g, i in doc_grams[d] if len(gram_docs[g]) >= 2]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + k))
+        assert out[d]["n_tokens"] == n
+        assert out[d]["n_dup_grams"] == len(dup_pos)
+        assert out[d]["dup_coverage"] == pytest.approx(
+            len(covered) / n if n else 0.0
+        )
