@@ -141,7 +141,9 @@ class _DocBuilder:
         return html_attrs
 
     # -- paragraph + sentences --------------------------------------------
-    def add_paragraph(self, raw_text: str, node: Node, ctx: _Ctx) -> None:
+    def add_paragraph(
+        self, raw_text: str, node: Node, ctx: _Ctx, xpath: str
+    ) -> None:
         text = raw_text.strip() if self.cfg.strip else raw_text
         for rgx, repl in self.replacements:
             text = rgx.sub(repl, text)
@@ -158,7 +160,8 @@ class _DocBuilder:
             "caption_position": ctx.caption,
         }
         self.paragraphs.append(para)
-        xpath = node.xpath() if self.cfg.structural else ""
+        if not self.cfg.structural:
+            xpath = ""
         html_tag = node.tag if self.cfg.structural else ""
         html_attrs = [f"{k}={v}" for k, v in node.attrs] if self.cfg.structural else []
         if self.cfg.structural and self.style_text:
@@ -205,7 +208,19 @@ class _DocBuilder:
             self.abs_base = abs_end
 
     # -- walk --------------------------------------------------------------
-    def walk(self, node: Node, ctx: _Ctx, table_state: _TableState | None) -> None:
+    def walk(
+        self,
+        node: Node,
+        ctx: _Ctx,
+        table_state: _TableState | None,
+        path: str = "",
+        parent_path: str = "",
+    ) -> None:
+        """``path``/``parent_path`` are the lxml-getpath-style xpaths of
+        ``node`` and its parent, built INCREMENTALLY during the descent
+        (equivalent to ``Node.xpath()`` — property-tested) so each
+        paragraph does not pay an upward walk with per-level sibling
+        scans."""
         tag = node.tag
         if tag in self.cfg.blacklist:
             return  # subtree and its tail are skipped entirely
@@ -238,7 +253,7 @@ class _DocBuilder:
                 for c in node.children:
                     if c.tag == "img":
                         self._add_figure(c, ctx, url=c.get("src") or "")
-                self._tail(node, ctx)
+                self._tail(node, ctx, parent_path)
                 return
         elif tag in ("caption", "figcaption"):
             parent_table = ctx.table if tag == "caption" else None
@@ -256,16 +271,37 @@ class _DocBuilder:
 
         # phase 1: node text
         if node.text:
-            self.add_paragraph(node.text, node, my_ctx)
+            self.add_paragraph(node.text, node, my_ctx, path)
         # children
-        for c in node.children:
-            self.walk(c, my_ctx, my_table_state)
+        children = node.children
+        if children:
+            if len(children) == 1:
+                c = children[0]
+                self.walk(
+                    c, my_ctx, my_table_state, path + "/" + c.tag, path
+                )
+            else:
+                tag_total: dict[str, int] = {}
+                for c in children:
+                    tag_total[c.tag] = tag_total.get(c.tag, 0) + 1
+                seen: dict[str, int] = {}
+                for c in children:
+                    t = c.tag
+                    if tag_total[t] > 1:
+                        k = seen.get(t, 0) + 1
+                        seen[t] = k
+                        seg = f"{t}[{k}]"
+                    else:
+                        seg = t
+                    self.walk(
+                        c, my_ctx, my_table_state, path + "/" + seg, path
+                    )
         # phase 2: tail attaches to the *parent* context and node's parent
-        self._tail(node, ctx)
+        self._tail(node, ctx, parent_path)
 
-    def _tail(self, node: Node, parent_ctx: _Ctx) -> None:
+    def _tail(self, node: Node, parent_ctx: _Ctx, parent_path: str) -> None:
         if node.tail and node.parent is not None:
-            self.add_paragraph(node.tail, node.parent, parent_ctx)
+            self.add_paragraph(node.tail, node.parent, parent_ctx, parent_path)
 
     def _open_cell(self, node: Node, ctx: _Ctx, ts: _TableState):
         if ts.row_idx < 0:  # td without tr (malformed): synthesize row 0
@@ -358,7 +394,7 @@ def parse_document(
                     builder.style_text = child.text
                     break
             break
-    builder.walk(root, _Ctx(), None)
+    builder.walk(root, _Ctx(), None, "/" + root.tag, "")
     return {
         "doc_name": doc_name,
         "stable_id": document_stable_id(doc_name),

@@ -255,3 +255,28 @@ def test_fast_feed_handles_generated_corpus():
             fast = _TreeBuilder()
             assert _fast_feed(fast, s), "corpus page fell off the fast path"
             assert _tree_fingerprint(fast.root) == _tree_fingerprint(_stdlib_tree(s))
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_doc())
+def test_incremental_xpath_matches_node_xpath(html):
+    """The walk builds each paragraph's xpath incrementally during the
+    descent (positional segments only for tags with >1 sibling of the same
+    name — lxml getpath convention); it must equal the O(depth·siblings)
+    ``Node.xpath()`` upward derivation for every emitted paragraph."""
+    import fonduer_ray.parser.parse as P
+
+    orig = P._DocBuilder.add_paragraph
+    mismatches = []
+
+    def checked(self, raw_text, node, ctx, xpath):
+        if self.cfg.structural and xpath != node.xpath():
+            mismatches.append((xpath, node.xpath()))
+        return orig(self, raw_text, node, ctx, xpath)
+
+    P._DocBuilder.add_paragraph = checked
+    try:
+        parse_document("prop", html, ParserConfig())
+    finally:
+        P._DocBuilder.add_paragraph = orig
+    assert not mismatches, mismatches[:3]
