@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_person_mentions": docops.ner_person_mentions,
         "hocr_visual_stats": docops.hocr_visual_stats,
         "jpeg_decode_stats": docops.jpeg_decode_stats,
+        "video_frame_stats": docops.video_frame_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
         "boilerplate_stats": docops.boilerplate_stats,
         # relational operator coverage
@@ -541,6 +542,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
                    CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
                    CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+            FROM documents
+        """,
+        # MJPEG-AVI fixture: 3 + id%3 uniform frames, every 2nd sampled
+        # (indices 0, 2, and 4 when present), frame i colored (id+7i)%256
+        "video_frame_stats": """
+            SELECT doc_id,
+                   CAST(((3 + doc_id % 3) + 1) // 2 AS BIGINT) AS sampled_frames,
+                   CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+                   CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
+                   CAST((doc_id % 256) + ((doc_id + 14) % 256)
+                        + CASE WHEN doc_id % 3 = 2
+                               THEN (doc_id + 28) % 256 ELSE 0 END
+                        AS BIGINT) AS color_sum
             FROM documents
         """,
         "union_mentions": f"""

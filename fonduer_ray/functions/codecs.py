@@ -13,8 +13,11 @@ public specifications are decoded natively:
   dominant real-web image format; progressive JPEGs raise with a clear
   message.
 
-MP3 / video codecs remain out of scope (a container with the real
-libraries swaps them in behind the same stage signatures — see
+- **AVI/MJPEG** (RIFF container, per-frame baseline JPEG) in
+  ``functions/avi.py`` — makes video frame sampling real.
+
+MP3 and inter-frame video codecs remain out of scope (a container with
+the real libraries swaps them in behind the same stage signatures — see
 ``functions/multimodal.py``).
 """
 
@@ -39,6 +42,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return None

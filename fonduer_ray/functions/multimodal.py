@@ -1,11 +1,13 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
 Decode kernels are REAL for PNG, BMP, baseline JPEG (``functions/jpeg.py``,
-pure-numpy Huffman+DCT) and PCM WAV audio via ``functions/codecs.py``;
-MP3 and video codecs remain stubbed: those raise ``NotImplementedError``
-unless ``fake=True`` supplies the deterministic stand-in used by the
-plumbing tests. In a container with the real libraries the stand-ins swap
-out behind the same stage signatures.
+pure-numpy Huffman+DCT), PCM WAV audio (``functions/codecs.py``) and
+MJPEG-AVI video (``functions/avi.py`` — RIFF container + per-frame JPEG).
+MP3 and inter-frame video codecs (H.264 etc.) remain stubbed: those land
+on the per-row ``error`` side channel (or raise at construction where the
+whole stage is unusable) unless ``fake=True`` supplies the deterministic
+stand-in used by the plumbing tests. In a container with the real
+libraries the stand-ins swap out behind the same stage signatures.
 
 Pattern per stage: callable class (state built once per actor),
 ``map_batches(Cls, batch_size=SMALL, concurrency=N)``; binary payloads
@@ -202,34 +204,65 @@ class AudioDecode:
 
 
 class FrameSample:
-    """video binary -> one row per sampled frame (key, frame_idx, data).
+    """video binary -> one row per sampled frame
+    (key, frame_idx, data, error).
 
-    Video containers need entropy decoders this environment lacks; real
-    mode raises, ``fake=True`` emits deterministic stand-in frames (the
-    Ray plumbing — row explosion, small batches, binary columns — is what
-    this stage exercises)."""
+    REAL for MJPEG AVI (``functions/avi.py``): the RIFF 'idx1' index gives
+    O(1) chunk spans, so sampling slices ONLY the chosen frames' JPEG
+    payloads out of the container — no full decode, no copy of unsampled
+    frames. ``data`` holds the frame's own baseline-JPEG bytes; pixel
+    decode is the downstream image stages' job (``decode_images`` /
+    ``resize_images`` accept the sampled rows directly). Other codecs
+    (H.264 etc. need entropy decoders this environment lacks) land on the
+    ``error`` side channel. ``fake=True`` keeps the deterministic
+    stand-in used by the plumbing tests."""
 
     def __init__(self, every_n: int = 10, n_frames: int = 4, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "no video codec in this container; pass fake=True"
-            )
         self.every_n = every_n
         self.n_frames = n_frames
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, idxs, frames = [], [], []
+        keys, idxs, frames, errs = [], [], [], []
         for key, payload in zip(batch["key"].to_pylist(), batch["data"].to_pylist()):
             payload = payload or b""
-            for i in range(self.n_frames):
+            if self.fake:
+                for i in range(self.n_frames):
+                    keys.append(key)
+                    idxs.append(i * self.every_n)
+                    frames.append(hashlib.md5(payload + bytes([i])).digest())
+                    errs.append(None)
+                continue
+            try:
+                from fonduer_ray.functions.avi import avi_parse
+
+                meta = avi_parse(payload)
+                if meta["codec"] not in ("MJPG", "mjpg"):
+                    raise NotImplementedError(
+                        f"video codec {meta['codec']!r} needs an entropy "
+                        "decoder this container lacks (MJPG supported)"
+                    )
+                spans = meta["frames"]
+                for i in range(self.n_frames):
+                    fi = i * self.every_n
+                    if fi >= len(spans):
+                        break
+                    off, size = spans[fi]
+                    keys.append(key)
+                    idxs.append(fi)
+                    frames.append(payload[off : off + size])
+                    errs.append(None)
+            except Exception as exc:  # noqa: BLE001 - routed, not dropped
                 keys.append(key)
-                idxs.append(i * self.every_n)
-                frames.append(hashlib.md5(payload + bytes([i])).digest())
+                idxs.append(-1)
+                frames.append(None)
+                errs.append(str(exc))
         return pa.table(
             {
                 "key": pa.array(keys, pa.string()),
                 "frame_idx": pa.array(idxs, pa.int32()),
                 "data": pa.array(frames, pa.binary()),
+                "error": pa.array(errs, pa.string()),
             }
         )
 

@@ -856,3 +856,70 @@ def jpeg_decode_stats(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return map_stage(ds, _JpegStatsStage, {}, 64)
+
+
+class _VideoStatsStage:
+    """Deterministic MJPEG-AVI fixture -> real container parse + frame
+    sample + JPEG decode -> closed-form stats.
+
+    Each doc_id derives an AVI of ``3 + id%3`` uniform-gray frames (dims
+    ``16+(id%4)*8 x 16+(id%3)*8``, frame i colored ``(id + 7*i) % 256``,
+    q=90); sampling takes every 2nd frame via the RIFF 'idx1' index
+    (``functions/avi.py``). Uniform frames are DC-only so each decode is
+    EXACT and the per-doc (sampled count, dims, color sum) are
+    SQL-expressible in the oracle."""
+
+    def __init__(self, every_n: int = 2, quality: int = 90):
+        self.every_n = every_n
+        self.quality = quality
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fonduer_ray.functions.avi import (
+            avi_decode_frame,
+            avi_encode_mjpeg,
+            avi_parse,
+        )
+
+        ids, counts, ws, hs, sums = [], [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            w = 16 + (doc_id % 4) * 8
+            h = 16 + (doc_id % 3) * 8
+            n = 3 + doc_id % 3
+            frames = [
+                np.full((h, w), (doc_id + 7 * i) % 256, dtype=np.uint8)
+                for i in range(n)
+            ]
+            data = avi_encode_mjpeg(frames, fps=10, quality=self.quality)
+            meta = avi_parse(data)
+            color_sum = 0
+            sampled = 0
+            for fi in range(0, len(meta["frames"]), self.every_n):
+                img = avi_decode_frame(data, meta["frames"][fi])
+                color_sum += int(img.mean())
+                sampled += 1
+            ids.append(doc_id)
+            counts.append(sampled)
+            ws.append(meta["width"])
+            hs.append(meta["height"])
+            sums.append(color_sum)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sampled_frames": pa.array(counts, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "color_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def video_frame_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, sampled_frames, width, height, color_sum) through the real
+    MJPEG-AVI container + baseline-JPEG decode path (``functions/avi.py``),
+    oracle-checked in closed form against the doc_id-derived fixtures."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return map_stage(ds, _VideoStatsStage, {}, 32)

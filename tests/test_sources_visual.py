@@ -135,10 +135,12 @@ def test_multimodal_stubs(ray_session):
     assert all(len(e["embedding"]) == 8 for e in emb)
     frames = multimodal.sample_frames(ds, fake=True).take_all()
     assert len(frames) == 8  # 2 videos x 4 frames
-    # image decode is REAL now (PNG/BMP via functions/codecs.py; see
-    # tests/test_codecs.py); video frame sampling stays an explicit stub
-    with pytest.raises(NotImplementedError):
-        multimodal.FrameSample(fake=False)
+    # image decode and MJPEG-AVI frame sampling are REAL now (see
+    # tests/test_codecs.py / test_avi.py); a non-AVI payload routes to the
+    # per-row error side channel instead of raising
+    real = multimodal.sample_frames(ds, fake=False).take_all()
+    assert len(real) == 2
+    assert all(r["error"] and r["frame_idx"] == -1 for r in real)
 
 
 def test_multimodal_determinism(ray_session):
