@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
-from fonduer_ray.stages.util import hash_groupby, map_stage
+from fonduer_ray.stages.util import hash_groupby, map_stage, get_broadcast
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
@@ -337,7 +337,7 @@ def attach_pair_texts(
     bloom_ref = ray.put(_bloom_of_pair_ids(pairs, id_a, id_b))
 
     def payload_prefilter(batch: pa.Table) -> pa.Table:
-        bits = ray.get(bloom_ref)
+        bits = get_broadcast(bloom_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(_bloom_contains(bits, ids)))
 

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from fonduer_ray.stages.util import default_concurrency
+from fonduer_ray.stages.util import default_concurrency, get_broadcast
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -34,7 +34,7 @@ class _BlockTopK:
     broadcast query matrix, emit block-local top-k."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref)
+        q = get_broadcast(queries_ref)
         self.qids = q["ids"]
         self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64))
         self.k = k
@@ -171,7 +171,7 @@ def knn_ivf(
     )
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        st = ray.get(state_ref)
+        st = get_broadcast(state_ref)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         mat = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
         assign = np.argmax(mat @ st["cent"].T, axis=1)
@@ -323,7 +323,7 @@ def embedding_dup_pairs_exact(
         vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
         a_parts, b_parts, s_parts = [], [], []
         for ref in shard_refs:
-            ids_all, vecs_all = ray.get(ref)
+            ids_all, vecs_all = get_broadcast(ref)
             sims = vecs @ vecs_all.T
             ii, jj = np.where(sims >= threshold)
             keep = ids[ii] < ids_all[jj]  # dedup: emit only id_a < id_b

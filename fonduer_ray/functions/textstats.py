@@ -13,7 +13,10 @@ import re
 
 import pyarrow as pa
 
+import ray
 import ray.data
+
+from fonduer_ray.stages.util import get_broadcast
 
 
 _BPE_ISH = re.compile(r"\w+|[^\w\s]")
@@ -213,7 +216,7 @@ def doc_top_tfidf(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     dfs_ref = ray.put(dfs)
 
     def top_term(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(dfs_ref)
+        lookup = get_broadcast(dfs_ref)
         out_ids, out_terms, out_tf, out_df = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             toks = (text or "").split()

@@ -22,6 +22,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from fonduer_ray.stages.util import get_broadcast
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -158,7 +160,7 @@ def attach_lookup(
         )
 
         def attach(t: pa.Table) -> pa.Table:
-            lkp = ray.get(lkp_ref)
+            lkp = get_broadcast(lkp_ref)
             vals = [lkp.get(k) for k in t[key].to_pylist()]
             mask = pa.array([v is not None for v in vals])
             out = t.append_column(val, pa.array(vals, type=val_type))
@@ -546,7 +548,7 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
     keys_ref = ray.put(keys)
 
     def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(keys_ref)
+        have = get_broadcast(keys_ref)
         mask = pa.array(
             [k not in have for k in t["c_custkey"].to_pylist()], pa.bool_()
         )

@@ -25,7 +25,7 @@ import ray.data
 from fonduer_ray.core.ngrams import tokens_to_ngrams
 from fonduer_ray.core.spans import Span, span_from_record
 from fonduer_ray.stages.schemas import FEATURE_SCHEMA
-from fonduer_ray.stages.util import map_stage
+from fonduer_ray.stages.util import map_stage, get_broadcast
 
 FeatureFn = Callable[[list[Span], dict], list[str]]
 
@@ -445,7 +445,7 @@ def feature_matrix(
     index_ref = ray.put({k: i for i, k in enumerate(vocab)})
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        index = ray.get(index_ref)
+        index = get_broadcast(index_ref)
         ids, cols = [], []
         for row in batch.to_pylist():
             idx = sorted(index[k] for k in row["keys"] if k in index)

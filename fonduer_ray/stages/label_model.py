@@ -31,6 +31,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from fonduer_ray.stages.util import get_broadcast
+
 
 def _posterior(values: list[int], names: list[str], alpha: dict[str, float], p: float) -> float:
     """P(y=1 | sparse LF row) under the independent model. ``values`` use
@@ -70,7 +72,7 @@ class LabelModel:
             params_ref = ray.put((alpha, p))
 
             def partial_stats(batch: pa.Table) -> pa.Table:
-                a, pp = ray.get(params_ref)
+                a, pp = get_broadcast(params_ref)
                 correct = {n: 0.0 for n in a}
                 votes = {n: 0 for n in a}
                 q_sum, n_rows = 0.0, 0
@@ -130,7 +132,7 @@ class LabelModel:
         params_ref = ray.put((self.alpha, self.p))
 
         def apply(batch: pa.Table) -> pa.Table:
-            a, p = ray.get(params_ref)
+            a, p = get_broadcast(params_ref)
             probs = [
                 _posterior(values, names, a, p)
                 for names, values in zip(

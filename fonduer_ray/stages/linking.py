@@ -26,6 +26,8 @@ import zlib
 import pyarrow as pa
 
 import ray
+
+from fonduer_ray.stages.util import get_broadcast
 import ray.data
 
 _PUNCT_EDGE = re.compile(r"^[\W_]+|[\W_]+$", re.UNICODE)
@@ -260,7 +262,7 @@ def _apply_canonical(
         canon_ref = ray.put(canon)
 
         def apply_canon(batch: pa.Table) -> pa.Table:
-            cmap = ray.get(canon_ref)
+            cmap = get_broadcast(canon_ref)
             subj_norm = batch["subj_norm"].to_pylist()
             obj_norm = batch["obj_norm"].to_pylist()
             out = batch.drop_columns(["subj", "obj"])

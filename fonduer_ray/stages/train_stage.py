@@ -38,7 +38,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from fonduer_ray.stages.util import hash_groupby
+from fonduer_ray.stages.util import hash_groupby, get_broadcast
 
 
 #: above this many feature keys the weight table is no longer collected into
@@ -48,12 +48,18 @@ from fonduer_ray.stages.util import hash_groupby
 VOCAB_BROADCAST_LIMIT = 2_000_000
 
 
+#: above this many labeled candidates the (cid -> y) map no longer
+#: broadcasts; the fit joins feats against y_ds with ``Dataset.join``
+Y_BROADCAST_LIMIT = 5_000_000
+
+
 def fit_log_odds(
     feats: "ray.data.Dataset",
     y_ds: "ray.data.Dataset",
     alpha: float = 1.0,
     num_partitions: int | None = None,
     vocab_limit: int = VOCAB_BROADCAST_LIMIT,
+    y_broadcast_limit: int = Y_BROADCAST_LIMIT,
 ) -> "tuple[dict[str, float] | ray.data.Dataset, float]":
     """Closed-form discriminative fit; returns ``(weights, bias)``.
 
@@ -62,7 +68,73 @@ def fit_log_odds(
     ``weights`` is a plain dict when the vocabulary fits under
     ``vocab_limit`` (the reference's FeatureKey table analog), else a
     ``(key, wt)`` Dataset kept sharded in the object store;
-    ``score_log_odds`` accepts either and picks the matching strategy."""
+    ``score_log_odds`` accepts either and picks the matching strategy.
+
+    The feats×y alignment is size-guarded like every other small-side join
+    in this repo: up to ``y_broadcast_limit`` labels, the (cid -> y) map is
+    streamed to the driver once (one int per candidate), broadcast via
+    ``ray.put`` and applied inside the count pass — no join actors, and
+    n0/n1 come from the same single pass over ``y_ds`` instead of separate
+    ``sum``/``count`` re-executions of the labeling pipeline. Above the
+    limit, ``Dataset.join`` keeps everything sharded."""
+    import pandas as pd
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("key", sort=False)
+            .agg(n0=("n0", "sum"), n1=("n1", "sum"))
+            .reset_index()
+        )
+
+    # -- try the broadcast path: stream y until the limit trips ------------
+    y_map: dict[str, int] | None = {}
+    for batch in y_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        y_map.update(
+            zip(
+                batch["candidate_stable_id"].to_pylist(),
+                batch["y"].to_pylist(),
+            )
+        )
+        if len(y_map) > y_broadcast_limit:
+            y_map = None
+            break
+
+    if y_map is not None:
+        n1 = sum(y_map.values())
+        n0 = len(y_map) - n1
+        y_ref = ray.put(y_map)
+
+        def counts_broadcast(batch: pa.Table) -> pa.Table:
+            ym = get_broadcast(y_ref)
+            counts: dict[str, list[int]] = {}
+            for cid, keys in zip(
+                batch["candidate_stable_id"].to_pylist(),
+                batch["keys"].to_pylist(),
+            ):
+                y = ym.get(cid)
+                if y is None:  # inner-join semantics: unlabeled rows drop
+                    continue
+                for k in keys:
+                    c = counts.get(k)
+                    if c is None:
+                        c = counts[k] = [0, 0]
+                    c[y] += 1
+            return pa.table(
+                {
+                    "key": pa.array(list(counts), pa.string()),
+                    "n0": pa.array([c[0] for c in counts.values()], pa.int64()),
+                    "n1": pa.array([c[1] for c in counts.values()], pa.int64()),
+                }
+            )
+
+        per_key = hash_groupby(
+            feats.map_batches(counts_broadcast, batch_format="pyarrow"),
+            ["key"],
+            sum_counts,
+        )
+        return _finish_fit(per_key, n0, n1, alpha, vocab_limit)
+
+    # -- scale path: hash-partition join, nothing driver-sized -------------
     if num_partitions is None:
         # Dataset.join spawns one aggregator ACTOR per partition; actor
         # cold-start dominates small fits (measured 25s at 64 partitions vs
@@ -70,6 +142,8 @@ def fit_log_odds(
         # explicitly.
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(cpus // 4, 4)
+
+    y_ds = y_ds.materialize()  # consumed 3x below (join + sum + count)
 
     # Arrow hash joins reject list-typed payload columns — carry the key
     # list through the join as one newline-delimited string
@@ -108,22 +182,24 @@ def fit_log_odds(
             }
         )
 
-    import pandas as pd
-
-    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby("key", sort=False)
-            .agg(n0=("n0", "sum"), n1=("n1", "sum"))
-            .reset_index()
-        )
-
     per_key = hash_groupby(
         joined.map_batches(partial_counts, batch_format="pyarrow"), ["key"], sum_counts
     )
 
     n1 = int(y_ds.sum("y") or 0)
     n0 = int(y_ds.count()) - n1
+    return _finish_fit(per_key, n0, n1, alpha, vocab_limit)
 
+
+def _finish_fit(
+    per_key: "ray.data.Dataset",
+    n0: int,
+    n1: int,
+    alpha: float,
+    vocab_limit: int,
+) -> "tuple[dict[str, float] | ray.data.Dataset, float]":
+    """Shared tail of both fit paths: per-key counts -> weights (dict below
+    ``vocab_limit``, sharded ``(key, wt)`` Dataset above) + bias."""
     if n1 == 0 or n0 == 0:
         # single-class training set: per-key likelihood ratios are
         # meaningless (every key looks "rare" against the empty class and
@@ -187,7 +263,7 @@ def score_log_odds(
     weights_ref = ray.put(weights)
 
     def apply(batch: pa.Table) -> pa.Table:
-        w = ray.get(weights_ref)
+        w = get_broadcast(weights_ref)
         scores = []
         for keys in batch["keys"].to_pylist():
             z = bias

@@ -8,6 +8,24 @@ import ray
 #: ``cached_stage_fn``); at most a handful of live configs, so unbounded
 _FN_CACHE: dict = {}
 
+#: per-worker-process deserialized-broadcast cache (see ``get_broadcast``)
+_BCAST_MEMO: dict[str, object] = {}
+
+
+def get_broadcast(ref):
+    """Memoized ``ray.get`` for ``ray.put`` broadcast objects inside
+    ``map_batches`` functions: plasma shares the serialized bytes
+    zero-copy, but ``ray.get`` rebuilds the PYTHON object (e.g. a
+    multi-million-entry dict) on every call — once per batch adds up.
+    Each worker process rebuilds it once and reuses it."""
+    key = ref.hex()
+    obj = _BCAST_MEMO.get(key)
+    if obj is None:
+        if len(_BCAST_MEMO) > 8:  # a job broadcasts a handful of objects
+            _BCAST_MEMO.clear()
+        obj = _BCAST_MEMO[key] = ray.get(ref)
+    return obj
+
 
 def cached_stage_fn(cls, kwargs: dict):
     """Wrap a callable-class stage as a plain ``map_batches`` function with

@@ -217,6 +217,11 @@ def test_log_odds_trained_scorer(ray_session):
     assert sharded == bcast  # float-exact, all 201 candidates present
     assert len(sharded) == n + 1 and "cz" in sharded
 
+    # the y-broadcast fast path (default) and the Dataset.join scale path
+    # (forced with y_broadcast_limit=0) must produce identical fits
+    w_join, bias_join = fit_log_odds(feats, y, y_broadcast_limit=0)
+    assert w_join == w and bias_join == bias
+
 
 def test_split_train_eval_flow(ray_session, tmp_path_factory):
     """Reference e2e flow (test_e2e.py:271-425): train a discriminative
