@@ -204,12 +204,22 @@ def scaling_main() -> None:
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    # --pinned: confine each child to exactly num_cpus hardware threads via
+    # taskset. Without pinning, the small-N child still borrows the box's
+    # idle cores (pyarrow read threads, raylet, boost headroom), inflating
+    # its throughput — a real N-CPU node has exactly N CPUs, so the pinned
+    # variant is the more faithful cluster-size emulation. Both are
+    # recorded in BASELINE.md.
+    pinned = "--pinned" in sys.argv
     samples: dict[int, list[float]] = {}
     for n in (lo, hi):
         vals = []
         for _attempt in range(n_runs):
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)]
+            if pinned:
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+                cmd,
                 capture_output=True,
                 text=True,
                 timeout=3600,
@@ -230,7 +240,7 @@ def scaling_main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency",
+                "metric": "scaling_efficiency" + ("_pinned" if pinned else ""),
                 "value": round(eff_best, 3),
                 "unit": "ratio",
                 "queries": {
