@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "top_events_per_user": relational.top_events_per_user,
         "events_value_median": relational.events_value_median,
+        "events_asof_join": relational.events_asof_join,
+        "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
         "order_priority_counts": relational.order_priority_counts,
@@ -806,6 +808,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    CAST(quantile_disc(cents, 0.5) AS DOUBLE)/100.0 AS median_value
             FROM c GROUP BY event_type
+        """,
+        "events_asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            j AS (
+              SELECT l.event_id, r.event_id AS matched_event_id, r.ts AS matched_ts,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   coalesce(j.matched_event_id, -1) AS matched_event_id,
+                   j.matched_ts
+            FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON l.event_id = j.event_id
+        """,
+        "events_range_join": """
+            SELECT a.event_id AS left_id, b.event_id AS right_id
+            FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') a
+            JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') b
+              ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                          AND a.ts + INTERVAL 5 MINUTE
         """,
         "orders_sample_split": """
             WITH s AS (

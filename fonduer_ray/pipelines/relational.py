@@ -610,3 +610,130 @@ def events_value_median(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_asof_join(
+    sf_dir: str, left_type: str = "click", right_type: str = "view"
+) -> "ray.data.Dataset":
+    """As-of (most-recent-prior) join: for each ``left_type`` event, the
+    latest ``right_type`` event by the same user at or before its timestamp
+    (reference has no analog; ties on ``ts`` break to the max ``event_id``
+    so the result is deterministic).
+
+    Scale design: ONE hash shuffle on ``user_id`` co-locates each user's
+    history, then a single vectorized ``pd.merge_asof`` (C merge over
+    ts-sorted rows, ``by=user_id``) per partition — no per-user Python
+    loop, nothing on the driver. Per-user history is naturally bounded, so
+    no salting is needed (and none is possible: the join requires the whole
+    key group co-located).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array([left_type, right_type]))
+        return t.filter(m)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )[["ts", "user_id", "event_id"]]
+        rt = df[df["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )[["ts", "user_id", "event_id"]]
+        rt = rt.rename(columns={"event_id": "matched_event_id"})
+        rt["matched_ts"] = rt["ts"]
+        out = pd.merge_asof(
+            lf, rt, on="ts", by="user_id", direction="backward"
+        )
+        # unmatched -> -1 sentinel (nullable int round-trips as float in
+        # pandas, which breaks exact dtype comparison with the oracle)
+        out["matched_event_id"] = (
+            out["matched_event_id"].fillna(-1).astype("int64")
+        )
+        return out[["event_id", "user_id", "ts", "matched_event_id", "matched_ts"]]
+
+    return hash_groupby(ds.map_batches(keep, batch_format="pyarrow"), ["user_id"], asof)
+
+
+def events_range_join(
+    sf_dir: str,
+    left_type: str = "error",
+    right_type: str = "purchase",
+    band_minutes: int = 5,
+) -> "ray.data.Dataset":
+    """Time-band (range) join: every (left, right) event pair with
+    ``|right.ts - left.ts| <= band`` across ALL users (no equi-key).
+
+    Scale design: bucketize time into band-sized granules. Left rows go to
+    their own granule only; right rows replicate to the <=3 granules whose
+    left rows could match them — so each qualifying pair materializes in
+    exactly one granule and no dedup pass is needed. One hash shuffle on
+    the granule id, then vectorized two-sided ``searchsorted`` pair
+    expansion inside each granule. Replication factor is a constant 3x of
+    the (filtered) right side regardless of data size.
+    """
+    band_us = band_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy()
+        lmask = etype == left_type
+        rmask = etype == right_type
+        l_ts, l_id = ts_us[lmask], eid[lmask]
+        r_ts, r_id = ts_us[rmask], eid[rmask]
+        gran = np.concatenate(
+            [l_ts // band_us, r_ts // band_us - 1, r_ts // band_us, r_ts // band_us + 1]
+        )
+        side = np.concatenate(
+            [np.zeros(len(l_ts), np.int8), np.ones(3 * len(r_ts), np.int8)]
+        )
+        return pa.table(
+            {
+                "gran": pa.array(gran, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "event_id": pa.array(np.concatenate([l_id, np.tile(r_id, 3)])),
+                "ts_us": pa.array(np.concatenate([l_ts, np.tile(r_ts, 3)])),
+            }
+        )
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("gran", sort=False):
+            lf = g[g["side"] == 0]
+            rt = g[g["side"] == 1].sort_values("ts_us", kind="mergesort")
+            if len(lf) == 0 or len(rt) == 0:
+                continue
+            r_ts = rt["ts_us"].to_numpy()
+            r_id = rt["event_id"].to_numpy()
+            l_ts = lf["ts_us"].to_numpy()
+            l_id = lf["event_id"].to_numpy()
+            lo = np.searchsorted(r_ts, l_ts - band_us, side="left")
+            hi = np.searchsorted(r_ts, l_ts + band_us, side="right")
+            n = hi - lo
+            keep = n > 0
+            if not keep.any():
+                continue
+            lo, n, l_idk = lo[keep], n[keep], l_id[keep]
+            # flat indices of each left row's [lo, hi) right-range
+            idx = np.repeat(lo, n) + (
+                np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)
+            )
+            outs.append(
+                pd.DataFrame(
+                    {"left_id": np.repeat(l_idk, n), "right_id": r_id[idx]}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"left_id": pd.Series([], dtype="int64"),
+                 "right_id": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_groupby(ds.map_batches(explode, batch_format="pyarrow"), ["gran"], pairs)
