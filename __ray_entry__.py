@@ -330,7 +330,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fonduer_ray.functions import dedup, similarity, textstats, webclean
+    from fonduer_ray.functions import dedup, similarity, sketches, textstats, webclean
     from fonduer_ray.pipelines import docops, relational
 
     import pyarrow as pa
@@ -428,6 +428,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sigs.map_batches(explode, batch_format="pyarrow")
 
+    # -- sketch wrappers ----------------------------------------------------
+    def hll_q(sf_dir: str):
+        return sketches.hll_registers(_docs(sf_dir))
+
+    def cms_q(sf_dir: str):
+        return sketches.cms_counters(_docs(sf_dir))
+
+    def kmv_q(sf_dir: str):
+        return sketches.kmv_sketch(_docs(sf_dir))
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -508,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn_ivf_q,
         "embedding_dup_pairs": embedding_dups,
         "embedding_dup_pairs_lsh": embedding_dups_lsh,
+        # mergeable sketches (HLL / count-min / KMV over 3-shingles)
+        "hll_registers": hll_q,
+        "cms_counters": cms_q,
+        "kmv_sketch": kmv_q,
     }
 
 
@@ -1333,5 +1347,61 @@ def oracle_sql() -> dict[str, str]:
                     >= greatest(len(a.grams), len(b.grams))
             )
             SELECT id_a, id_b FROM p WHERE inter >= 0.5 * (na + nb - inter)
+        """,
+        # ---- mergeable sketches: exact register/counter re-derivation -----
+        "hll_registers": """
+            WITH t AS (SELECT string_split(text,' ') AS a FROM documents),
+            sh AS (
+              SELECT DISTINCT a[i]||' '||a[i+1]||' '||a[i+2] AS s
+              FROM (SELECT a, unnest(generate_series(1, len(a)-2)) AS i FROM t)
+            ),
+            h AS (
+              SELECT CAST(('0x'||substring(md5(s),1,16)) AS UBIGINT) AS hv
+              FROM sh
+            ),
+            b AS (
+              SELECT CAST(hv >> 52 AS BIGINT) AS bucket,
+                     hv % 4503599627370496 AS w52
+              FROM h
+            )
+            SELECT bucket,
+                   max(CASE WHEN w52 = 0 THEN 53
+                       ELSE CAST(53 - length(ltrim(bin(w52),'0')) AS BIGINT)
+                       END) AS max_rho
+            FROM b GROUP BY bucket
+        """,
+        "cms_counters": """
+            WITH t AS (SELECT string_split(text,' ') AS a FROM documents),
+            sh AS (
+              SELECT a[i]||' '||a[i+1]||' '||a[i+2] AS s
+              FROM (SELECT a, unnest(generate_series(1, len(a)-2)) AS i FROM t)
+            ),
+            rows_(r) AS (VALUES (0),(1),(2),(3)),
+            cell AS (
+              SELECT CAST(r AS BIGINT) AS row,
+                     CAST(CAST(('0x'||substring(
+                         md5(CAST(r AS VARCHAR)||':'||s),1,16)) AS UBIGINT)
+                       % 1024 AS BIGINT) AS col
+              FROM sh, rows_
+            )
+            SELECT row, col, count(*) AS count FROM cell GROUP BY row, col
+        """,
+        "kmv_sketch": """
+            WITH t AS (SELECT string_split(text,' ') AS a FROM documents),
+            sh AS (
+              SELECT DISTINCT a[i]||' '||a[i+1]||' '||a[i+2] AS s
+              FROM (SELECT a, unnest(generate_series(1, len(a)-2)) AS i FROM t)
+            ),
+            h AS (
+              SELECT DISTINCT CAST(
+                (CAST(('0x'||substring(md5(s),1,16)) AS UBIGINT) >> 1)
+                AS BIGINT) AS hash
+              FROM sh
+            ),
+            r AS (
+              SELECT hash, row_number() OVER (ORDER BY hash) AS rank
+              FROM h ORDER BY hash LIMIT 256
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, hash FROM r
         """,
     }

@@ -1,0 +1,237 @@
+"""Distributed mergeable sketches over a documents table: HyperLogLog
+(distinct count), count-min (frequency upper bounds), and KMV / bottom-k
+(distinct count + set similarity).
+
+These are the sketch primitives a 100 TB pipeline uses where exact
+distinct/frequency aggregation would shuffle the full key space. The
+distributed shape is identical for all three: a vectorized per-block
+partial sketch inside ``map_batches`` (bounded size, independent of block
+row count) merged by ONE tiny ``hash_groupby`` whose key cardinality is
+the sketch width (≤ a few thousand groups) — never the data cardinality.
+
+Every sketch is deterministic and DuckDB-reproducible: token hashes are
+md5-low-64 (``dedup._md5_64``), so `__ray_entry__.oracle_sql` re-derives
+register/counter tables exactly and CORRECTNESS value-checks them.
+Estimator helpers (`hll_estimate`, `kmv_estimate`, `cms_query`) are pure
+driver-side formulas over the materialized sketch.
+
+No reference analog (fonduer has no sketches); part of the LLM-pipeline
+operator suite alongside `functions/dedup.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from fonduer_ray.functions.dedup import _md5_64
+from fonduer_ray.stages.util import hash_groupby
+
+#: token-hash memo shared per worker process (corpus vocab repeats heavily)
+_TOK_MEMO: dict[str, int] = {}
+
+
+def _shingles(text: str, k: int = 3) -> list:
+    """Space-joined k-word shingles (the corpus vocabulary is tiny, so the
+    sketched item space is k-gram shingles — same choice as the minhash
+    pipeline; k=3 gives a ~10^4-10^5 item space on the test corpus)."""
+    toks = (text or "").split()
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _token_hashes(toks) -> np.ndarray:
+    out = np.empty(len(toks), dtype=np.uint64)
+    memo = _TOK_MEMO
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = _md5_64(t)
+            if len(memo) < 2_000_000:
+                memo[t] = h
+        out[i] = h
+    return out
+
+
+# ---------------------------------------------------------------- HyperLogLog
+
+
+def hll_registers(ds: "ray.data.Dataset", p: int = 12) -> "ray.data.Dataset":
+    """HLL register table over the corpus 3-shingle vocabulary: for each of the
+    m=2**p buckets (top p hash bits), the max leading-zero rank rho of the
+    remaining 64-p bits (+1). Returns (bucket:int64, max_rho:int64), only
+    buckets that were hit.
+
+    Per block: dedup tokens, vectorized bucket/rho via exact float64 frexp
+    (values < 2**53, so the exponent is the exact bit length), partial
+    per-block register max — output is ≤ m rows per block no matter how
+    many tokens the block held. Merge: one groupby over ≤ m keys.
+    """
+    m = 1 << p
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        items = set()
+        for text in batch["text"].to_pylist():
+            items.update(_shingles(text))
+        if not items:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "max_rho": pa.array([], pa.int64())}
+            )
+        h = _token_hashes(list(items))
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & mask
+        # exact bit length of w (< 2**53) via the float64 exponent
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = (wbits + 1 - exp).astype(np.int64)  # w=0 -> exp=0 -> wbits+1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        hit = np.nonzero(regs)[0]
+        return pa.table(
+            {"bucket": pa.array(hit, pa.int64()),
+             "max_rho": pa.array(regs[hit], pa.int64())}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("bucket", sort=False)["max_rho"].max().reset_index()
+        )
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bucket"], merge
+    )
+
+
+def hll_estimate(registers, p: int = 12) -> float:
+    """Standard HLL estimate (Flajolet et al. 2007) from a materialized
+    register table (list of {bucket, max_rho} rows); small-range linear
+    counting correction included."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    for r in registers:
+        regs[int(r["bucket"])] = int(r["max_rho"])
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+# ------------------------------------------------------------------ count-min
+
+
+def cms_counters(
+    ds: "ray.data.Dataset", depth: int = 4, width: int = 1024
+) -> "ray.data.Dataset":
+    """Count-min sketch of corpus 3-shingle OCCURRENCES: depth x width counter
+    matrix as (row:int64, col:int64, count:int64), zero cells omitted.
+    Row r hashes item t with md5-low-64 of ``"{r}:{t}"``.
+
+    Per block: token multiplicity via one pandas value_counts, then depth
+    bincounts — partial output ≤ depth*width rows per block. Merge: one
+    groupby-sum over ≤ depth*width keys. Counter updates commute, so
+    block-level partials merge exactly.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in _shingles(text):
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pa.table(
+                {"row": pa.array([], pa.int64()),
+                 "col": pa.array([], pa.int64()),
+                 "count": pa.array([], pa.int64())}
+            )
+        toks = list(counts)
+        mult = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        rows, cols, vals = [], [], []
+        for r in range(depth):
+            h = _token_hashes([f"{r}:{t}" for t in toks])
+            col = (h % np.uint64(width)).astype(np.int64)
+            acc = np.bincount(col, weights=mult, minlength=width).astype(np.int64)
+            hit = np.nonzero(acc)[0]
+            rows.append(np.full(len(hit), r, dtype=np.int64))
+            cols.append(hit)
+            vals.append(acc[hit])
+        return pa.table(
+            {"row": pa.array(np.concatenate(rows)),
+             "col": pa.array(np.concatenate(cols)),
+             "count": pa.array(np.concatenate(vals))}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["row", "col"], sort=False)["count"].sum().reset_index()
+        )
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["row", "col"], merge
+    )
+
+
+def cms_query(counters, token: str, depth: int = 4, width: int = 1024) -> int:
+    """Point-query the materialized sketch: min over rows — an upper bound
+    on the token's true occurrence count, exact for heavy tokens when the
+    sketch is sparse."""
+    cells = {(int(r["row"]), int(r["col"])): int(r["count"]) for r in counters}
+    return min(
+        cells.get((r, _md5_64(f"{r}:{token}") % width), 0) for r in range(depth)
+    )
+
+
+# ---------------------------------------------------------------- KMV (bottom-k)
+
+
+def kmv_sketch(ds: "ray.data.Dataset", k: int = 256) -> "ray.data.Dataset":
+    """Bottom-k (KMV) sketch of the corpus 3-shingle vocabulary: the k smallest
+    distinct 63-bit shingle hashes (md5-low-64 ``>> 1``, the minhash int64
+    convention) as (rank:int64 [1-based], hash:int64). Dedup happens AFTER
+    the shift on both the engine and oracle side, so block partials merge
+    exactly. Per-block bottom-k partial, one single-group merge (output
+    size k, constant).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        items = set()
+        for text in batch["text"].to_pylist():
+            items.update(_shingles(text))
+        if not items:
+            return pa.table({"hash": pa.array([], pa.int64())})
+        h = np.unique(_token_hashes(list(items)) >> np.uint64(1))[:k]
+        return pa.table({"hash": pa.array(h.astype(np.int64), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df["hash"].to_numpy())[:k]
+        return pd.DataFrame(
+            {"rank": np.arange(1, len(h) + 1, dtype=np.int64), "hash": h}
+        )
+
+    # single merge group: k values per block is tiny, so one task finishes it
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_groupby(
+        parts.map_batches(
+            lambda t: t.append_column("_g", pa.array([0] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["_g"],
+        lambda df: merge(df.drop(columns=["_g"])),
+        n_partitions=1,
+    )
+
+
+def kmv_estimate(rows, k: int = 256) -> float:
+    """Distinct-count estimate (k-1) * 2**63 / h_k over the 63-bit hash
+    space from the materialized bottom-k table; returns the exact size when
+    fewer than k hashes exist."""
+    hashes = sorted(int(r["hash"]) for r in rows)
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * float(1 << 63) / float(hashes[k - 1])

@@ -1,0 +1,135 @@
+"""Mergeable sketches (HLL / count-min / KMV): estimator accuracy against
+exact brute-force answers, and merge-exactness (block partials == one-shot).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fonduer_ray.functions import sketches
+from fonduer_ray.functions.sketches import (
+    _shingles,
+    cms_query,
+    hll_estimate,
+    kmv_estimate,
+)
+
+
+def _corpus(n_docs: int = 60, words_per_doc: int = 120, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [
+        " ".join(rng.choice(vocab, size=words_per_doc).tolist())
+        for _ in range(n_docs)
+    ]
+    return docs
+
+
+def _exact_shingle_stats(docs):
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for d in docs:
+        counts.update(_shingles(d))
+    return counts
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    docs = _corpus()
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ).repartition(6)
+    return docs, ds
+
+
+def test_hll_estimate_within_error(docs_ds):
+    docs, ds = docs_ds
+    exact = len(_exact_shingle_stats(docs))
+    regs = hll_registers_rows(ds)
+    est = hll_estimate(regs)
+    # sigma ~ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(est - exact) / exact < 0.065
+
+
+def hll_registers_rows(ds, p: int = 12):
+    return sketches.hll_registers(ds, p=p).take_all()
+
+
+def test_hll_merge_is_exact(docs_ds):
+    """Register table from 6 blocks == register table from 1 block."""
+    docs, ds = docs_ds
+    one = sketches.hll_registers(ds.repartition(1)).to_pandas()
+    many = sketches.hll_registers(ds).to_pandas()
+    key = ["bucket", "max_rho"]
+    pd.testing.assert_frame_equal(
+        one.sort_values(key, ignore_index=True)[key],
+        many.sort_values(key, ignore_index=True)[key],
+    )
+
+
+def test_cms_point_query_upper_bound(docs_ds):
+    docs, ds = docs_ds
+    exact = _exact_shingle_stats(docs)
+    counters = sketches.cms_counters(ds).take_all()
+    total = sum(exact.values())
+    items = list(exact)[:200]
+    for t in items:
+        q = cms_query(counters, t)
+        assert q >= exact[t]
+        # standard CMS guarantee: error < e/width * total mass (w.h.p.)
+        assert q - exact[t] <= np.e / 1024 * total * 4
+
+
+def test_cms_tight_when_sparse(ray_session):
+    """With distinct items << width, queries are exact for almost all items."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, size=40).tolist()) for _ in range(8)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ).repartition(3)
+    exact = _exact_shingle_stats(docs)
+    counters = sketches.cms_counters(ds).take_all()
+    over = sum(cms_query(counters, t) > exact[t] for t in exact)
+    assert over <= len(exact) * 0.05
+
+
+def test_cms_total_mass_preserved(docs_ds):
+    docs, ds = docs_ds
+    exact_total = sum(_exact_shingle_stats(docs).values())
+    df = sketches.cms_counters(ds).to_pandas()
+    # each of the 4 rows holds the full occurrence mass
+    per_row = df.groupby("row")["count"].sum()
+    assert (per_row == exact_total).all()
+
+
+def test_kmv_estimate_and_merge(docs_ds):
+    docs, ds = docs_ds
+    exact = len(_exact_shingle_stats(docs))
+    rows = sketches.kmv_sketch(ds).take_all()
+    est = kmv_estimate(rows)
+    # k=256 -> sigma ~ 1/sqrt(254) ~ 6.3%; allow 4 sigma
+    assert abs(est - exact) / exact < 0.25
+    # ranks are 1..k with strictly increasing hashes
+    hashes = [r["hash"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert hashes == sorted(hashes)
+    assert len(set(hashes)) == len(hashes)
+
+
+def test_kmv_small_corpus_exact(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]})
+    )
+    rows = sketches.kmv_sketch(ds, k=256).take_all()
+    # 3 distinct shingles < k: estimate is the exact count
+    assert len(rows) == 3
+    assert kmv_estimate(rows) == 3.0
