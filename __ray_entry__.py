@@ -330,7 +330,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fonduer_ray.functions import dedup, similarity, sketches, textstats, webclean
+    from fonduer_ray.functions import (
+        dedup,
+        graph,
+        similarity,
+        sketches,
+        textstats,
+        webclean,
+    )
     from fonduer_ray.pipelines import docops, relational
 
     import pyarrow as pa
@@ -438,6 +445,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kmv_q(sf_dir: str):
         return sketches.kmv_sketch(_docs(sf_dir))
 
+    # -- graph analytics wrappers -------------------------------------------
+    def graph_degrees_q(sf_dir: str):
+        return graph.degrees(graph.purchase_edges(sf_dir))
+
+    def graph_pagerank_q(sf_dir: str):
+        return graph.pagerank(graph.purchase_edges(sf_dir), iters=5)
+
+    def graph_components_q(sf_dir: str):
+        return graph.components(graph.part_cooccur_edges(sf_dir))
+
+    def graph_triangles_q(sf_dir: str):
+        return graph.triangle_counts(graph.part_cooccur_edges(sf_dir))
+
+    def graph_khop_q(sf_dir: str):
+        seed = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ).min("o_custkey")
+        return graph.khop(graph.purchase_edges(sf_dir), seeds=[int(seed)], k=3)
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -522,6 +548,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": hll_q,
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
+        # graph analytics over the derived purchase / co-occurrence graphs
+        "graph_degrees": graph_degrees_q,
+        "graph_pagerank": graph_pagerank_q,
+        "graph_components": graph_components_q,
+        "graph_triangles": graph_triangles_q,
+        "graph_khop": graph_khop_q,
     }
 
 
@@ -530,7 +562,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 
+#: shared edge-derivation CTE bodies: MUST mirror fonduer_ray.functions.graph
+#: (purchase_edges / part_cooccur_edges) exactly — same offset, same md5
+#: sampling predicate
+_PURCHASE_EDGES_SQL = """
+    SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+_PART_COOCCUR_EDGES_SQL = """
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    WHERE CAST(('0x' || substring(md5(
+            CAST(x.l_partkey AS VARCHAR) || ':' || CAST(y.l_partkey AS VARCHAR)
+          ), 1, 16)) AS UBIGINT) % 8 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from fonduer_ray.functions import graph as _graph
+
     stop_list = (
         "('the','a','an','and','or','of','to','in','on','for','with','at','by',"
         "'from','is','are','was','were','be','been','this','that','these','those',"
@@ -1403,5 +1455,60 @@ def oracle_sql() -> dict[str, str]:
               FROM h ORDER BY hash LIMIT 256
             )
             SELECT CAST(rank AS BIGINT) AS rank, hash FROM r
+        """,
+        # ---- graph analytics ----------------------------------------------
+        "graph_degrees": f"""
+            WITH e AS ({_PURCHASE_EDGES_SQL}),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            o AS (SELECT src AS node, count(*) AS c FROM e GROUP BY src),
+            i AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY dst)
+            SELECT n.node, COALESCE(o.c, 0) AS out_deg,
+                   COALESCE(i.c, 0) AS in_deg
+            FROM n LEFT JOIN o ON o.node = n.node
+                   LEFT JOIN i ON i.node = n.node
+        """,
+        "graph_pagerank": _graph.pagerank_oracle_sql(_PURCHASE_EDGES_SQL, iters=5),
+        "graph_components": f"""
+            WITH RECURSIVE e AS ({_PART_COOCCUR_EDGES_SQL}),
+            nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+            ed AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+            reach(src, node) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.src, ed.t FROM reach r JOIN ed ON r.node = ed.s
+            )
+            SELECT src AS node, min(node) AS component FROM reach GROUP BY src
+        """,
+        "graph_triangles": f"""
+            WITH e AS ({_PART_COOCCUR_EDGES_SQL}),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            m AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*) AS n_triangles FROM m GROUP BY node
+        """,
+        "graph_khop": f"""
+            WITH e AS ({_PURCHASE_EDGES_SQL}),
+            u AS (SELECT src AS s, dst AS t FROM e
+                  UNION ALL SELECT dst, src FROM e),
+            d0 AS (SELECT (SELECT min(o_custkey) FROM orders) AS node),
+            l1 AS (SELECT DISTINCT u.t AS node FROM u JOIN d0 ON u.s = d0.node),
+            l2 AS (SELECT DISTINCT u.t AS node FROM u JOIN l1 ON u.s = l1.node),
+            l3 AS (SELECT DISTINCT u.t AS node FROM u JOIN l2 ON u.s = l2.node),
+            all_ AS (
+              SELECT node, 0 AS dist FROM d0
+              UNION ALL SELECT node, 1 FROM l1
+              UNION ALL SELECT node, 2 FROM l2
+              UNION ALL SELECT node, 3 FROM l3
+            )
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM all_ GROUP BY node
         """,
     }

@@ -1,0 +1,525 @@
+"""Graph analytics over the materialized knowledge graph: degrees,
+PageRank, connected components, triangle counts, k-hop reachability.
+
+A KG-construction engine's output is a graph; these are the operators a
+user runs NEXT (entity importance, near-duplicate entity clusters, graph
+QA). The test graphs derive deterministically from the TPC-H-ish tables:
+
+- **purchase graph** (directed, bipartite, skewed): customer -> supplier
+  edges via ``orders |x| lineitem``. Supplier node ids are offset by
+  ``SUPP_OFFSET`` so the two key spaces never collide.
+- **part co-occurrence graph** (undirected): parts appearing in the same
+  order, DOULION-style deterministically edge-sampled (keep an edge iff
+  ``md5_64("a:b") % sample_mod == 0`` — Tsourakakis et al., KDD'09) so
+  degree stays bounded as SF grows and triangle/wedge generation cannot
+  explode. The sampling predicate is md5-based so the DuckDB oracle
+  applies the identical filter.
+
+Scale notes (the 100 TB story):
+
+- Every aggregation is a ``hash_groupby`` (partial, vectorized, exact);
+  nothing graph-sized lands on the driver.
+- PageRank ships the RANK table to the EDGE table per iteration through
+  the size-guarded ``attach_lookup`` (broadcast below the row limit, a
+  hash-partition ``Dataset.join`` above); edges are the loop-invariant
+  big side, materialized once and streamed per iteration.
+- PageRank runs in **fixed-point int64 arithmetic** (``PR_SCALE``):
+  integer sums are order-independent, so the distributed result is
+  bit-identical to the single-threaded DuckDB oracle — floating-point
+  PageRank cannot be value-checked across reduction orders.
+- Triangles use the lowest-id node-iterator with a wedge/edge
+  hash-partition semi-join; the edge sampling bounds per-apex degree.
+- Components reuse ``dedup.dup_clusters`` (size-guarded union-find /
+  distributed min-label propagation).
+
+No reference analog (fonduer stops at the triple table); part of the
+KG-pipeline operator suite alongside ``stages/linking.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from fonduer_ray.functions.dedup import _md5_64
+from fonduer_ray.stages.util import hash_groupby
+
+#: supplier node ids live at SUPP_OFFSET + s_suppkey (customer keys and
+#: supplier keys overlap otherwise)
+SUPP_OFFSET = 1_000_000
+
+#: fixed-point scale for integer PageRank: ranks are rationals quantized
+#: to 1e-12 — large enough that quantization loss is negligible, small
+#: enough that 85 * rank_sum stays far below 2**63
+PR_SCALE = 10**12
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    return hash_groupby(
+        ds, keys, lambda df: df.drop_duplicates(keys, ignore_index=True)
+    )
+
+
+# --------------------------------------------------------------- edge builders
+
+
+def purchase_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct directed (src=customer, dst=SUPP_OFFSET+supplier) edges:
+    customer bought from supplier at least once. lineitem is the big side
+    and streams through the guarded order->customer lookup join."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = attach_lookup(li, orders, "l_orderkey", "o_orderkey", "o_custkey")
+
+    def to_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["o_custkey"].cast(pa.int64()),
+                "dst": pc.add(t["l_suppkey"].cast(pa.int64()), SUPP_OFFSET),
+            }
+        )
+
+    return _distinct(with_cust.map_batches(to_edge, batch_format="pyarrow"),
+                     ["src", "dst"])
+
+
+def part_cooccur_edges(sf_dir: str, sample_mod: int = 8) -> "ray.data.Dataset":
+    """Distinct undirected (a < b) part pairs that co-occur in an order,
+    deterministically edge-sampled: keep iff md5_64(f"{a}:{b}") % sample_mod
+    == 0. Pairs are generated inside the per-order group (order line counts
+    are small and bounded), so no unsampled pair set ever materializes."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for _, grp in df.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy())
+            if len(parts) < 2:
+                continue
+            ia, ib = np.triu_indices(len(parts), k=1)
+            a_out.append(parts[ia])
+            b_out.append(parts[ib])
+        if not a_out:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"}
+            )
+        a = np.concatenate(a_out).astype(np.int64)
+        b = np.concatenate(b_out).astype(np.int64)
+        keep = np.fromiter(
+            (_md5_64(f"{x}:{y}") % sample_mod == 0 for x, y in zip(a, b)),
+            dtype=bool,
+            count=len(a),
+        )
+        return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates(
+            ignore_index=True
+        )
+
+    pairs = hash_groupby(li, ["l_orderkey"], order_pairs)
+    return _distinct(pairs, ["a", "b"])
+
+
+# -------------------------------------------------------------------- degrees
+
+
+def degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, out_deg, in_deg) over a distinct directed edge table — one
+    flat-map into (node, out, in) partial rows, one hash_groupby sum."""
+
+    def to_counts(t: pa.Table) -> pa.Table:
+        n = len(t)
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        ones = pa.array(np.ones(n, dtype=np.int64))
+        zeros = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src, dst]),
+                "out_deg": pa.concat_arrays([ones, zeros]),
+                "in_deg": pa.concat_arrays([zeros, ones]),
+            }
+        )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("node", sort=False)[["out_deg", "in_deg"]]
+            .sum()
+            .reset_index()
+        )
+
+    return hash_groupby(
+        edges.map_batches(to_counts, batch_format="pyarrow"), ["node"], agg
+    )
+
+
+# ------------------------------------------------------------------- PageRank
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> "ray.data.Dataset":
+    """Fixed-point integer PageRank (d = 0.85 as the exact fraction 85/100),
+    ``iters`` synchronous iterations, dangling mass redistributed uniformly.
+    Returns (node, rank) with rank = the quantized probability * ``scale``.
+
+    Exact integer semantics (the DuckDB oracle replays them verbatim):
+
+    - r0(u)   = scale // n
+    - contrib = r(u) // out_deg(u) per out-edge
+    - share   = (sum of r over dangling nodes) // n
+    - r'(v)   = (15 * (scale // n)) // 100
+                + (85 * (in_sum(v) + share)) // 100
+
+    Distribution: edges are materialized once (loop-invariant big side);
+    per iteration the node-sized contrib table ships to edges via the
+    size-guarded ``attach_lookup``, in-sums reduce through ONE
+    hash_groupby that also rebuilds the full state (role-tagged union of
+    the degree table and the contribution rows), and the dangling sum is
+    a scalar ``Dataset.sum``. Integer addition commutes, so any reduction
+    order yields the identical result."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    edges = edges.materialize()
+    state = degrees(edges).drop_columns(["in_deg"]).materialize()
+    n = state.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    base = scale // n
+    teleport = (15 * base) // 100
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(len(t), base, dtype=np.int64))
+        )
+
+    state = state.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # scalar: total rank parked on dangling nodes (out_deg == 0)
+        dangling = state.filter(
+            expr="out_deg == 0", # noqa: arrow predicate, metadata-pruned
+        ).sum("r") or 0
+        share = dangling // n
+
+        contribs = state.filter(expr="out_deg > 0").map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "contrib": pc.divide(t["r"], t["out_deg"]).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # every src has out_deg >= 1 by construction -> inner semantics safe
+        edge_contrib = attach_lookup(edges, contribs, "src", "node", "contrib")
+
+        in_rows = edge_contrib.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"].combine_chunks(),
+                    "out_deg": pa.nulls(len(t), pa.int64()),
+                    "inc": t["contrib"].cast(pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        deg_rows = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "out_deg": t["out_deg"].cast(pa.int64()).combine_chunks(),
+                    "inc": pa.nulls(len(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def rebuild(df: pd.DataFrame, _tp=teleport, _sh=share) -> pd.DataFrame:
+            # int64 throughout: nullable arrow ints arrive as float64 in
+            # pandas; fill first so the sums are exact integer arithmetic
+            df = df.assign(
+                out_deg=df["out_deg"].fillna(-1).astype("int64"),
+                inc=df["inc"].fillna(0).astype("int64"),
+            )
+            g = df.groupby("node", sort=False).agg(
+                out_deg=("out_deg", "max"), inc=("inc", "sum")
+            )
+            g["r"] = _tp + (85 * (g["inc"] + _sh)) // 100
+            out = g.reset_index()[["node", "out_deg", "r"]]
+            return out.astype(
+                {"node": "int64", "out_deg": "int64", "r": "int64"}
+            )
+
+        state = hash_groupby(
+            deg_rows.union(in_rows), ["node"], rebuild
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iters: int = 5, scale: int = PR_SCALE
+) -> str:
+    """Generate the unrolled DuckDB re-derivation of :func:`pagerank` —
+    identical integer arithmetic, one CTE per iteration. ``edges_cte`` must
+    select distinct (src, dst)."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT nodes.node,"
+        " (SELECT count(*) FROM e WHERE e.src = nodes.node) AS outdeg"
+        " FROM nodes),",
+        f"r0 AS (SELECT node, outdeg,"
+        f" CAST({scale} // nn.n AS BIGINT) AS r FROM deg, nn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"r{i} AS (SELECT d.node, d.outdeg, CAST("
+            f" (15 * ({scale} // nn.n)) // 100"
+            f" + (85 * (COALESCE(inc.s, 0) + dang.share)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM deg d CROSS JOIN nn CROSS JOIN"
+            f" (SELECT COALESCE(sum(r) FILTER (WHERE outdeg = 0), 0)"
+            f"   // (SELECT n FROM nn) AS share FROM {prev}) dang"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(p.r // p.outdeg) AS s"
+            f"   FROM e JOIN {prev} p ON p.node = e.src AND p.outdeg > 0"
+            f"   GROUP BY e.dst) inc ON inc.node = d.node)"
+            + ("," if i < iters else "")
+        )
+    parts.append(f"SELECT node, r AS rank FROM r{iters}")
+    return "\n".join(parts)
+
+
+# ------------------------------------------------------------------ triangles
+
+
+def triangle_counts(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, n_triangles) for every node in at least one triangle of an
+    undirected graph given as distinct (a < b) edges.
+
+    Lowest-id node-iterator: each triangle a < b < c is found once at apex
+    a — wedges (b, c) generate inside the per-apex group of ONE
+    hash_groupby (per-apex degree is bounded by the edge sampling), then a
+    role-tagged hash-partition semi-join checks (b, c) against the edge
+    set. Nothing touches the driver."""
+
+    wedge_schema = pa.schema(
+        [("wa", pa.int64()), ("wb", pa.int64()),
+         ("apex", pa.int64()), ("role", pa.int32())]
+    )
+
+    def make_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, apex_out = [], [], []
+        for apex, grp in df.groupby("a", sort=False):
+            nb = np.unique(grp["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nb), k=1)
+            a_out.append(nb[ia])
+            b_out.append(nb[ib])
+            apex_out.append(np.full(len(ia), apex, dtype=np.int64))
+        if not a_out:
+            return pd.DataFrame(
+                {"wa": [], "wb": [], "apex": [], "role": []}
+            ).astype({"wa": "int64", "wb": "int64", "apex": "int64",
+                      "role": "int32"})
+        return pd.DataFrame(
+            {
+                "wa": np.concatenate(a_out).astype(np.int64),
+                "wb": np.concatenate(b_out).astype(np.int64),
+                "apex": np.concatenate(apex_out),
+                "role": np.zeros(sum(len(x) for x in a_out), dtype=np.int32),
+            }
+        )
+
+    wedges = hash_groupby(edges, ["a"], make_wedges)
+
+    def edges_as_probe(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wa": t["a"].cast(pa.int64()).combine_chunks(),
+                "wb": t["b"].cast(pa.int64()).combine_chunks(),
+                "apex": pa.nulls(len(t), pa.int64()),
+                "role": pa.array([1] * len(t), pa.int32()),
+            },
+            schema=wedge_schema,
+        )
+
+    def close_triangles(df: pd.DataFrame) -> pd.DataFrame:
+        present = df[df["role"] == 1]
+        closed = df[df["role"] == 0].merge(
+            present[["wa", "wb"]], on=["wa", "wb"], how="inner"
+        )
+        if closed.empty:
+            return pd.DataFrame({"node": []}).astype({"node": "int64"})
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        closed["apex"].to_numpy(dtype=np.int64),
+                        closed["wa"].to_numpy(dtype=np.int64),
+                        closed["wb"].to_numpy(dtype=np.int64),
+                    ]
+                )
+            }
+        )
+
+    members = hash_groupby(
+        wedges.map_batches(
+            lambda t: t.cast(wedge_schema), batch_format="pyarrow"
+        ).union(edges.map_batches(edges_as_probe, batch_format="pyarrow")),
+        ["wa", "wb"],
+        close_triangles,
+    )
+
+    def count_agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False).size().rename("n_triangles")
+        return out.reset_index().astype(
+            {"node": "int64", "n_triangles": "int64"}
+        )
+
+    return hash_groupby(members, ["node"], count_agg)
+
+
+# ----------------------------------------------------------------- components
+
+
+def components(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, component) over distinct undirected (a < b) edges: component
+    = min node id of the connected component. Reuses the size-guarded
+    union-find / min-label-propagation machinery of ``dedup.dup_clusters``
+    (single bounded worker task below the limit, distributed fixpoint
+    above)."""
+    from fonduer_ray.functions.dedup import dup_clusters
+
+    nodes = _distinct(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t["a"].cast(pa.int64()).combine_chunks(),
+                            t["b"].cast(pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+    )
+    pairs = edges.map_batches(
+        lambda t: pa.table(
+            {"id_a": t["a"].cast(pa.int64()), "id_b": t["b"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    labeled = dup_clusters(nodes, pairs)
+    return labeled.map_batches(
+        lambda t: pa.table(
+            {"node": t["doc_id"], "component": t["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# -------------------------------------------------------------------- k-hop
+
+
+def khop(
+    edges: "ray.data.Dataset",
+    seeds: list[int],
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """(node, dist) for every node within ``k`` undirected hops of the seed
+    set; dist = minimum hop count (0 for seeds).
+
+    Per hop: the frontier ships to the (loop-invariant, materialized) edge
+    table via the size-guarded ``attach_lookup`` semi-join, and a
+    role-tagged hash_groupby merges candidates into the visited set with
+    min-dist semantics — frontier/visited never land on the driver."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    undirected = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["src"].cast(pa.int64()).combine_chunks(),
+                        t["dst"].cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["dst"].cast(pa.int64()).combine_chunks(),
+                        t["src"].cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(seeds)), pa.int64()),
+                "dist": pa.array([0] * len(set(seeds)), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = visited
+
+    for hop in range(1, k + 1):
+        reached = attach_lookup(
+            undirected, frontier.select_columns(["node", "dist"]),
+            "src", "node", "dist",
+        )
+        candidates = _distinct(
+            reached.map_batches(
+                lambda t, _h=hop: pa.table(
+                    {
+                        "node": t["dst"].combine_chunks(),
+                        "dist": pa.array(
+                            np.full(len(t), _h, dtype=np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+        )
+
+        def min_dist(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", sort=False).agg(dist=("dist", "min"))
+            return out.reset_index().astype({"node": "int64", "dist": "int64"})
+
+        visited = hash_groupby(
+            visited.union(candidates), ["node"], min_dist
+        ).materialize()
+        frontier = visited.filter(expr=f"dist == {hop}").materialize()
+        if frontier.count() == 0:
+            break
+
+    return visited

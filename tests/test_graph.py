@@ -1,0 +1,155 @@
+"""Graph analytics: brute-force cross-checks on small random graphs and a
+pure-Python replay of the fixed-point PageRank semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fonduer_ray.functions import graph as G
+
+
+def _edges_ds(pairs, cols=("src", "dst")):
+    import ray.data
+
+    df = pd.DataFrame(pairs, columns=list(cols)).astype("int64")
+    return ray.data.from_pandas(df).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def directed(ray_session):
+    rng = np.random.default_rng(11)
+    pairs = {(int(a), int(b))
+             for a, b in zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+             if a != b}
+    return sorted(pairs)
+
+
+@pytest.fixture(scope="module")
+def undirected(ray_session):
+    rng = np.random.default_rng(5)
+    pairs = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(rng.integers(0, 30, 200), rng.integers(0, 30, 200))
+             if a != b}
+    return sorted(pairs)
+
+
+def test_degrees_brute(directed):
+    got = G.degrees(_edges_ds(directed)).to_pandas()
+    out: dict[int, int] = {}
+    inn: dict[int, int] = {}
+    for a, b in directed:
+        out[a] = out.get(a, 0) + 1
+        inn[b] = inn.get(b, 0) + 1
+        out.setdefault(b, 0)
+        inn.setdefault(a, 0)
+    want = pd.DataFrame(
+        {"node": sorted(out), "out_deg": [out[n] for n in sorted(out)],
+         "in_deg": [inn[n] for n in sorted(out)]}
+    ).astype("int64")
+    got = got.sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(got[["node", "out_deg", "in_deg"]], want)
+
+
+def _pagerank_reference(pairs, iters, scale=G.PR_SCALE):
+    """Single-threaded replay of the exact integer semantics."""
+    nodes = sorted({n for e in pairs for n in e})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in pairs:
+        outdeg[a] += 1
+    base = scale // n
+    teleport = (15 * base) // 100
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        share = sum(r[v] for v in nodes if outdeg[v] == 0) // n
+        inc = {v: 0 for v in nodes}
+        for a, b in pairs:
+            inc[b] += r[a] // outdeg[a]
+        r = {v: teleport + (85 * (inc[v] + share)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference(directed):
+    got = G.pagerank(_edges_ds(directed), iters=4).to_pandas()
+    want = _pagerank_reference(directed, iters=4)
+    got_map = dict(zip(got["node"], got["rank"]))
+    assert got_map == want
+
+
+def test_pagerank_mass_approximately_conserved(directed):
+    got = G.pagerank(_edges_ds(directed), iters=3).to_pandas()
+    total = int(got["rank"].sum())
+    # quantization drops < 1 unit per node per division per iteration
+    assert abs(total - G.PR_SCALE) < G.PR_SCALE * 0.01
+
+
+def test_triangles_brute(undirected):
+    got = G.triangle_counts(_edges_ds(undirected, cols=("a", "b"))).to_pandas()
+    eset = set(undirected)
+    nodes = sorted({n for e in undirected for n in e})
+    want: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in eset:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in eset and (b, c) in eset:
+                    for v in (a, b, c):
+                        want[v] = want.get(v, 0) + 1
+    got_map = dict(zip(got["node"], got["n_triangles"]))
+    assert got_map == want
+
+
+def test_components_brute(undirected):
+    got = G.components(_edges_ds(undirected, cols=("a", "b"))).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in undirected:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for e in undirected for n in e})
+    want = {n: find(n) for n in nodes}
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
+
+
+def test_khop_brute(directed):
+    k = 3
+    seed = min(n for e in directed for n in e)
+    got = G.khop(_edges_ds(directed), seeds=[seed], k=k).to_pandas()
+    adj: dict[int, set] = {}
+    for a, b in directed:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, k + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got_map = dict(zip(got["node"], got["dist"]))
+    assert got_map == dist
+
+
+def test_part_cooccur_edges_sampled_and_canonical(ray_session):
+    df = G.part_cooccur_edges("/root/testdata/sf0.001").to_pandas()
+    assert (df["a"] < df["b"]).all()
+    assert not df.duplicated(["a", "b"]).any()
+    from fonduer_ray.functions.dedup import _md5_64
+
+    assert all(
+        _md5_64(f"{a}:{b}") % 8 == 0 for a, b in zip(df["a"], df["b"])
+    )
