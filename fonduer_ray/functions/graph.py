@@ -166,10 +166,19 @@ def degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 # ------------------------------------------------------------------- PageRank
 
 
+#: below this many nodes the rank vector lives as driver-side numpy arrays
+#: (the classic "small state, big edges" regime: a 2M-node int64 rank vector
+#: is 16 MB) and each iteration is ONE streaming pass over the edge table;
+#: above it everything stays a Dataset (guarded exactly like
+#: relational.attach_lookup)
+PR_BROADCAST_NODE_LIMIT = 2_000_000
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     iters: int = 5,
     scale: int = PR_SCALE,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
 ) -> "ray.data.Dataset":
     """Fixed-point integer PageRank (d = 0.85 as the exact fraction 85/100),
     ``iters`` synchronous iterations, dangling mass redistributed uniformly.
@@ -183,14 +192,19 @@ def pagerank(
     - r'(v)   = (15 * (scale // n)) // 100
                 + (85 * (in_sum(v) + share)) // 100
 
-    Distribution: edges are materialized once (loop-invariant big side);
-    per iteration the node-sized contrib table ships to edges via the
+    Distribution: edges are materialized once (loop-invariant big side).
+    Below ``broadcast_limit`` nodes, ranks are driver-side numpy vectors
+    (node-sized state is the SMALL side of PageRank) shipped to the edge
+    pass via ``ray.put`` — each iteration costs exactly one streaming
+    pipeline execution emitting per-block sparse partial in-sums. Above
+    the limit, the node-sized contrib table ships to edges via the
     size-guarded ``attach_lookup``, in-sums reduce through ONE
     hash_groupby that also rebuilds the full state (role-tagged union of
     the degree table and the contribution rows), and the dangling sum is
     a scalar ``Dataset.sum``. Integer addition commutes, so any reduction
-    order yields the identical result."""
+    order yields the identical result on both paths (equality-tested)."""
     from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
 
     edges = edges.materialize()
     state = degrees(edges).drop_columns(["in_deg"]).materialize()
@@ -202,6 +216,45 @@ def pagerank(
         )
     base = scale // n
     teleport = (15 * base) // 100
+
+    if n <= broadcast_limit:
+        state_df = state.to_pandas().sort_values("node", ignore_index=True)
+        nodes = state_df["node"].to_numpy(dtype=np.int64)
+        outdeg = state_df["out_deg"].to_numpy(dtype=np.int64)
+        dangling = outdeg == 0
+        r = np.full(n, base, dtype=np.int64)
+
+        for _ in range(iters):
+            share = int(r[dangling].sum()) // n
+            contrib = np.where(dangling, 0, r // np.maximum(outdeg, 1))
+            bcast = ray.put((nodes, contrib))
+
+            def edge_partial(t: pa.Table, _b=bcast) -> pa.Table:
+                nds, ctr = get_broadcast(_b)
+                src = t["src"].to_numpy()
+                dst = t["dst"].to_numpy()
+                vals = ctr[np.searchsorted(nds, src)]
+                di = np.searchsorted(nds, dst)
+                uniq, inv = np.unique(di, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, vals)
+                return pa.table(
+                    {"idx": pa.array(uniq, pa.int64()),
+                     "s": pa.array(sums, pa.int64())}
+                )
+
+            inc = np.zeros(n, dtype=np.int64)
+            for batch in edges.map_batches(
+                edge_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                np.add.at(
+                    inc, batch["idx"].to_numpy(), batch["s"].to_numpy()
+                )
+            r = teleport + (85 * (inc + share)) // 100
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "rank": pa.array(r)})
+        )
 
     def init_rank(t: pa.Table) -> pa.Table:
         return t.append_column(

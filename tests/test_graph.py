@@ -78,6 +78,17 @@ def test_pagerank_matches_integer_reference(directed):
     assert got_map == want
 
 
+def test_pagerank_paths_bit_identical(directed):
+    """The driver-numpy fast path and the all-Dataset scale path produce
+    the identical integer rank vector (broadcast_limit=0 forces the
+    Dataset path)."""
+    fast = G.pagerank(_edges_ds(directed), iters=3).to_pandas()
+    slow = G.pagerank(_edges_ds(directed), iters=3, broadcast_limit=0).to_pandas()
+    fm = dict(zip(fast["node"], fast["rank"]))
+    sm = dict(zip(slow["node"], slow["rank"]))
+    assert fm == sm
+
+
 def test_pagerank_mass_approximately_conserved(directed):
     got = G.pagerank(_edges_ds(directed), iters=3).to_pandas()
     total = int(got["rank"].sum())
