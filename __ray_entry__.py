@@ -445,6 +445,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kmv_q(sf_dir: str):
         return sketches.kmv_sketch(_docs(sf_dir))
 
+    def sampled_quantiles_q(sf_dir: str):
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return sketches.sampled_quantiles(ev)
+
     # -- graph analytics wrappers -------------------------------------------
     def graph_degrees_q(sf_dir: str):
         return graph.degrees(graph.purchase_edges(sf_dir))
@@ -548,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": hll_q,
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
+        "value_quantiles_sampled": sampled_quantiles_q,
         # graph analytics over the derived purchase / co-occurrence graphs
         "graph_degrees": graph_degrees_q,
         "graph_pagerank": graph_pagerank_q,
@@ -1455,6 +1462,22 @@ def oracle_sql() -> dict[str, str]:
               FROM h ORDER BY hash LIMIT 256
             )
             SELECT CAST(rank AS BIGINT) AS rank, hash FROM r
+        """,
+        "value_quantiles_sampled": """
+            WITH h AS (
+              SELECT CAST(('0x' || substring(
+                       md5(CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv,
+                     value
+              FROM events
+            ),
+            s AS (SELECT value FROM h ORDER BY hv LIMIT 1024),
+            c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM s),
+            o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+            nn AS (SELECT count(*) AS n FROM c),
+            p(pct) AS (VALUES (1),(10),(25),(50),(75),(90),(99))
+            SELECT CAST(p.pct AS BIGINT) AS pct, o.cents / 100.0 AS value
+            FROM p CROSS JOIN nn
+            JOIN o ON o.rn = greatest(1, (p.pct * nn.n + 99) // 100)
         """,
         # ---- graph analytics ----------------------------------------------
         "graph_degrees": f"""

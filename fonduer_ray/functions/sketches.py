@@ -227,6 +227,67 @@ def kmv_sketch(ds: "ray.data.Dataset", k: int = 256) -> "ray.data.Dataset":
     )
 
 
+# ------------------------------------------------------- sampled quantiles
+
+
+def sampled_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str = "event_id",
+    val_col: str = "value",
+    k: int = 1024,
+    pcts: tuple = (1, 10, 25, 50, 75, 90, 99),
+) -> "ray.data.Dataset":
+    """Approximate quantiles from a bottom-k-by-hash uniform sample: keep
+    the ``k`` rows whose md5-low-64 of ``key_col`` is smallest (a
+    deterministic, mergeable, bounded-size uniform sample — the same
+    bottom-k trick as :func:`kmv_sketch`), then take discrete quantiles of
+    ``val_col`` over the sample. Returns (pct:int64, value:float64).
+
+    Quantile index is computed in INTEGER arithmetic — ``rn =
+    max(1, (pct * n + 99) // 100)`` into the cents-quantized sorted sample
+    — so the DuckDB oracle reproduces the exact row (float ``q * n`` would
+    diverge between decimal and binary arithmetic at integer boundaries).
+
+    Scale: per-block partial bottom-k (output ≤ k rows per block no matter
+    the block size), ONE single-group merge of ≤ k·n_blocks rows. Memory
+    is bounded by k everywhere; the data never sorts globally."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_pylist()
+        hv = np.fromiter(
+            (_md5_64(str(i)) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        vals = t[val_col].to_numpy(zero_copy_only=False)
+        keep = np.argsort(hv, kind="stable")[:k]
+        return pa.table(
+            {
+                "hv": pa.array(hv[keep], pa.uint64()),
+                "value": pa.array(vals[keep], pa.float64()),
+                "_g": pa.array(np.zeros(len(keep), dtype=np.int64)),
+            }
+        )
+
+    def merge(df: pd.DataFrame, _pcts=tuple(pcts), _k=k) -> pd.DataFrame:
+        d = df.sort_values("hv", kind="stable").head(_k)
+        cents = np.sort(np.rint(d["value"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        out_p, out_v = [], []
+        for pct in _pcts:
+            rn = max(1, (pct * n + 99) // 100)
+            out_p.append(pct)
+            out_v.append(cents[rn - 1] / 100.0)
+        return pd.DataFrame(
+            {"pct": np.array(out_p, dtype=np.int64), "value": out_v}
+        )
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["_g"],
+        lambda df: merge(df.drop(columns=["_g"])),
+        n_partitions=1,
+    )
+
+
 def kmv_estimate(rows, k: int = 256) -> float:
     """Distinct-count estimate (k-1) * 2**63 / h_k over the 63-bit hash
     space from the materialized bottom-k table; returns the exact size when

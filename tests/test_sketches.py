@@ -123,6 +123,46 @@ def test_kmv_estimate_and_merge(docs_ds):
     assert len(set(hashes)) == len(hashes)
 
 
+def test_sampled_quantiles_accuracy_and_partition_invariance(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    vals = rng.normal(50.0, 10.0, size=20_000).round(2)
+    df = pd.DataFrame({"event_id": np.arange(len(vals)), "value": vals})
+
+    got3 = sketches.sampled_quantiles(
+        ray.data.from_pandas(df).repartition(3), k=2048
+    ).to_pandas()
+    got8 = sketches.sampled_quantiles(
+        ray.data.from_pandas(df).repartition(8), k=2048
+    ).to_pandas()
+    # bottom-k-by-hash is merge-exact: block layout cannot change the sample
+    pd.testing.assert_frame_equal(
+        got3.sort_values("pct", ignore_index=True),
+        got8.sort_values("pct", ignore_index=True),
+    )
+    # sampling error: k=2048 -> quantile rank se ~ sqrt(q(1-q)/k) < 1.2%;
+    # compare against exact quantiles with a generous 4-sigma band in rank
+    exact_sorted = np.sort(vals)
+    for _, row in got3.iterrows():
+        q = row["pct"] / 100.0
+        lo = exact_sorted[int(max(0, (q - 0.05) * len(vals)))]
+        hi = exact_sorted[int(min(len(vals) - 1, (q + 0.05) * len(vals)))]
+        assert lo <= row["value"] <= hi
+
+
+def test_sampled_quantiles_small_input_exact(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"event_id": range(100), "value": np.arange(100.0)})
+    got = sketches.sampled_quantiles(
+        ray.data.from_pandas(df).repartition(4), k=1024
+    ).to_pandas()
+    # n < k: the "sample" is the full data -> exact discrete quantiles
+    want = {1: 0.0, 10: 9.0, 25: 24.0, 50: 49.0, 75: 74.0, 90: 89.0, 99: 98.0}
+    assert dict(zip(got["pct"], got["value"])) == want
+
+
 def test_kmv_small_corpus_exact(ray_session):
     import ray.data
 
