@@ -102,29 +102,46 @@ def part_cooccur_edges(sf_dir: str, sample_mod: int = 8) -> "ray.data.Dataset":
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a_out: list[int] = []
-        b_out: list[int] = []
-        for _, grp in df.groupby("l_orderkey", sort=False):
-            parts = np.unique(grp["l_partkey"].to_numpy())
-            if len(parts) < 2:
+        # vectorized pair generation: group boundaries via run-length on the
+        # sorted (order, part) frame, then one batched triu per distinct
+        # GROUP SIZE (order line counts are tiny, so there are only a few
+        # size classes) — no per-group Python loop
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="stable"
+        )
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy(dtype=np.int64)
+        if len(ok) == 0:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"}
+            )
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            ia, ib = np.triu_indices(len(parts), k=1)
-            a_out.append(parts[ia])
-            b_out.append(parts[ib])
+            grp_starts = starts[sizes == s]
+            mat = pk[grp_starts[:, None] + np.arange(s)[None, :]]
+            ia, ib = np.triu_indices(s, k=1)
+            a_out.append(mat[:, ia].ravel())
+            b_out.append(mat[:, ib].ravel())
         if not a_out:
             return pd.DataFrame({"a": [], "b": []}).astype(
                 {"a": "int64", "b": "int64"}
             )
-        a = np.concatenate(a_out).astype(np.int64)
-        b = np.concatenate(b_out).astype(np.int64)
+        pairs = pd.DataFrame(
+            {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+        ).drop_duplicates(ignore_index=True)
+        a = pairs["a"].to_numpy()
+        b = pairs["b"].to_numpy()
         keep = np.fromiter(
             (_md5_64(f"{x}:{y}") % sample_mod == 0 for x, y in zip(a, b)),
             dtype=bool,
             count=len(a),
         )
-        return pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates(
-            ignore_index=True
-        )
+        return pairs[keep].reset_index(drop=True)
 
     pairs = hash_groupby(li, ["l_orderkey"], order_pairs)
     return _distinct(pairs, ["a", "b"])
@@ -504,15 +521,69 @@ def khop(
     edges: "ray.data.Dataset",
     seeds: list[int],
     k: int = 3,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
 ) -> "ray.data.Dataset":
     """(node, dist) for every node within ``k`` undirected hops of the seed
     set; dist = minimum hop count (0 for seeds).
 
-    Per hop: the frontier ships to the (loop-invariant, materialized) edge
-    table via the size-guarded ``attach_lookup`` semi-join, and a
-    role-tagged hash_groupby merges candidates into the visited set with
-    min-dist semantics — frontier/visited never land on the driver."""
+    Below ``broadcast_limit`` EDGES the visited set is provably
+    driver-safe (nodes ≤ 2·edges), so BFS runs with the frontier as a
+    broadcast sorted array and ONE streaming pass over the edge table per
+    hop (both directions probed in the same pass — no doubled edge copy).
+    Above the limit: per hop the frontier ships to the (loop-invariant,
+    materialized) doubled edge table via the size-guarded
+    ``attach_lookup`` semi-join, and a role-tagged hash_groupby merges
+    candidates into the visited set with min-dist semantics —
+    frontier/visited never land on the driver. Paths are equality-tested."""
     from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    edges = edges.materialize()
+
+    if edges.count() <= broadcast_limit:
+        visited: dict[int, int] = {int(s): 0 for s in seeds}
+        frontier = np.array(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+
+        def member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(sorted_arr, vals)
+            pos_c = np.minimum(pos, len(sorted_arr) - 1)
+            return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == vals)
+
+        for hop in range(1, k + 1):
+            if len(frontier) == 0:
+                break
+            bc = ray.put(frontier)
+
+            def probe(t: pa.Table, _b=bc) -> pa.Table:
+                f = get_broadcast(_b)
+                src = t["src"].to_numpy()
+                dst = t["dst"].to_numpy()
+                hits = np.concatenate(
+                    [dst[member(f, src)], src[member(f, dst)]]
+                )
+                return pa.table(
+                    {"node": pa.array(np.unique(hits), pa.int64())}
+                )
+
+            reached: set[int] = set()
+            for batch in edges.map_batches(
+                probe, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                reached.update(batch["node"].to_numpy().tolist())
+            fresh = [n for n in reached if n not in visited]
+            for n_ in fresh:
+                visited[n_] = hop
+            frontier = np.array(sorted(fresh), dtype=np.int64)
+
+        items = sorted(visited.items())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([n for n, _ in items], pa.int64()),
+                    "dist": pa.array([d for _, d in items], pa.int64()),
+                }
+            )
+        )
 
     undirected = edges.map_batches(
         lambda t: pa.table(

@@ -133,6 +133,17 @@ def test_components_brute(undirected):
     assert got_map == want
 
 
+def test_khop_paths_identical(directed):
+    seed = min(n for e in directed for n in e)
+    fast = G.khop(_edges_ds(directed), seeds=[seed], k=2).to_pandas()
+    slow = G.khop(
+        _edges_ds(directed), seeds=[seed], k=2, broadcast_limit=0
+    ).to_pandas()
+    assert dict(zip(fast["node"], fast["dist"])) == dict(
+        zip(slow["node"], slow["dist"])
+    )
+
+
 def test_khop_brute(directed):
     k = 3
     seed = min(n for e in directed for n in e)
