@@ -451,6 +451,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sketches.sampled_quantiles(ev)
 
+    def sample_per_group_q(sf_dir: str):
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
+        )
+        return sketches.sample_per_group(
+            ev, group_col="event_type", key_col="event_id", n_per_group=3
+        )
+
     # -- graph analytics wrappers -------------------------------------------
     def graph_degrees_q(sf_dir: str):
         return graph.degrees(graph.purchase_edges(sf_dir))
@@ -555,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
         "value_quantiles_sampled": sampled_quantiles_q,
+        "events_sample_per_group": sample_per_group_q,
         # graph analytics over the derived purchase / co-occurrence graphs
         "graph_degrees": graph_degrees_q,
         "graph_pagerank": graph_pagerank_q,
@@ -1478,6 +1487,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p.pct AS BIGINT) AS pct, o.cents / 100.0 AS value
             FROM p CROSS JOIN nn
             JOIN o ON o.rn = greatest(1, (p.pct * nn.n + 99) // 100)
+        """,
+        "events_sample_per_group": """
+            WITH h AS (
+              SELECT event_type, event_id,
+                     CAST(('0x' || substring(
+                       md5(CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rank
+              FROM h
+            )
+            SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id
+            FROM r WHERE rank <= 3
         """,
         # ---- graph analytics ----------------------------------------------
         "graph_degrees": f"""

@@ -227,6 +227,56 @@ def kmv_sketch(ds: "ray.data.Dataset", k: int = 256) -> "ray.data.Dataset":
     )
 
 
+# ------------------------------------------------ per-group bottom-k sample
+
+
+def sample_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    n_per_group: int = 3,
+    extra_cols: tuple = (),
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: for each group, the ``n_per_group``
+    rows whose md5-low-64 of ``key_col`` is smallest — a uniform sample
+    within each stratum that is mergeable (per-block bottom-k partials,
+    one group-keyed merge) and reproducible (DuckDB: ``row_number() OVER
+    (PARTITION BY group ORDER BY hv)``). Returns
+    (group_col, rank:int64 [1-based within group], key_col, *extra_cols).
+
+    Scale: partial output is ≤ n_per_group rows per (block, group); the
+    merge groupby is keyed on the group column — group count, not row
+    count. The classic "N examples per class" training-data op.
+    ``key_col`` values must be unique within a group (hash ties would make
+    the rank order undefined in both engine and oracle)."""
+    cols = [group_col, key_col, *extra_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        hv = np.fromiter(
+            (_md5_64(str(i)) for i in df[key_col]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        df["_hv"] = hv
+        df = df.sort_values("_hv", kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(n_per_group),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_hv", kind="stable")
+        out = df.groupby(group_col, sort=False).head(n_per_group).copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out.drop(columns=["_hv"])[[group_col, "rank", key_col, *extra_cols]]
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), [group_col], merge
+    )
+
+
 # ------------------------------------------------------- sampled quantiles
 
 

@@ -163,6 +163,47 @@ def test_sampled_quantiles_small_input_exact(ray_session):
     assert dict(zip(got["pct"], got["value"])) == want
 
 
+def test_sample_per_group_deterministic_and_stratified(ray_session):
+    import ray.data
+
+    from fonduer_ray.functions.dedup import _md5_64
+
+    rng = np.random.default_rng(23)
+    groups = rng.choice(["a", "b", "c"], size=500)
+    df = pd.DataFrame({"g": groups, "k": np.arange(500)})
+
+    got4 = sketches.sample_per_group(
+        ray.data.from_pandas(df).repartition(4), "g", "k", n_per_group=5
+    ).to_pandas()
+    got9 = sketches.sample_per_group(
+        ray.data.from_pandas(df).repartition(9), "g", "k", n_per_group=5
+    ).to_pandas()
+    key = ["g", "rank"]
+    pd.testing.assert_frame_equal(
+        got4.sort_values(key, ignore_index=True),
+        got9.sort_values(key, ignore_index=True),
+    )
+    # brute-force: bottom-5 by hash within each group, rank order by hash
+    for g, sub in df.groupby("g"):
+        want = sorted(sub["k"], key=lambda k: _md5_64(str(k)))[:5]
+        grp = got4[got4["g"] == g].sort_values("rank")
+        assert grp["k"].tolist() == want
+        assert grp["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_sample_per_group_small_groups(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"g": ["x", "x", "y"], "k": [1, 2, 3]})
+    got = sketches.sample_per_group(
+        ray.data.from_pandas(df).repartition(2), "g", "k", n_per_group=5
+    ).to_pandas()
+    # groups smaller than n: every row kept, ranks contiguous from 1
+    assert len(got) == 3
+    assert set(got[got["g"] == "x"]["rank"]) == {1, 2}
+    assert set(got[got["g"] == "y"]["rank"]) == {1}
+
+
 def test_kmv_small_corpus_exact(ray_session):
     import ray.data
 
