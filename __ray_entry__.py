@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         textstats,
+        training,
         webclean,
     )
     from fonduer_ray.pipelines import docops, relational
@@ -478,6 +479,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).min("o_custkey")
         return graph.khop(graph.purchase_edges(sf_dir), seeds=[int(seed)], k=3)
 
+    # -- training-data prep wrappers ----------------------------------------
+    def doc_chunks_q(sf_dir: str):
+        return training.chunk_documents(_docs(sf_dir), max_tokens=64, stride=48)
+
+    def pack_sequences_q(sf_dir: str):
+        return training.pack_sequences(_docs(sf_dir), seq_len=256)
+
+    def decontaminate_q(sf_dir: str):
+        """Benchmark set = every 97th document (deterministic stand-in for a
+        held-out eval set); flags any corpus doc sharing an 8-gram with it."""
+        import numpy as np
+
+        docs = _docs(sf_dir)
+
+        def bench_filter(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 97 == 0))
+
+        bench = _docs(sf_dir).map_batches(bench_filter, batch_format="pyarrow")
+        return training.decontaminate(docs, bench, n=8)
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -525,6 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "top_events_per_user": relational.top_events_per_user,
         "events_value_median": relational.events_value_median,
+        "events_running_total": relational.events_running_total,
+        "events_lag_delta": relational.events_lag_delta,
+        "events_value_rank": relational.events_value_rank,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
@@ -538,6 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tfidf": lambda sf: textstats.doc_top_tfidf(_docs(sf)),
         "doc_fingerprint_md5": doc_md5,
         "doc_fingerprint_rolling": doc_rolling_fp,
+        # training-data prep (chunking, sequence packing, decontamination)
+        "doc_chunks": doc_chunks_q,
+        "pack_sequences": pack_sequences_q,
+        "decontaminate": decontaminate_q,
         # web-text cleaning (Gopher/C4 rule families + PII)
         "quality_filter": lambda sf: webclean.quality_filter(_docs(sf)),
         "repetition_stats": lambda sf: webclean.repetition_stats(_docs(sf)),
@@ -854,6 +883,33 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM events GROUP BY window_start, event_type
         """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "events_lag_delta": """
+            WITH c AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   COALESCE(cents - LAG(cents) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ), 0) AS delta_cents
+            FROM c
+        """,
+        "events_value_rank": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
+                   ) AS value_rank
+            FROM events
+        """,
         "events_hopping_window": """
             WITH w AS (
               SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
@@ -1066,6 +1122,85 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN cov ON t.doc_id = cov.doc_id
             LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+        """,
+        # --- training-data prep (chunk / pack / decontaminate) ------------
+        # token model everywhere: single-space word split, same as the
+        # engine's str.split() on the single-space-normalized corpus
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks,
+                     len(string_split(text,' ')) AS n
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, CAST(ceil(n/48.0) AS BIGINT))) AS ci
+              FROM t WHERE n > 0 AND NOT (n = 1 AND toks[1] = '')
+            )
+            SELECT doc_id, ci AS chunk_idx, ci*48 AS chunk_start,
+                   least(64, n - ci*48) AS n_tokens,
+                   array_to_string(
+                     toks[CAST(ci*48+1 AS BIGINT):CAST(least(ci*48+64, n) AS BIGINT)],
+                     ' ') AS chunk_text
+            FROM c
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks,
+                     len(string_split(text,' ')) AS n0
+              FROM documents
+            ),
+            t2 AS (
+              SELECT doc_id,
+                     CASE WHEN n0 = 1 AND toks[1] = '' THEN 0 ELSE n0 END AS n
+              FROM t
+            ),
+            o AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS off
+              FROM t2
+            ),
+            s AS (
+              SELECT doc_id, n, off,
+                     unnest(range(CAST(off//256 AS BIGINT),
+                                  CAST((off+n-1)//256 + 1 AS BIGINT))) AS seq_id
+              FROM o WHERE n > 0
+            )
+            SELECT seq_id, doc_id,
+                   greatest(off, seq_id*256) - off AS doc_tok_start,
+                   greatest(off, seq_id*256) - seq_id*256 AS seq_tok_start,
+                   least(off+n, (seq_id+1)*256) - greatest(off, seq_id*256)
+                     AS n_toks
+            FROM s
+        """,
+        "decontaminate": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 6),
+                       i -> toks[CAST(i AS INT)] || ' ' ||
+                            toks[CAST(i AS INT)+1] || ' ' ||
+                            toks[CAST(i AS INT)+2] || ' ' ||
+                            toks[CAST(i AS INT)+3] || ' ' ||
+                            toks[CAST(i AS INT)+4] || ' ' ||
+                            toks[CAST(i AS INT)+5] || ' ' ||
+                            toks[CAST(i AS INT)+6] || ' ' ||
+                            toks[CAST(i AS INT)+7])) AS gram
+              FROM t
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            m AS (
+              SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
+              FROM g JOIN bg USING(gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, COALESCE(m.n_matched, 0) AS n_matched,
+                   CAST(COALESCE(m.n_matched, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
         """,
         "quality_filter": f"""
             WITH t AS (

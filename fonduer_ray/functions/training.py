@@ -1,0 +1,347 @@
+"""Training-data preparation operators: token-window chunking, GPT-style
+sequence packing, and benchmark decontamination.
+
+These are the operators a 100 TB LLM-pretraining pipeline runs after
+cleaning/dedup (no reference analog in fonduer — they come from the
+large-scale-training-data brief):
+
+- ``chunk_documents``: split each document's token stream into fixed-size
+  overlapping windows. Pure per-document ``map_batches`` — embarrassingly
+  parallel, no shuffle.
+- ``pack_sequences``: concatenate all documents in ``doc_id`` order and cut
+  the global token stream into fixed-length sequences (the standard
+  concat-and-chunk packing used for causal-LM pretraining). Needs a global
+  prefix sum over token counts; implemented as a bucketed two-level scan so
+  the driver only ever holds one row per bucket (<= ``n_buckets``), never
+  one per document.
+- ``decontaminate``: flag documents sharing any word n-gram with a held-out
+  benchmark set. The benchmark side is by construction tiny relative to the
+  corpus; below ``broadcast_limit`` distinct grams it is shipped once via
+  ``ray.put`` and probed per batch, above it the probe runs as a
+  hash-partition ``Dataset.join`` on the gram — nothing unbounded ever
+  lands on the driver.
+
+Tokenization matches the rest of the repo: single-space word split (the
+corpus is single-space normalized; see ``textstats``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from fonduer_ray.stages.util import get_broadcast, hash_groupby
+
+#: distinct benchmark grams above which decontaminate switches from a
+#: broadcast set to a hash-partition join (same guard style as
+#: relational.attach_lookup / linking.link_triples)
+GRAM_BROADCAST_LIMIT = 2_000_000
+
+#: buckets for the packing prefix sum: the driver holds exactly one partial
+#: sum per bucket, so memory is O(n_buckets) regardless of corpus size
+PACK_BUCKETS = 1024
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset", max_tokens: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """Split each document into token windows of at most ``max_tokens``
+    starting every ``stride`` tokens (overlapping when stride < max_tokens).
+
+    Output: one row per (doc, window):
+    ``(doc_id, chunk_idx, chunk_start, n_tokens, chunk_text)``.
+    Empty documents emit no rows. Pure map — no shuffle, streams at any
+    scale."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, starts, lens, texts = [], [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                end = min(start + max_tokens, n)
+                doc_ids.append(did)
+                idxs.append(ci)
+                starts.append(start)
+                lens.append(end - start)
+                texts.append(" ".join(toks[start:end]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, text) -> (doc_id, n) token counts; narrow rows only."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        ns = [len((t or "").split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n": pa.array(ns, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    seq_len: int = 256,
+    n_buckets: int = PACK_BUCKETS,
+) -> "ray.data.Dataset":
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``doc_id`` order and the global token stream is cut into consecutive
+    sequences of ``seq_len`` tokens.
+
+    Output: the (sequence, document-slice) assignment map, one row per
+    contiguous slice of a document inside a sequence:
+    ``(seq_id, doc_id, doc_tok_start, seq_tok_start, n_toks)``. A long
+    document spans several sequences (several rows); a short sequence packs
+    several documents. The writer stage that actually emits token tensors
+    consumes this map joined back to the text — the map itself is what
+    needs the global coordination.
+
+    Scale design — distributed prefix sum in two passes:
+    1. per-doc token counts are bucketed by ``doc_id`` range into
+       ``n_buckets`` coarse buckets; per-bucket sums aggregate via
+       ``hash_groupby`` (one row per bucket).
+    2. the driver cumsums the <=``n_buckets`` bucket totals (O(n_buckets)
+       driver memory, independent of corpus size) and broadcasts the bucket
+       base offsets; a per-bucket ``map_groups`` then computes exact
+       per-document offsets with a local sorted cumsum.
+    The final window assignment is a vectorized flat map (numpy repeat) —
+    no further shuffle."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    counts = _token_counts(ds)
+
+    max_id = counts.max("doc_id")
+    if max_id is None:
+        return ray.data.from_arrow(_empty_pack_table())
+    span = int(max_id) + 1
+    n_buckets = max(1, min(n_buckets, span))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.int64) * n_buckets) // span
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    # pass 1: one row per bucket -> driver cumsum (bounded by n_buckets)
+    bucket_sums = hash_groupby(
+        bucketed.select_columns(["bucket", "n"]),
+        ["bucket"],
+        lambda df: df.groupby("bucket", sort=False)["n"].sum().reset_index(),
+    ).take_all()
+    bucket_sums.sort(key=lambda r: r["bucket"])
+    base, bases = 0, {}
+    for row in bucket_sums:
+        bases[row["bucket"]] = base
+        base += int(row["n"])
+    bases_ref = ray.put(bases)
+
+    # pass 2: exact per-doc offsets inside each bucket (local sorted cumsum)
+    def bucket_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        bases_map = get_broadcast(bases_ref)
+        g = g.sort_values("doc_id", ignore_index=True)
+        n = g["n"].to_numpy(dtype=np.int64)
+        off = np.cumsum(n) - n + bases_map[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({"doc_id": g["doc_id"], "n": n, "off": off})
+
+    offsets = bucketed.groupby("bucket").map_groups(
+        bucket_offsets, batch_format="pandas"
+    )
+
+    # final: vectorized window assignment
+    def assign(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = batch["off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        n, off, ids = n[keep], off[keep], ids[keep]
+        first = off // seq_len
+        last = (off + n - 1) // seq_len
+        reps = (last - first + 1).astype(np.int64)
+        if len(reps) == 0 or reps.sum() == 0:
+            return _empty_pack_table()
+        doc_id = np.repeat(ids, reps)
+        doc_off = np.repeat(off, reps)
+        doc_n = np.repeat(n, reps)
+        # seq_id = first_i + position-within-run
+        run_start = np.repeat(first, reps)
+        pos = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        seq_id = run_start + pos
+        s = np.maximum(doc_off, seq_id * seq_len)
+        e = np.minimum(doc_off + doc_n, (seq_id + 1) * seq_len)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_id, pa.int64()),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "doc_tok_start": pa.array(s - doc_off, pa.int64()),
+                "seq_tok_start": pa.array(s - seq_id * seq_len, pa.int64()),
+                "n_toks": pa.array(e - s, pa.int64()),
+            }
+        )
+
+    return offsets.map_batches(assign, batch_format="pyarrow")
+
+
+def _empty_pack_table() -> pa.Table:
+    return pa.table(
+        {
+            "seq_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "doc_tok_start": pa.array([], pa.int64()),
+            "seq_tok_start": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _doc_ngrams(text: str, n: int) -> set[str]:
+    toks = (text or "").split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 8,
+    broadcast_limit: int = GRAM_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Flag corpus documents that share any word ``n``-gram with a held-out
+    benchmark/eval set (test-set decontamination).
+
+    Output: one row per corpus document
+    ``(doc_id, n_matched, contaminated)`` where ``n_matched`` counts the
+    document's DISTINCT n-grams that appear anywhere in the benchmark and
+    ``contaminated`` is 0/1.
+
+    Strategy: benchmark n-grams are deduplicated distributed-side first.
+    At or below ``broadcast_limit`` distinct grams they ship once via
+    ``ray.put`` as a frozenset probed per batch (benchmarks are small —
+    this is the normal path). Above the limit, the probe becomes a
+    hash-partition ``Dataset.join`` on the gram string followed by a
+    per-doc count — the 100 TB-safe path, same switch as
+    ``relational.attach_lookup``."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for text in batch["text"].to_pylist():
+            grams |= _doc_ngrams(text, n)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bgrams = hash_groupby(
+        benchmark.map_batches(bench_grams, batch_format="pyarrow"),
+        ["gram"],
+        lambda df: df.drop_duplicates(ignore_index=True),
+    )
+
+    if bgrams.count() <= broadcast_limit:
+        bench_ref = ray.put(
+            frozenset(
+                g
+                for batch in bgrams.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for g in batch["gram"].to_pylist()
+            )
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bench_set = get_broadcast(bench_ref)
+            matched = [
+                len(_doc_ngrams(text, n) & bench_set)
+                for text in batch["text"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_matched": pa.array(matched, pa.int64()),
+                    "contaminated": pa.array(
+                        [1 if m else 0 for m in matched], pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    # join path: explode corpus docs to distinct (doc_id, gram), inner-join
+    # the benchmark grams, count matches per doc, left-attach zeros
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, grams = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for g in _doc_ngrams(text, n):
+                doc_ids.append(did)
+                grams.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    matches = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .join(bgrams, "inner", num_partitions=max(2 * cpus, 8), on=("gram",))
+    )
+    per_doc = hash_groupby(
+        matches.select_columns(["doc_id"]),
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", sort=False)
+        .size()
+        .rename("n_matched")
+        .reset_index(),
+    )
+    # left-outer attach match counts onto the full doc list (docs with zero
+    # matches must still appear) — fully distributed, nothing on the driver
+    attached = ds.select_columns(["doc_id"]).join(
+        per_doc, "left_outer", num_partitions=max(2 * cpus, 8), on=("doc_id",)
+    )
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        m = batch["n_matched"].to_pandas().fillna(0).astype(np.int64).to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_matched": pa.array(m, pa.int64()),
+                "contaminated": pa.array((m > 0).astype(np.int64)),
+            }
+        )
+
+    return attached.map_batches(fill_zero, batch_format="pyarrow")

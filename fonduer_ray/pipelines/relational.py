@@ -737,3 +737,95 @@ def events_range_join(
         return pd.concat(outs, ignore_index=True)
 
     return hash_groupby(ds.map_batches(explode, batch_format="pyarrow"), ["gran"], pairs)
+
+
+# ---------------------------------------------------------------------------
+# analytic (window) functions
+# ---------------------------------------------------------------------------
+
+
+def _events_cents(sf_dir: str) -> "ray.data.Dataset":
+    """events projected to (event_id, user_id, ts, cents) — exact integer
+    cents so running sums match the oracle bit-for-bit in any order."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pa.array(
+                    np.rint(t["value"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _per_user_window(sf_dir: str, fn) -> "ray.data.Dataset":
+    """Shared per-key window-function skeleton: ONE hash shuffle on
+    ``user_id`` co-locates each user's ordered history, then ``fn`` runs a
+    vectorized pandas window op per user group inside the partition.
+
+    Per-user history is naturally bounded (sessions, not the corpus), so a
+    whole key group fits a partition — the same partitioning argument as
+    ``events_asof_join``. No driver-side work, no global sort."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        return fn(df)
+
+    return hash_groupby(_events_cents(sf_dir), ["user_id"], agg)
+
+
+def events_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running sum of value (cents) in (ts, event_id) order —
+    ``SUM() OVER (PARTITION BY user ORDER BY ts, event_id)`` semantics.
+    Columns: ``(event_id, user_id, running_cents)``."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df["running_cents"] = df.groupby("user_id", sort=False)[
+            "cents"
+        ].cumsum()
+        return df[["event_id", "user_id", "running_cents"]]
+
+    return _per_user_window(sf_dir, run)
+
+
+def events_lag_delta(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user delta vs the previous event's value —
+    ``cents - LAG(cents) OVER (PARTITION BY user ORDER BY ts, event_id)``;
+    the first event of each user gets a 0 delta (COALESCE semantics, kept
+    non-null so the int64 schema is stable). Columns:
+    ``(event_id, user_id, delta_cents)``."""
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id", sort=False)["cents"].shift(1)
+        df["delta_cents"] = (
+            (df["cents"] - prev).fillna(0).astype("int64")
+        )
+        return df[["event_id", "user_id", "delta_cents"]]
+
+    return _per_user_window(sf_dir, lag)
+
+
+def events_value_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user dense ordering of events by value —
+    ``ROW_NUMBER() OVER (PARTITION BY user ORDER BY cents DESC, event_id)``
+    (event_id tie-break makes it deterministic). Columns:
+    ``(event_id, user_id, value_rank)``."""
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "cents", "event_id"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        df["value_rank"] = df.groupby("user_id", sort=False).cumcount() + 1
+        return df[["event_id", "user_id", "value_rank"]]
+
+    return _per_user_window(sf_dir, rank)

@@ -1,0 +1,196 @@
+"""Training-data prep operators: chunking, sequence packing, decontamination."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from fonduer_ray.functions import training
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_golden():
+    ds = _docs(["a b c d e f g", "x y", ""])
+    out = training.chunk_documents(ds, max_tokens=4, stride=3).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    # doc 0: 7 tokens -> starts 0,3,6
+    d0 = out[out.doc_id == 0]
+    assert list(d0.chunk_start) == [0, 3, 6]
+    assert list(d0.n_tokens) == [4, 4, 1]
+    assert list(d0.chunk_text) == ["a b c d", "d e f g", "g"]
+    # doc 1: 2 tokens -> one short chunk
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_text) == ["x y"]
+    # empty doc emits nothing
+    assert (out.doc_id == 2).sum() == 0
+
+
+def test_chunk_documents_covers_every_token():
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(f"t{i}_{j}" for j in range(rng.integers(0, 40)))
+        for i in range(25)
+    ]
+    ds = _docs(texts)
+    out = training.chunk_documents(ds, max_tokens=8, stride=8).to_pandas()
+    for i, text in enumerate(texts):
+        toks = text.split()
+        got = []
+        for _, r in out[out.doc_id == i].sort_values("chunk_idx").iterrows():
+            got.extend(r.chunk_text.split())
+        assert got == toks  # non-overlapping stride == exact partition
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def _brute_pack(texts, ids, seq_len):
+    rows = []
+    off = 0
+    for did in sorted(ids):
+        text = texts[ids.index(did)]
+        n = len(text.split())
+        if n:
+            for seq_id in range(off // seq_len, (off + n - 1) // seq_len + 1):
+                s = max(off, seq_id * seq_len)
+                e = min(off + n, (seq_id + 1) * seq_len)
+                rows.append(
+                    {
+                        "seq_id": seq_id,
+                        "doc_id": did,
+                        "doc_tok_start": s - off,
+                        "seq_tok_start": s - seq_id * seq_len,
+                        "n_toks": e - s,
+                    }
+                )
+        off += n
+    return pd.DataFrame(rows)
+
+
+def test_pack_sequences_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    ids = list(range(0, 120, 2))  # gappy ids
+    texts = [
+        " ".join("w" for _ in range(int(rng.integers(0, 30)))) for _ in ids
+    ]
+    ds = _docs(texts, ids)
+    got = (
+        training.pack_sequences(ds, seq_len=16, n_buckets=7)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"], ignore_index=True)
+    )
+    want = _brute_pack(texts, ids, 16).sort_values(
+        ["seq_id", "doc_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
+
+
+def test_pack_sequences_partition_invariant():
+    ids = list(range(40))
+    texts = [" ".join("w" for _ in range(i % 9)) for i in ids]
+    a = (
+        training.pack_sequences(_docs(texts, ids), seq_len=10)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"], ignore_index=True)
+    )
+    b = (
+        training.pack_sequences(
+            _docs(texts, ids).repartition(13), seq_len=10, n_buckets=3
+        )
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_slices_are_gapless():
+    ids = list(range(30))
+    texts = [" ".join("w" for _ in range((i * 7) % 23)) for i in ids]
+    out = training.pack_sequences(_docs(texts, ids), seq_len=12).to_pandas()
+    total = sum(len(t.split()) for t in texts)
+    assert out.n_toks.sum() == total
+    # every sequence except the last is exactly full
+    per_seq = out.groupby("seq_id").n_toks.sum()
+    assert (per_seq.iloc[:-1] == 12).all()
+    assert per_seq.index.max() == (total - 1) // 12
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def _brute_decon(texts, bench_texts, n):
+    bench = set()
+    for t in bench_texts:
+        bench |= training._doc_ngrams(t, n)
+    return {
+        i: len(training._doc_ngrams(t, n) & bench)
+        for i, t in enumerate(texts)
+    }
+
+
+def test_decontaminate_bruteforce_and_join_path_equal():
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+        for _ in range(40)
+    ]
+    bench_texts = texts[::13]  # overlapping subset -> guaranteed hits
+    docs = _docs(texts)
+    bench = _docs(bench_texts, ids=list(range(len(bench_texts))))
+
+    want = _brute_decon(texts, bench_texts, 3)
+
+    broadcast = (
+        training.decontaminate(docs, bench, n=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    joined = (
+        training.decontaminate(docs, bench, n=3, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(broadcast) == len(texts)
+    for _, r in broadcast.iterrows():
+        assert r.n_matched == want[r.doc_id]
+        assert r.contaminated == (1 if want[r.doc_id] else 0)
+    pd.testing.assert_frame_equal(
+        broadcast.astype("int64"), joined.astype("int64")
+    )
+
+
+def test_decontaminate_clean_corpus_all_zero():
+    docs = _docs(["a b c d e", "f g h i j"])
+    bench = _docs(["z z z z z"])
+    out = training.decontaminate(docs, bench, n=3).to_pandas()
+    assert (out.n_matched == 0).all()
+    assert (out.contaminated == 0).all()
+
+
+def test_chunk_documents_rejects_bad_stride():
+    with pytest.raises(ValueError):
+        training.chunk_documents(_docs(["a"]), stride=0)
