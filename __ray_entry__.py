@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fonduer_ray.functions import (
         dedup,
         graph,
+        search,
         similarity,
         sketches,
         textstats,
@@ -500,6 +501,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bench = _docs(sf_dir).map_batches(bench_filter, batch_format="pyarrow")
         return training.decontaminate(docs, bench, n=8)
 
+    def search_topk_q(sf_dir: str) -> pa.Table:
+        """Integer rarity-weighted TF retrieval (same term list as the
+        oracle SQL — keep in sync)."""
+        return search.search_topk(
+            _docs(sf_dir), ["spark", "stream", "merge", "window"], k=20
+        )
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -563,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tfidf": lambda sf: textstats.doc_top_tfidf(_docs(sf)),
         "doc_fingerprint_md5": doc_md5,
         "doc_fingerprint_rolling": doc_rolling_fp,
+        # text retrieval
+        "search_topk": search_topk_q,
         # training-data prep (chunking, sequence packing, decontamination)
         "doc_chunks": doc_chunks_q,
         "pack_sequences": pack_sequences_q,
@@ -1122,6 +1132,32 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN cov ON t.doc_id = cov.doc_id
             LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+        """,
+        # --- text retrieval ------------------------------------------------
+        "search_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, w, count(*) AS tf FROM toks
+              WHERE w IN ('spark','stream','merge','window')
+              GROUP BY doc_id, w
+            ),
+            df AS (
+              SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              WHERE w IN ('spark','stream','merge','window')
+              GROUP BY w
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            wt AS (SELECT w, greatest(1, n_docs // df) AS wgt FROM df CROSS JOIN n),
+            sc AS (
+              SELECT doc_id, CAST(SUM(tf * wgt) AS BIGINT) AS score
+              FROM tf JOIN wt USING(w) GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                     AS rank,
+                   doc_id, score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
         """,
         # --- training-data prep (chunk / pack / decontaminate) ------------
         # token model everywhere: single-space word split, same as the
