@@ -331,6 +331,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from fonduer_ray.functions import (
+        bpe,
         dedup,
         graph,
         search,
@@ -573,6 +574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_rolling": doc_rolling_fp,
         # text retrieval
         "search_topk": search_topk_q,
+        # BPE tokenizer training statistics (first-merge pair counts; the
+        # iterative bpe_train loop is covered by tests/test_bpe.py)
+        "bpe_pair_counts": lambda sf: bpe.bpe_pair_counts(_docs(sf)),
         # training-data prep (chunking, sequence packing, decontamination)
         "doc_chunks": doc_chunks_q,
         "pack_sequences": pack_sequences_q,
@@ -1158,6 +1162,26 @@ def oracle_sql() -> dict[str, str]:
                      AS rank,
                    doc_id, score
             FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # BPE initial pair counts: chars of each distinct word + '</w>'
+        # sentinel, weighted by word frequency (mirrors bpe._initial_syms)
+        "bpe_pair_counts": """
+            WITH w AS (
+              SELECT unnest(string_split(text,' ')) AS word FROM documents
+            ),
+            wc AS (
+              SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word
+            ),
+            p AS (
+              SELECT substring(word, CAST(i AS INT), 1) AS left,
+                     CASE WHEN i < length(word)
+                          THEN substring(word, CAST(i AS INT)+1, 1)
+                          ELSE '</w>' END AS right,
+                     n
+              FROM wc, UNNEST(range(1, length(word)+1)) AS t(i)
+            )
+            SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS n
+            FROM p GROUP BY "left", "right"
         """,
         # --- training-data prep (chunk / pack / decontaminate) ------------
         # token model everywhere: single-space word split, same as the
