@@ -488,6 +488,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pack_sequences_q(sf_dir: str):
         return training.pack_sequences(_docs(sf_dir), seq_len=256)
 
+    def mixture_sample_q(sf_dir: str):
+        """Language-weighted data mixing over (lang, doc_id): quotas =
+        total * pct // 100, bottom-quota by md5(doc_id) per lang (same
+        weights hardcoded in the oracle SQL — keep in sync)."""
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return training.mixture_sample(
+            docs,
+            "lang",
+            "doc_id",
+            {"en": 50, "de": 20, "es": 10, "fr": 10, "zh": 10},
+            total=200,
+        )
+
     def decontaminate_q(sf_dir: str):
         """Benchmark set = every 97th document (deterministic stand-in for a
         held-out eval set); flags any corpus doc sharing an 8-gram with it."""
@@ -581,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks_q,
         "pack_sequences": pack_sequences_q,
         "decontaminate": decontaminate_q,
+        "mixture_sample": mixture_sample_q,
         # web-text cleaning (Gopher/C4 rule families + PII)
         "quality_filter": lambda sf: webclean.quality_filter(_docs(sf)),
         "repetition_stats": lambda sf: webclean.repetition_stats(_docs(sf)),
@@ -1261,6 +1277,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(m.n_matched, 0) AS n_matched,
                    CAST(COALESCE(m.n_matched, 0) > 0 AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        """,
+        "mixture_sample": """
+            WITH q AS (
+              SELECT * FROM (VALUES
+                ('en', 100), ('de', 40), ('es', 20), ('fr', 20), ('zh', 20)
+              ) t(lang, quota)
+            ),
+            h AS (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rank
+              FROM h
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM r JOIN q USING(lang) WHERE rank <= quota
         """,
         "quality_filter": f"""
             WITH t AS (

@@ -345,3 +345,65 @@ def decontaminate(
         )
 
     return attached.map_batches(fill_zero, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# data mixing
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    weights_pct: dict[str, int],
+    total: int,
+) -> "ray.data.Dataset":
+    """Deterministic weighted data mixing: draw a sample whose group
+    proportions follow ``weights_pct`` (integer percents; quota per group =
+    ``total * pct // 100``) — the source/language-mixing step of a
+    pretraining pipeline.
+
+    Per group, the quota rows with the smallest md5-low-64 of ``key_col``
+    win: a uniform within-group sample that is mergeable (per-block
+    bottom-quota partials, then one group-keyed merge — same trick as
+    ``sketches.sample_per_group`` but with a per-group quota) and exactly
+    reproducible in SQL (``row_number() OVER (PARTITION BY g ORDER BY
+    hv) <= quota``). Groups absent from ``weights_pct`` are excluded;
+    groups with fewer rows than their quota return all their rows.
+    Output: ``(group_col, rank [1-based within group], key_col)``."""
+    from fonduer_ray.functions.dedup import _md5_64
+
+    quotas = {g: (total * pct) // 100 for g, pct in weights_pct.items()}
+    q_ref = ray.put(quotas)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = get_broadcast(q_ref)
+        df = t.select([group_col, key_col]).to_pandas()
+        df = df[df[group_col].isin(q)]
+        hv = np.fromiter(
+            (_md5_64(str(k)) for k in df[key_col]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        df["_hv"] = hv
+        df = df.sort_values("_hv", kind="stable")
+        kept = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(q[g.name])
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        q = get_broadcast(q_ref)
+        df = df.sort_values("_hv", kind="stable")
+        out = df.groupby(group_col, sort=False, group_keys=False).apply(
+            lambda g: g.head(q[g.name])
+        )
+        out = out.copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out.drop(columns=["_hv"])[[group_col, "rank", key_col]]
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), [group_col], merge
+    )

@@ -194,3 +194,73 @@ def test_decontaminate_clean_corpus_all_zero():
 def test_chunk_documents_rejects_bad_stride():
     with pytest.raises(ValueError):
         training.chunk_documents(_docs(["a"]), stride=0)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _brute_mix(groups, keys, weights_pct, total):
+    from fonduer_ray.functions.dedup import _md5_64
+
+    quotas = {g: (total * p) // 100 for g, p in weights_pct.items()}
+    rows = sorted(
+        ((g, k) for g, k in zip(groups, keys) if g in quotas),
+        key=lambda r: _md5_64(str(r[1])),
+    )
+    out, taken = [], {}
+    for g, k in rows:
+        t = taken.get(g, 0)
+        if t < quotas[g]:
+            taken[g] = t + 1
+            out.append((g, t + 1, k))
+    return sorted(out)
+
+
+def test_mixture_sample_matches_bruteforce():
+    rng = np.random.default_rng(23)
+    groups = list(rng.choice(["en", "de", "es", "zh"], size=120))
+    keys = list(range(120))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(groups),
+                "doc_id": pa.array(keys, pa.int64()),
+            }
+        )
+    )
+    w = {"en": 50, "de": 30, "zh": 20}  # 'es' excluded
+    got = (
+        training.mixture_sample(ds, "lang", "doc_id", w, total=40)
+        .to_pandas()
+        .sort_values(["lang", "rank"], ignore_index=True)
+    )
+    want = _brute_mix(groups, keys, w, 40)
+    assert [tuple(r) for r in got[["lang", "rank", "doc_id"]].to_numpy()] == want
+    assert "es" not in set(got.lang)
+    # quota respected
+    per = got.groupby("lang").size()
+    assert per.get("en", 0) <= 20 and per.get("de", 0) <= 12
+
+
+def test_mixture_sample_partition_invariant():
+    groups = [("en" if i % 3 else "de") for i in range(60)]
+    keys = list(range(60))
+    t = pa.table(
+        {"lang": pa.array(groups), "doc_id": pa.array(keys, pa.int64())}
+    )
+    w = {"en": 60, "de": 40}
+    a = (
+        training.mixture_sample(ray.data.from_arrow(t), "lang", "doc_id", w, 30)
+        .to_pandas()
+        .sort_values(["lang", "rank"], ignore_index=True)
+    )
+    b = (
+        training.mixture_sample(
+            ray.data.from_arrow(t).repartition(9), "lang", "doc_id", w, 30
+        )
+        .to_pandas()
+        .sort_values(["lang", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
