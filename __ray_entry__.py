@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": relational.events_lag_delta,
         "events_value_rank": relational.events_value_rank,
         "events_asof_join": relational.events_asof_join,
+        "events_pivot": relational.events_pivot,
+        "orders_rollup": relational.orders_rollup,
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
@@ -939,6 +941,23 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
                    ) AS value_rank
             FROM events
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
         "events_hopping_window": """
             WITH w AS (

@@ -829,3 +829,92 @@ def events_value_rank(sf_dir: str) -> "ray.data.Dataset":
         return df[["event_id", "user_id", "value_rank"]]
 
     return _per_user_window(sf_dir, rank)
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup
+# ---------------------------------------------------------------------------
+
+#: fixed pivot column set — event_type is a closed enum in this corpus;
+#: the oracle SQL hardcodes the same list (keep in sync)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot events to one row per user with a count column per event type
+    (+ total). Per-block partial (user, type) counts shrink the shuffle to
+    distinct pairs per block; one user-keyed ``hash_groupby`` merges and
+    widens — the pivot width is the enum size, so rows stay narrow at any
+    scale. Columns: ``(user_id, n_click, n_error, n_purchase, n_signup,
+    n_view, n_total)``."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .unstack("event_type", fill_value=0)
+        )
+        for et in EVENT_TYPES:
+            if et not in w.columns:
+                w[et] = 0
+        w = w[list(EVENT_TYPES)].astype("int64")
+        w.columns = [f"n_{c}" for c in w.columns]
+        w["n_total"] = w.sum(axis=1)
+        return w.reset_index()
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], widen
+    )
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(o_orderpriority, o_orderstatus)`` counts with
+    'ALL' sentinels for the rolled-up levels (no NULL keys — stable
+    hashing). Leaf counts aggregate distributed; the rollup expansion is a
+    flat map over the already-aggregated leaves (tiny) plus one more
+    leaf-sized groupby — the raw table is scanned exactly once."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    leaves = hash_groupby(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        lambda df: df.groupby(
+            ["o_orderpriority", "o_orderstatus"], sort=False
+        )
+        .size()
+        .rename("n_orders")
+        .reset_index(),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lvl1 = df.assign(o_orderstatus="ALL")
+        lvl0 = df.assign(o_orderpriority="ALL", o_orderstatus="ALL")
+        return pa.Table.from_pandas(
+            pd.concat([df, lvl1, lvl0], ignore_index=True),
+            preserve_index=False,
+        )
+
+    return hash_groupby(
+        leaves.map_batches(expand, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        lambda df: df.groupby(
+            ["o_orderpriority", "o_orderstatus"], sort=False
+        )["n_orders"]
+        .sum()
+        .reset_index(),
+    )
