@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kmv_q(sf_dir: str):
         return sketches.kmv_sketch(_docs(sf_dir))
 
+    def hll_per_group_q(sf_dir: str):
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return sketches.hll_per_group(ev, "event_type", "user_id")
+
     def sampled_quantiles_q(sf_dir: str):
         ev = ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "value"]
@@ -621,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dups_lsh,
         # mergeable sketches (HLL / count-min / KMV over 3-shingles)
         "hll_registers": hll_q,
+        "hll_users_per_type": hll_per_group_q,
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
         "value_quantiles_sampled": sampled_quantiles_q,
@@ -1687,6 +1694,24 @@ def oracle_sql() -> dict[str, str]:
                        ELSE CAST(53 - length(ltrim(bin(w52),'0')) AS BIGINT)
                        END) AS max_rho
             FROM b GROUP BY bucket
+        """,
+        "hll_users_per_type": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x'||substring(
+                       md5(CAST(user_id AS VARCHAR)),1,16)) AS UBIGINT) AS hv
+              FROM events
+            ),
+            b AS (
+              SELECT event_type, CAST(hv >> 52 AS BIGINT) AS bucket,
+                     hv % 4503599627370496 AS w52
+              FROM h
+            )
+            SELECT event_type, bucket,
+                   max(CASE WHEN w52 = 0 THEN 53
+                       ELSE CAST(53 - length(ltrim(bin(w52),'0')) AS BIGINT)
+                       END) AS max_rho
+            FROM b GROUP BY event_type, bucket
         """,
         "cms_counters": """
             WITH t AS (SELECT string_split(text,' ') AS a FROM documents),

@@ -346,3 +346,62 @@ def kmv_estimate(rows, k: int = 256) -> float:
     if len(hashes) < k:
         return float(len(hashes))
     return (k - 1) * float(1 << 63) / float(hashes[k - 1])
+
+
+def hll_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    p: int = 12,
+) -> "ray.data.Dataset":
+    """Grouped HLL: one register table PER GROUP (e.g. distinct users per
+    event type) — the mergeable approximate COUNT(DISTINCT x) GROUP BY g.
+    Returns (group_col, bucket:int64, max_rho:int64), hit buckets only.
+
+    Same shape as :func:`hll_registers` with the group column joined into
+    the partial/merge keys: per-block output is ≤ m rows per (block,
+    group); the merge groupby is keyed on (group, bucket) — sketch width ×
+    group count, never the key cardinality. ``hll_estimate`` applies
+    unchanged to one group's rows."""
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, key_col]).to_pandas()
+        df = df.drop_duplicates()
+        if not len(df):
+            return pa.table(
+                {
+                    group_col: pa.array([], batch[group_col].type),
+                    "bucket": pa.array([], pa.int64()),
+                    "max_rho": pa.array([], pa.int64()),
+                }
+            )
+        h = _token_hashes([str(k) for k in df[key_col]])
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & mask
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = (wbits + 1 - exp).astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {group_col: df[group_col].to_numpy(), "bucket": bucket,
+                 "max_rho": rho}
+            )
+            .groupby([group_col, "bucket"], sort=False)["max_rho"]
+            .max()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([group_col, "bucket"], sort=False)["max_rho"]
+            .max()
+            .reset_index()
+        )
+
+    return hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "bucket"],
+        merge,
+    )

@@ -214,3 +214,35 @@ def test_kmv_small_corpus_exact(ray_session):
     # 3 distinct shingles < k: estimate is the exact count
     assert len(rows) == 3
     assert kmv_estimate(rows) == 3.0
+
+
+def test_hll_per_group_matches_per_group_exact_registers(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from fonduer_ray.functions.dedup import _md5_64
+    from fonduer_ray.functions.sketches import hll_estimate, hll_per_group
+
+    groups = [f"g{i % 3}" for i in range(300)]
+    keys = [i * 7 % 211 for i in range(300)]  # repeated keys within groups
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(groups), "k": pa.array(keys, pa.int64())})
+    )
+    out = hll_per_group(ds, "g", "k", p=12).take_all()
+
+    # brute-force registers per group
+    want: dict = {}
+    for g, k in zip(groups, keys):
+        h = _md5_64(str(k))
+        bucket, w = h >> 52, h & ((1 << 52) - 1)
+        rho = 53 - w.bit_length() if w else 53
+        key = (g, bucket)
+        want[key] = max(want.get(key, 0), rho)
+    got = {(r["g"], r["bucket"]): r["max_rho"] for r in out}
+    assert got == want
+
+    # estimator sanity: within 10% of the true per-group distinct count
+    for g in set(groups):
+        regs = [r for r in out if r["g"] == g]
+        true = len({k for gg, k in zip(groups, keys) if gg == g})
+        assert abs(hll_estimate(regs) - true) / true < 0.1
