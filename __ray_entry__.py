@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
+        "customers_with_orders_semi": relational.customers_with_orders_semi,
         "order_priority_counts": relational.order_priority_counts,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
@@ -1047,6 +1048,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
                 AND o_orderdate < TIMESTAMP '1996-01-01'
             )
+        """,
+        "customers_with_orders_semi": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_customers FROM customer
+            WHERE EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+            )
+            GROUP BY c_nationkey
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders FROM orders

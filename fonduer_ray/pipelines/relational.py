@@ -918,3 +918,36 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
         .sum()
         .reset_index(),
     )
+
+
+def customers_with_orders_semi(sf_dir: str) -> "ray.data.Dataset":
+    """SEMI-join via the native hash-partition ``Dataset.join``
+    (``left_semi``): customers that placed at least one 1995 order,
+    counted per nation key. Complements ``customers_without_orders``
+    (broadcast NOT-IN anti-join) with the fully-shuffled path — both sides
+    hash-partition, so nothing driver-sized materializes at any scale.
+    Columns: ``(c_nationkey, n_customers)``."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def keys_1995(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(ts, pa.scalar(np.datetime64("1995-01-01", "us"))),
+            pc.less(ts, pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return pa.table({"o_custkey": pc.unique(t.filter(mask)["o_custkey"])})
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    hit = customer.join(
+        orders.map_batches(keys_1995, batch_format="pyarrow"),
+        "left_semi",
+        num_partitions=max(2 * cpus, 8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return (
+        hit.select_columns(["c_nationkey"])
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"))
+    )
