@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "events_pivot": relational.events_pivot,
         "orders_rollup": relational.orders_rollup,
+        "signup_purchase_funnel": relational.signup_purchase_funnel,
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
@@ -949,6 +950,24 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
                    ) AS value_rank
             FROM events
+        """,
+        "signup_purchase_funnel": """
+            WITH first_su AS (
+              SELECT user_id, min(ts) AS first_signup
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            conv AS (
+              SELECT f.user_id,
+                     CAST(EXISTS (
+                       SELECT 1 FROM events p
+                       WHERE p.user_id = f.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts >= f.first_signup
+                         AND p.ts <= f.first_signup + INTERVAL 7 DAY
+                     ) AS BIGINT) AS converted
+              FROM first_su f
+            )
+            SELECT converted, count(*) AS n_users FROM conv GROUP BY converted
         """,
         "events_pivot": """
             SELECT user_id,

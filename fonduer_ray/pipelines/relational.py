@@ -951,3 +951,50 @@ def customers_with_orders_semi(sf_dir: str) -> "ray.data.Dataset":
         .groupby("c_nationkey")
         .aggregate(Count(alias_name="n_customers"))
     )
+
+
+def signup_purchase_funnel(
+    sf_dir: str, within_days: int = 7
+) -> "ray.data.Dataset":
+    """Conversion funnel: for each user with at least one signup, did a
+    purchase follow the FIRST signup within ``within_days``? One
+    ``user_id`` hash shuffle, vectorized min/any per user inside the
+    partition. Columns: ``(converted 0/1, n_users)`` — two rows max."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["signup", "purchase"]))
+        return t.filter(m)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    horizon = np.timedelta64(within_days, "D")
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        su = df[df["event_type"] == "signup"].groupby("user_id", sort=False)[
+            "ts"
+        ].min()
+        if su.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "converted": pd.Series([], dtype="int64")}
+            )
+        pu = df[df["event_type"] == "purchase"][["user_id", "ts"]]
+        first = su.rename("first_signup").reset_index()
+        j = pu.merge(first, on="user_id")
+        hit = j[
+            (j["ts"] >= j["first_signup"])
+            & (j["ts"] <= j["first_signup"] + horizon)
+        ]["user_id"].unique()
+        out = first[["user_id"]].copy()
+        out["converted"] = out["user_id"].isin(set(hit)).astype("int64")
+        return out
+
+    per_user = hash_groupby(
+        ds.map_batches(keep, batch_format="pyarrow"), ["user_id"], funnel
+    )
+    return (
+        per_user.select_columns(["converted"])
+        .groupby("converted")
+        .aggregate(Count(alias_name="n_users"))
+    )
