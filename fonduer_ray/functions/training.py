@@ -263,11 +263,14 @@ def decontaminate(
             grams |= _doc_ngrams(text, n)
         return pa.table({"gram": pa.array(sorted(grams), pa.string())})
 
+    # materialize the distinct grams ONCE: the size guard needs a count and
+    # both paths then consume the same rows — without this, count() +
+    # consumption would execute the dedup twice
     bgrams = hash_groupby(
         benchmark.map_batches(bench_grams, batch_format="pyarrow"),
         ["gram"],
         lambda df: df.drop_duplicates(ignore_index=True),
-    )
+    ).materialize()
 
     if bgrams.count() <= broadcast_limit:
         bench_ref = ray.put(
@@ -315,10 +318,12 @@ def decontaminate(
             }
         )
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    from fonduer_ray.stages.util import join_partitions
+
+    n_parts = join_partitions()
     matches = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .join(bgrams, "inner", num_partitions=max(2 * cpus, 8), on=("gram",))
+        .join(bgrams, "inner", num_partitions=n_parts, on=("gram",))
     )
     per_doc = hash_groupby(
         matches.select_columns(["doc_id"]),
@@ -331,7 +336,7 @@ def decontaminate(
     # left-outer attach match counts onto the full doc list (docs with zero
     # matches must still appear) — fully distributed, nothing on the driver
     attached = ds.select_columns(["doc_id"]).join(
-        per_doc, "left_outer", num_partitions=max(2 * cpus, 8), on=("doc_id",)
+        per_doc, "left_outer", num_partitions=n_parts, on=("doc_id",)
     )
 
     def fill_zero(batch: pa.Table) -> pa.Table:

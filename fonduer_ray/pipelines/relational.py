@@ -138,15 +138,18 @@ def attach_lookup(
     """Inner lookup join: attach ``lookup[val]`` to every row of ``ds``
     matching ``ds[key] == lookup[lookup_key]`` (non-matching rows drop).
 
-    Size-guarded strategy: the lookup side is counted first (cheap metadata
-    pass for Parquet). At or below ``broadcast_limit`` it is shipped ONCE
-    via ``ray.put`` and applied as a vectorized dict lookup inside
-    ``map_batches`` — no shuffle of the big side. Above the limit both
-    sides hash-partition through ``Dataset.join`` so nothing driver-sized
-    ever materializes."""
+    Size-guarded strategy: the lookup side is counted first — BEFORE the
+    column projection, so a plain ``read_parquet`` lookup counts from
+    Parquet metadata without executing (projection would add a Project op
+    and force a full scan just to count, doubling the lookup's execution).
+    At or below ``broadcast_limit`` it is shipped ONCE via ``ray.put`` and
+    applied as a vectorized dict lookup inside ``map_batches`` — no
+    shuffle of the big side. Above the limit both sides hash-partition
+    through ``Dataset.join`` so nothing driver-sized ever materializes."""
+    n_lookup = lookup.count()
     lookup = lookup.select_columns([lookup_key, val])
 
-    if lookup.count() <= broadcast_limit:
+    if n_lookup <= broadcast_limit:
         schema = lookup.schema()
         val_type = dict(zip(schema.names, schema.types))[val]
         lkp_ref = ray.put(
@@ -168,11 +171,12 @@ def attach_lookup(
 
         return ds.map_batches(attach, batch_format="pyarrow")
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    from fonduer_ray.stages.util import join_partitions
+
     joined = ds.join(
         lookup,
         "inner",
-        num_partitions=max(2 * cpus, 8),
+        num_partitions=join_partitions(),
         on=(key,),
         right_on=(lookup_key,),
     )
@@ -938,11 +942,12 @@ def customers_with_orders_semi(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.table({"o_custkey": pc.unique(t.filter(mask)["o_custkey"])})
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    from fonduer_ray.stages.util import join_partitions
+
     hit = customer.join(
         orders.map_batches(keys_1995, batch_format="pyarrow"),
         "left_semi",
-        num_partitions=max(2 * cpus, 8),
+        num_partitions=join_partitions(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )

@@ -277,7 +277,9 @@ def _apply_canonical(
 
     # shuffle-join path: hash-partition the triples and the canonical table
     # on the norm key, once per side (subj, then obj)
-    n_parts = max(2 * cpus, 8)
+    from fonduer_ray.stages.util import join_partitions
+
+    n_parts = join_partitions()
 
     def _renamer(names: list[str]):
         def rename(t: pa.Table) -> pa.Table:

@@ -137,3 +137,20 @@ def default_concurrency(cap: int | None = None) -> tuple[int, int]:
     if cap is not None:
         cpus = min(cpus, cap)
     return (1, max(cpus, 1))
+
+
+def join_partitions(cap: int | None = None) -> int:
+    """Partition count for ``Dataset.join``'s hash-shuffle aggregators.
+
+    Unlike map tasks, each join partition is a long-lived aggregator ACTOR
+    whose cold-start (~0.5s) is paid before any row flows; at 32 CPUs,
+    ``2*cpus`` partitions cost ~25s of ramp-up before a join of any size
+    (measured in train_stage: 25s -> 2.4s at 8 partitions on the same
+    input). ``cpus // 4`` keeps the shuffle wide enough to scale on real
+    clusters (pass an explicit count for 100 TB runs) while amortizing
+    actor spin-up on a single node."""
+    cpus = 4
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    n = max(cpus // 4, 4)
+    return min(n, cap) if cap else n
