@@ -347,12 +347,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data
 
     def _docs(sf_dir: str) -> "ray.data.Dataset":
-        return ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        return docops.read_docs(sf_dir, ["doc_id", "text"])
 
     def _emb(sf_dir: str) -> "ray.data.Dataset":
-        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        from fonduer_ray.stages.util import read_blocks_for
+
+        path = f"{sf_dir}/embeddings.parquet"
+        n = read_blocks_for(path, rows_per_block=4096)
+        if n:
+            return ray.data.read_parquet(path, override_num_blocks=n)
+        return ray.data.read_parquet(path)
 
     # -- similarity wrappers ------------------------------------------------
     def knn_cosine(sf_dir: str) -> pa.Table:

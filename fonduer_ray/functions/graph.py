@@ -60,7 +60,16 @@ PR_SCALE = 10**12
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Row-count-aware read (see relational._read: avoids Ray's default
+    2x-CPU block split on small tables, which costs one task dispatch per
+    block in every downstream operator)."""
+    from fonduer_ray.stages.util import read_blocks_for
+
+    path = f"{sf_dir}/{table}.parquet"
+    n = read_blocks_for(path)
+    if n:
+        return ray.data.read_parquet(path, columns=columns, override_num_blocks=n)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def _distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":

@@ -29,11 +29,27 @@ OBJ_DICT = ("window", "batch", "stream", "join")
 WINDOW = 3
 PRED = "cooccurs"
 
+#: docs are CPU-heavy per row (parse/mention/LF), so blocks stay small —
+#: 128 rows each — but not Ray's default 2x-CPU split of even a 500-row
+#: file (one task dispatch per block in every downstream op)
+_DOC_ROWS_PER_BLOCK = 128
+
+
+def read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    """Row-count-aware documents read (see relational._read)."""
+    from fonduer_ray.stages.util import read_blocks_for
+
+    path = f"{sf_dir}/documents.parquet"
+    n = read_blocks_for(path, rows_per_block=_DOC_ROWS_PER_BLOCK)
+    if n:
+        return ray.data.read_parquet(path, columns=columns, override_num_blocks=n)
+    return ray.data.read_parquet(path, columns=columns)
+
 
 def htmlize(sf_dir: str) -> "ray.data.Dataset":
     """documents(doc_id, text) -> (url, html, lang) pages, PARA_TOKENS tokens
     per ``<p>``."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls, htmls = [], []
@@ -449,7 +465,7 @@ def htmlize_cased(sf_dir: str) -> "ray.data.Dataset":
     1-based doc position satisfies ``i % 5 == 2`` — a closed-form corpus for
     exercising the heuristic NER tagger + NER-preset matchers (the engine's
     PERSON rule fires on capitalized non-sentence-initial alpha tokens)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls, htmls = [], []
@@ -520,7 +536,7 @@ def hocrize(sf_dir: str) -> "ray.data.Dataset":
     [10k + 60m, 10k + 60m + 50]; single page (ppageno 0 -> page 1)."""
     from fonduer_ray.sources.preprocessors import hocr_to_html
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls, htmls = [], []
@@ -606,7 +622,7 @@ def htmlize_boiler(sf_dir: str) -> "ray.data.Dataset":
     """Pages with deterministic boilerplate around the content: a <nav>
     with one menu token per paragraph, a <footer> with three tokens —
     the fixture for the boilerplate-removal operator."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls, htmls = [], []
@@ -854,7 +870,7 @@ def jpeg_decode_stats(sf_dir: str) -> "ray.data.Dataset":
     form against the doc_id-derived fixture parameters."""
     from fonduer_ray.stages.util import map_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_docs(sf_dir, ["doc_id"])
     return map_stage(ds, _JpegStatsStage, {}, 64)
 
 
@@ -921,5 +937,5 @@ def video_frame_stats(sf_dir: str) -> "ray.data.Dataset":
     oracle-checked in closed form against the doc_id-derived fixtures."""
     from fonduer_ray.stages.util import map_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_docs(sf_dir, ["doc_id"])
     return map_stage(ds, _VideoStatsStage, {}, 32)

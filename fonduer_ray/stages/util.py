@@ -154,3 +154,24 @@ def join_partitions(cap: int | None = None) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     n = max(cpus // 4, 4)
     return min(n, cap) if cap else n
+
+
+def read_blocks_for(
+    path: str, rows_per_block: int = 32_768, cap_factor: int = 4
+) -> int:
+    """Block count for a parquet read sized from its metadata row count:
+    ``ceil(rows / rows_per_block)`` clamped to [1, cap_factor * cpus].
+    Keeps tiny dimension tables in one block (Ray's default splits every
+    file into ~2x-CPU blocks, making downstream ops pay one task dispatch
+    per block) while big tables still fan out to the full CPU count."""
+    import pyarrow.parquet as pq
+
+    try:
+        rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0  # fall back to Ray's default sizing
+    cpus = 4
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min((rows + rows_per_block - 1) // rows_per_block,
+                      cap_factor * cpus))
