@@ -498,6 +498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pack_sequences_q(sf_dir: str):
         return training.pack_sequences(_docs(sf_dir), seq_len=256)
 
+    def packed_text_q(sf_dir: str):
+        return training.packed_sequence_text(_docs(sf_dir), seq_len=256)
+
     def mixture_sample_q(sf_dir: str):
         """Language-weighted data mixing over (lang, doc_id): quotas =
         total * pct // 100, bottom-quota by md5(doc_id) per lang (same
@@ -609,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data prep (chunking, sequence packing, decontamination)
         "doc_chunks": doc_chunks_q,
         "pack_sequences": pack_sequences_q,
+        "packed_sequence_text": packed_text_q,
         "decontaminate": decontaminate_q,
         "mixture_sample": mixture_sample_q,
         # web-text cleaning (Gopher/C4 rule families + PII)
@@ -1312,6 +1316,48 @@ def oracle_sql() -> dict[str, str]:
                    least(off+n, (seq_id+1)*256) - greatest(off, seq_id*256)
                      AS n_toks
             FROM s
+        """,
+        "packed_sequence_text": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks,
+                     len(string_split(text,' ')) AS n0
+              FROM documents
+            ),
+            t2 AS (
+              SELECT doc_id, toks,
+                     CASE WHEN n0 = 1 AND toks[1] = '' THEN 0 ELSE n0 END AS n
+              FROM t
+            ),
+            o AS (
+              SELECT doc_id, toks, n,
+                     CAST(COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS off
+              FROM t2
+            ),
+            s AS (
+              SELECT doc_id, toks, n, off,
+                     unnest(range(CAST(off//256 AS BIGINT),
+                                  CAST((off+n-1)//256 + 1 AS BIGINT))) AS seq_id
+              FROM o WHERE n > 0
+            ),
+            p AS (
+              SELECT seq_id,
+                     greatest(off, seq_id*256) - off AS dstart,
+                     greatest(off, seq_id*256) - seq_id*256 AS sstart,
+                     least(off+n, (seq_id+1)*256) - greatest(off, seq_id*256)
+                       AS k,
+                     toks
+              FROM s
+            )
+            SELECT seq_id, count(*) AS n_docs, CAST(SUM(k) AS BIGINT) AS n_toks,
+                   string_agg(
+                     array_to_string(
+                       toks[CAST(dstart+1 AS BIGINT):CAST(dstart+k AS BIGINT)],
+                       ' '),
+                     ' ' ORDER BY sstart) AS text
+            FROM p GROUP BY seq_id
         """,
         "decontaminate": """
             WITH t AS (

@@ -412,3 +412,70 @@ def mixture_sample(
     return hash_groupby(
         ds.map_batches(partial, batch_format="pyarrow"), [group_col], merge
     )
+
+
+def packed_sequence_text(
+    ds: "ray.data.Dataset",
+    seq_len: int = 256,
+    n_buckets: int = PACK_BUCKETS,
+) -> "ray.data.Dataset":
+    """Materialize the packed sequences: join the ``pack_sequences``
+    assignment map back to the document text and assemble each sequence's
+    token stream in order. Output: ``(seq_id, n_docs, n_toks, text)`` —
+    every row except the final sequence carries exactly ``seq_len``
+    tokens.
+
+    Scale design: the map joins to the (doc_id, text) table with a
+    hash-partition ``Dataset.join`` (both sides shuffle on doc_id; a doc's
+    slices are contiguous so the join fans out at most
+    ceil(doc_len/seq_len)+1 rows per doc), each joined row slices its
+    token range vectorized, and one ``hash_groupby`` on ``seq_id``
+    concatenates slices ordered by ``seq_tok_start``. Nothing driver-side
+    beyond the packing prefix sum's bucket partials."""
+    from fonduer_ray.stages.util import join_partitions
+
+    mapping = pack_sequences(ds, seq_len=seq_len, n_buckets=n_buckets)
+    joined = mapping.join(
+        ds,
+        "inner",
+        num_partitions=join_partitions(),
+        on=("doc_id",),
+    )
+
+    def slice_rows(batch: pa.Table) -> pa.Table:
+        texts = []
+        for text, s, k in zip(
+            batch["text"].to_pylist(),
+            batch["doc_tok_start"].to_pylist(),
+            batch["n_toks"].to_pylist(),
+        ):
+            toks = (text or "").split()
+            texts.append(" ".join(toks[s : s + k]))
+        return pa.table(
+            {
+                "seq_id": batch["seq_id"],
+                "seq_tok_start": batch["seq_tok_start"],
+                "n_toks": batch["n_toks"],
+                "part": pa.array(texts, pa.string()),
+            }
+        )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seq_id, g in df.groupby("seq_id", sort=False):
+            g = g.sort_values("seq_tok_start")
+            rows.append(
+                {
+                    "seq_id": int(seq_id),
+                    "n_docs": len(g),
+                    "n_toks": int(g["n_toks"].sum()),
+                    "text": " ".join(g["part"]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return hash_groupby(
+        joined.map_batches(slice_rows, batch_format="pyarrow"),
+        ["seq_id"],
+        assemble,
+    )

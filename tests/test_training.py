@@ -264,3 +264,21 @@ def test_mixture_sample_partition_invariant():
         .sort_values(["lang", "rank"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_packed_sequence_text_matches_manual_concat():
+    ids = list(range(25))
+    texts = [
+        " ".join(f"d{i}w{j}" for j in range((i * 5) % 17)) for i in ids
+    ]
+    out = (
+        training.packed_sequence_text(_docs(texts, ids), seq_len=10)
+        .to_pandas()
+        .sort_values("seq_id", ignore_index=True)
+    )
+    stream = [w for i in ids for w in texts[i].split()]
+    for _, r in out.iterrows():
+        want = stream[r.seq_id * 10 : (r.seq_id + 1) * 10]
+        assert r.text.split() == want
+        assert r.n_toks == len(want)
+    assert out.n_toks.sum() == len(stream)
