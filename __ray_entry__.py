@@ -352,8 +352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _emb(sf_dir: str) -> "ray.data.Dataset":
         from fonduer_ray.stages.util import read_blocks_for
 
+        # embeddings drive O(n^2)-ish matmuls downstream — keep blocks
+        # small (256 rows) so the pair/knn stages parallelize
         path = f"{sf_dir}/embeddings.parquet"
-        n = read_blocks_for(path, rows_per_block=4096)
+        n = read_blocks_for(path, rows_per_block=256)
         if n:
             return ray.data.read_parquet(path, override_num_blocks=n)
         return ray.data.read_parquet(path)
