@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "orders_rollup": relational.orders_rollup,
         "signup_purchase_funnel": relational.signup_purchase_funnel,
+        "events_props_stats": relational.events_props_stats,
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
@@ -960,6 +961,16 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
                    ) AS value_rank
             FROM events
+        """,
+        "events_props_stats": """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k, max(k) AS max_k
+            FROM k GROUP BY event_type
         """,
         "signup_purchase_funnel": """
             WITH first_su AS (

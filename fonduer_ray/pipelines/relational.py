@@ -1022,3 +1022,49 @@ def signup_purchase_funnel(
         .groupby("converted")
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured extraction: parse the JSON ``props`` column, pull
+    the integer field ``k``, aggregate per event type (count, sum, max).
+    The parse is a per-row scalar op inside ``map_batches`` (a compiled
+    regex fast path with a json.loads fallback — props are machine-written
+    one-key objects); aggregation is the usual per-block partial +
+    single small groupby. Columns: ``(event_type, n, sum_k, max_k)``."""
+    import json as _json
+    import re as _re
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    pat = _re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            m = pat.search(p or "")
+            if m:
+                ks.append(int(m.group(1)))
+            else:
+                try:
+                    ks.append(int(_json.loads(p or "{}").get("k", 0)))
+                except Exception:
+                    ks.append(0)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "k": ks}
+        )
+        out = df.groupby("event_type", sort=False)["k"].agg(
+            n="size", sum_k="sum", max_k="max"
+        )
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("event_type", sort=False)
+            .agg(n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+            .reset_index()
+        )
+
+    return hash_groupby(
+        ds.map_batches(extract, batch_format="pyarrow"), ["event_type"], merge
+    )
