@@ -539,6 +539,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir), ["spark", "stream", "merge", "window"], k=20
         )
 
+    def clean_corpus_q(sf_dir: str):
+        """Composed cleaning verdict (quality AND exact-keeper AND
+        not-contaminated); benchmark = every 97th doc, as in
+        ``decontaminate``."""
+        import numpy as np
+
+        def bench_filter(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 97 == 0))
+
+        bench = _docs(sf_dir).map_batches(bench_filter, batch_format="pyarrow")
+        return training.clean_corpus(_docs(sf_dir), bench, n=8)
+
     # -- textstats / dedup wrappers ----------------------------------------
     def doc_md5(sf_dir: str):
         return textstats.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
@@ -618,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequence_text": packed_text_q,
         "decontaminate": decontaminate_q,
         "mixture_sample": mixture_sample_q,
+        "clean_corpus": clean_corpus_q,
         # web-text cleaning (Gopher/C4 rule families + PII)
         "quality_filter": lambda sf: webclean.quality_filter(_docs(sf)),
         "repetition_stats": lambda sf: webclean.repetition_stats(_docs(sf)),
@@ -1417,6 +1431,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
             FROM r JOIN q USING(lang) WHERE rank <= quota
+        """,
+        # composed verdict: quality AND exact-text keeper AND no benchmark
+        # 8-gram overlap (bench = doc_id % 97 = 0) — the CTEs mirror the
+        # quality_filter / dedup_exact / decontaminate oracles above
+        "clean_corpus": f"""
+            WITH t AS (
+              SELECT doc_id, text, string_split(text,' ') AS toks
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     CAST((len(toks) BETWEEN 20 AND 100000
+                       AND CAST(list_sum(list_transform(toks, x -> len(x)))
+                             AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                       AND CAST(len(list_filter(toks,
+                             x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                             / len(toks) >= 0.8
+                       AND len(list_filter(toks, x -> x IN {stop_list})) >= 2)
+                     AS BIGINT) AS keep_quality
+              FROM t
+            ),
+            d AS (
+              SELECT doc_id,
+                     CAST(doc_id <> min(doc_id) OVER (PARTITION BY text)
+                          AS BIGINT) AS is_dup
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 6),
+                       i -> toks[CAST(i AS INT)] || ' ' ||
+                            toks[CAST(i AS INT)+1] || ' ' ||
+                            toks[CAST(i AS INT)+2] || ' ' ||
+                            toks[CAST(i AS INT)+3] || ' ' ||
+                            toks[CAST(i AS INT)+4] || ' ' ||
+                            toks[CAST(i AS INT)+5] || ' ' ||
+                            toks[CAST(i AS INT)+6] || ' ' ||
+                            toks[CAST(i AS INT)+7])) AS gram
+              FROM t
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            m AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING(gram))
+            SELECT t.doc_id, q.keep_quality, d.is_dup,
+                   CAST(t.doc_id IN (SELECT doc_id FROM m) AS BIGINT)
+                     AS contaminated,
+                   CAST(q.keep_quality = 1 AND d.is_dup = 0
+                        AND t.doc_id NOT IN (SELECT doc_id FROM m)
+                     AS BIGINT) AS kept
+            FROM t JOIN q USING(doc_id) JOIN d USING(doc_id)
         """,
         "quality_filter": f"""
             WITH t AS (

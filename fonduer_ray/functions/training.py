@@ -479,3 +479,90 @@ def packed_sequence_text(
         ["seq_id"],
         assemble,
     )
+
+
+# ---------------------------------------------------------------------------
+# composed corpus cleaning
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus(
+    ds: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 8,
+    broadcast_limit: int = GRAM_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """The composed LLM-corpus cleaning decision, one verdict row per doc:
+    ``(doc_id, keep_quality, is_dup, contaminated, kept)`` where ``kept``
+    = passes the Gopher/C4-style quality filter AND is its exact-text
+    group's keeper (min doc_id) AND shares no ``n``-gram with the
+    benchmark.
+
+    Single-shuffle composition: quality signals and the benchmark-gram
+    probe are per-doc map work (the gram set ships once via ``ray.put`` —
+    benchmarks are small; see :func:`decontaminate` for the join path
+    above ``broadcast_limit``), so both ride the SAME ``map_batches`` that
+    feeds the one hash shuffle on ``text`` that exact-dedup needs. Total
+    data movement = one shuffle of (doc_id, text-hash-partitioned rows),
+    identical to running exact dedup alone."""
+    from fonduer_ray.functions.webclean import QualityFilter
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for text in batch["text"].to_pylist():
+            grams |= _doc_ngrams(text, n)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bgrams = hash_groupby(
+        benchmark.map_batches(bench_grams, batch_format="pyarrow"),
+        ["gram"],
+        lambda df: df.drop_duplicates(ignore_index=True),
+    ).materialize()
+    if bgrams.count() > broadcast_limit:
+        raise ValueError(
+            "benchmark gram set exceeds the broadcast limit; run "
+            "decontaminate() (join path) and compose verdicts via its output"
+        )
+    bench_ref = ray.put(
+        frozenset(
+            g
+            for batch in bgrams.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for g in batch["gram"].to_pylist()
+        )
+    )
+    qf = QualityFilter()
+
+    def signals(batch: pa.Table) -> pa.Table:
+        bench_set = get_broadcast(bench_ref)
+        q = qf(batch)
+        contaminated = [
+            1 if (_doc_ngrams(text, n) & bench_set) else 0
+            for text in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "keep_quality": pa.array(
+                    [1 if k else 0 for k in q["keep"].to_pylist()], pa.int64()
+                ),
+                "contaminated": pa.array(contaminated, pa.int64()),
+            }
+        )
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        keeper = df.groupby("text", sort=False)["doc_id"].transform("min")
+        df = df.copy()
+        df["is_dup"] = (df["doc_id"] != keeper).astype("int64")
+        df["kept"] = (
+            (df["keep_quality"] == 1)
+            & (df["is_dup"] == 0)
+            & (df["contaminated"] == 0)
+        ).astype("int64")
+        return df[["doc_id", "keep_quality", "is_dup", "contaminated", "kept"]]
+
+    return hash_groupby(
+        ds.map_batches(signals, batch_format="pyarrow"), ["text"], verdict
+    )

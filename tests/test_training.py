@@ -282,3 +282,33 @@ def test_packed_sequence_text_matches_manual_concat():
         assert r.text.split() == want
         assert r.n_toks == len(want)
     assert out.n_toks.sum() == len(stream)
+
+
+def test_clean_corpus_composes_component_verdicts():
+    texts = [
+        # quality-passing English-ish docs need >=20 words, >=2 stopwords
+        "the quick brown fox jumps over the lazy dog and runs to the old "
+        "mill near the river bank today",
+    ] * 3 + [
+        "the quick brown fox jumps over the lazy dog and runs to the new "
+        "barn near the river bank today",
+        "zz xx yy",  # fails quality (too short)
+    ]
+    docs = _docs(texts)
+    bench = _docs([texts[3]], ids=[0])  # contaminates doc 3 (and shares
+    # grams with 0-2 where 8-grams overlap)
+    out = (
+        training.clean_corpus(docs, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) == 5
+    # docs 1, 2 are exact dups of doc 0
+    assert list(out.is_dup) == [0, 1, 1, 0, 0]
+    assert out.loc[4, "keep_quality"] == 0
+    assert out.loc[3, "contaminated"] == 1  # exact benchmark member
+    # kept = quality and not dup and not contaminated
+    for _, r in out.iterrows():
+        assert r.kept == int(
+            r.keep_quality == 1 and r.is_dup == 0 and r.contaminated == 0
+        )
