@@ -566,3 +566,61 @@ def clean_corpus(
     return hash_groupby(
         ds.map_batches(signals, batch_format="pyarrow"), ["text"], verdict
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: cleaned + packed + resumable write
+# ---------------------------------------------------------------------------
+
+
+def prepare_training_data(
+    ds: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    out_dir: str,
+    seq_len: int = 256,
+    n: int = 8,
+    n_buckets: int = 16,
+) -> dict:
+    """The full training-data pipeline with a checkpoint-resumable sink:
+    clean (quality + exact-dedup + decontaminate) -> pack kept docs into
+    ``seq_len``-token sequences -> write bucketed Parquet with
+    per-partition lineage manifests (``stages/materialize.py``).
+    Re-running against a completed output returns immediately without
+    executing the upstream pipeline (the sink's manifest check happens
+    before the lazy DAG runs). Returns the write summary dict."""
+    from fonduer_ray.stages.materialize import write_triples
+    from fonduer_ray.stages.util import join_partitions
+
+    config_hash = f"training_sequences:{seq_len}:{n}:{n_buckets}"
+
+    verdicts = clean_corpus(ds, benchmark, n=n)
+    # repartition: drops the schemaless zero-row blocks empty hash
+    # partitions emit (acero's join rejects a side containing a block
+    # without the key column) — same fix as train_stage's weight table
+    kept_ids = (
+        verdicts.filter(expr="kept == 1")
+        .select_columns(["doc_id"])
+        .repartition(join_partitions())
+    )
+    kept_docs = ds.join(
+        kept_ids,
+        "left_semi",
+        num_partitions=join_partitions(),
+        on=("doc_id",),
+    ).repartition(join_partitions())  # drop empty schemaless join blocks
+    seqs = packed_sequence_text(kept_docs, seq_len=seq_len)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "seq_key",
+            pa.array([str(s) for s in batch["seq_id"].to_pylist()], pa.string()),
+        )
+
+    return write_triples(
+        seqs.map_batches(add_key, batch_format="pyarrow"),
+        out_dir,
+        config_hash,
+        n_buckets=n_buckets,
+        key_col="seq_key",
+        stage="training_sequences",
+    )

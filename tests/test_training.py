@@ -312,3 +312,46 @@ def test_clean_corpus_composes_component_verdicts():
         assert r.kept == int(
             r.keep_quality == 1 and r.is_dup == 0 and r.contaminated == 0
         )
+
+
+def test_prepare_training_data_resumable(tmp_path):
+    import os
+
+    out = str(tmp_path / "train_out")
+    # every doc: >=20 words, >=2 stopwords, alpha-heavy, and NO 8-gram
+    # shared across docs (a unique token interrupts every 8-window)
+    texts = [
+        " ".join(f"the w{i}x{j}" for j in range(10)) + " and it is a fine day"
+        for i in range(12)
+    ]
+    texts += [texts[0]]  # one exact dup (dropped)
+    docs = _docs(texts)
+    bench = _docs([texts[5]], ids=[0])  # contaminates doc 5
+    summary = training.prepare_training_data(
+        docs, bench, out, seq_len=16, n_buckets=4
+    )
+    assert summary["rows_written"] > 0
+    assert sorted(summary["written_buckets"]) == summary["written_buckets"]
+    assert os.path.isdir(os.path.join(out, "_manifests"))
+
+    # re-run: everything skips, nothing rewritten, upstream never executes
+    again = training.prepare_training_data(
+        _docs(texts), _docs([texts[5]], ids=[0]), out, seq_len=16, n_buckets=4
+    )
+    assert again["rows_written"] == 0
+    assert len(again["skipped_buckets"]) == 4
+
+    # content check: sequences cover exactly the kept docs' token stream
+    import pyarrow.parquet as pq
+
+    written = pq.read_table(out).to_pandas()
+    kept = (
+        training.clean_corpus(_docs(texts), _docs([texts[5]], ids=[0]), n=8)
+        .to_pandas()
+    )
+    kept_ids = sorted(kept[kept.kept == 1].doc_id)
+    stream = [w for i in kept_ids for w in texts[i].split()]
+    assert written.n_toks.sum() == len(stream)
+    full = written.sort_values("seq_id")
+    got_stream = " ".join(full.text).split()
+    assert got_stream == stream
