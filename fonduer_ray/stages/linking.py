@@ -244,7 +244,6 @@ def _apply_canonical(
     ``obj_norm``), choosing broadcast vs shuffle join by vocabulary size."""
     import ray  # noqa: F811 - keep local for clarity
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     n_norms = canon_tbl.count()
 
     def add_norms(batch: pa.Table) -> pa.Table:
