@@ -612,6 +612,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "customers_with_orders_semi": relational.customers_with_orders_semi,
         "order_priority_counts": relational.order_priority_counts,
+        "shipping_priority": relational.shipping_priority,
+        "nation_revenue": relational.nation_revenue,
+        "orders_cube": relational.orders_cube,
+        "nation_balance_full_join": relational.nation_balance_full_join,
+        "lineitem_cov_stats": relational.lineitem_cov_stats,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
@@ -1119,6 +1124,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY o_orderpriority
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS DOUBLE)/10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                        AS DOUBLE)/100.0 AS sum_price
+            FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "nation_balance_full_join": """
+            WITH cust AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                     count(*) AS n_customers
+              FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1
+            ), supp AS (
+              SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                     count(*) AS n_suppliers
+              FROM supplier WHERE s_nationkey < 12 GROUP BY 1
+            )
+            SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+                   COALESCE(n_customers, 0) AS n_customers,
+                   COALESCE(n_suppliers, 0) AS n_suppliers
+            FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+        """,
+        "lineitem_cov_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                        AS DOUBLE)/100.0 AS sum_price,
+                   CAST(sum(CAST(l_quantity AS BIGINT)
+                            * CAST(round(l_extendedprice*100) AS BIGINT))
+                        AS DOUBLE)/100.0 AS sum_qty_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "token_stats": """
             SELECT doc_id,

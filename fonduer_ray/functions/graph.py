@@ -649,7 +649,8 @@ def khop(
             return out.reset_index().astype({"node": "int64", "dist": "int64"})
 
         visited = hash_groupby(
-            visited.union(candidates), ["node"], min_dist
+            visited.union(candidates), ["node"], min_dist,
+            join_safe=True,  # frontier feeds attach_lookup's join path
         ).materialize()
         frontier = visited.filter(expr=f"dist == {hop}").materialize()
         if frontier.count() == 0:

@@ -270,6 +270,7 @@ def decontaminate(
         benchmark.map_batches(bench_grams, batch_format="pyarrow"),
         ["gram"],
         lambda df: df.drop_duplicates(ignore_index=True),
+        join_safe=True,  # feeds the over-limit Dataset.join probe below
     ).materialize()
 
     if bgrams.count() <= broadcast_limit:
@@ -332,6 +333,7 @@ def decontaminate(
         .size()
         .rename("n_matched")
         .reset_index(),
+        join_safe=True,  # right side of the left_outer attach join below
     )
     # left-outer attach match counts onto the full doc list (docs with zero
     # matches must still appear) — fully distributed, nothing on the driver
@@ -434,7 +436,12 @@ def packed_sequence_text(
     beyond the packing prefix sum's bucket partials."""
     from fonduer_ray.stages.util import join_partitions
 
-    mapping = pack_sequences(ds, seq_len=seq_len, n_buckets=n_buckets)
+    # repartition: pack_sequences' bucket map_groups can emit zero-column
+    # empty blocks (skipped by its final map_batches) that would break the
+    # join below when a join partition receives only such shards
+    mapping = pack_sequences(ds, seq_len=seq_len, n_buckets=n_buckets).repartition(
+        join_partitions()
+    )
     joined = mapping.join(
         ds,
         "inner",

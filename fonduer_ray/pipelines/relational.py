@@ -151,11 +151,12 @@ def attach_lookup(
     lookup: "ray.data.Dataset",
     key: str,
     lookup_key: str,
-    val: str,
+    val: str | list[str],
     broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ) -> "ray.data.Dataset":
-    """Inner lookup join: attach ``lookup[val]`` to every row of ``ds``
-    matching ``ds[key] == lookup[lookup_key]`` (non-matching rows drop).
+    """Inner lookup join: attach ``lookup[val]`` (one column or several) to
+    every row of ``ds`` matching ``ds[key] == lookup[lookup_key]``
+    (non-matching rows drop).
 
     Size-guarded strategy: the lookup side is counted first — BEFORE the
     column projection, so a plain ``read_parquet`` lookup counts from
@@ -165,32 +166,70 @@ def attach_lookup(
     applied as a vectorized dict lookup inside ``map_batches`` — no
     shuffle of the big side. Above the limit both sides hash-partition
     through ``Dataset.join`` so nothing driver-sized ever materializes."""
+    vals = [val] if isinstance(val, str) else list(val)
     n_lookup = lookup.count()
-    lookup = lookup.select_columns([lookup_key, val])
+    lookup = lookup.select_columns([lookup_key] + vals)
 
     if n_lookup <= broadcast_limit:
         schema = lookup.schema()
-        val_type = dict(zip(schema.names, schema.types))[val]
+        types = dict(zip(schema.names, schema.types))
         lkp_ref = ray.put(
             {
-                k: v
+                row[0]: row[1:]
                 for batch in lookup.iter_batches(
                     batch_size=65536, batch_format="pyarrow"
                 )
-                for k, v in zip(batch[lookup_key].to_pylist(), batch[val].to_pylist())
+                for row in zip(
+                    batch[lookup_key].to_pylist(),
+                    *(batch[v].to_pylist() for v in vals),
+                )
             }
         )
 
         def attach(t: pa.Table) -> pa.Table:
             lkp = get_broadcast(lkp_ref)
-            vals = [lkp.get(k) for k in t[key].to_pylist()]
-            mask = pa.array([v is not None for v in vals])
-            out = t.append_column(val, pa.array(vals, type=val_type))
+            hits = [lkp.get(k) for k in t[key].to_pylist()]
+            mask = pa.array([h is not None for h in hits])
+            out = t
+            for i, v in enumerate(vals):
+                col = [h[i] if h is not None else None for h in hits]
+                out = out.append_column(v, pa.array(col, type=types[v]))
             return out.filter(mask)
 
         return ds.map_batches(attach, batch_format="pyarrow")
 
     from fonduer_ray.stages.util import join_partitions
+
+    # Acero's hash join (unlike the dict-based broadcast path above) needs
+    # exactly matching key dtypes — an int32 parquet dimension key against a
+    # derived int64 key fails the whole join. Align by casting the (small)
+    # lookup side's key to the big side's type; a key that can't represent
+    # in that type couldn't have matched anyway, and the cast is loud (safe
+    # cast raises) rather than silently dropping.
+    ds_schema = ds.schema()
+    ds_types = dict(zip(ds_schema.names, ds_schema.types))
+    lkp_types = dict(zip(lookup.schema().names, lookup.schema().types))
+    if ds_types[key] != lkp_types[lookup_key]:
+        target = ds_types[key]
+
+        def align_key(t: pa.Table, _k=lookup_key, _ty=target) -> pa.Table:
+            idx = t.schema.get_field_index(_k)
+            return t.set_column(idx, _k, pc.cast(t[_k], _ty))
+
+        lookup = lookup.map_batches(align_key, batch_format="pyarrow")
+
+    # Ray's map_groups emits ZERO-COLUMN empty blocks for empty partitions;
+    # the per-partition acero join then fails with "no match for key field
+    # on left side". Rebuild such blocks as typed empty tables so every
+    # block carries the key column.
+    empty_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(ds_schema.names, ds_schema.types)]
+    )
+
+    def norm_empty(t: pa.Table, _s=empty_schema) -> pa.Table:
+        return _s.empty_table() if t.num_columns == 0 else t
+
+    ds = ds.map_batches(norm_empty, batch_format="pyarrow")
 
     joined = ds.join(
         lookup,
@@ -1068,3 +1107,365 @@ def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
     return hash_groupby(
         ds.map_batches(extract, batch_format="pyarrow"), ["event_type"], merge
     )
+
+
+def _cents(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def shipping_priority(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """TPC-H Q3-style shipping priority: top-10 unshipped orders of
+    BUILDING-segment customers by outstanding revenue.
+
+    Plan (all three joins size-guarded through ``attach_lookup``): orders
+    are date-filtered then semi-joined to BUILDING customers by attaching
+    (and dropping) the segment; lineitem is shipdate-filtered and
+    partially aggregated to per-order revenue in exact 1e-4-dollar
+    integers BEFORE the join, so the join input is one row per qualifying
+    order, not one per lineitem; order date/priority attach in one guarded
+    lookup carrying two value columns. The final sort runs over the
+    already-aggregated (small) order set. Columns: ``(l_orderkey, revenue,
+    o_orderdate, o_orderpriority)``."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+
+    def building(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+
+    def early(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], cutoff))
+
+    orders_b = attach_lookup(
+        orders.map_batches(early, batch_format="pyarrow"),
+        customer.map_batches(building, batch_format="pyarrow"),
+        "o_custkey",
+        "c_custkey",
+        "c_mktsegment",
+        broadcast_limit,
+    ).drop_columns(["c_mktsegment", "o_custkey"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            _cents(f["l_extendedprice"]), pc.subtract(100, _cents(f["l_discount"]))
+        )
+        df = pd.DataFrame(
+            {"l_orderkey": f["l_orderkey"].to_pandas(), "rev_c4": rev.to_pandas()}
+        )
+        out = df.groupby("l_orderkey", sort=False)["rev_c4"].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    per_order = hash_groupby(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", sort=False)["rev_c4"].sum().reset_index(),
+        join_safe=True,  # feeds attach_lookup's Dataset.join path
+    )
+    joined = attach_lookup(
+        per_order,
+        orders_b,
+        "l_orderkey",
+        "o_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        broadcast_limit,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": pc.divide(pc.cast(t["rev_c4"], pa.float64()), 10000.0),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def nation_revenue(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """TPC-H Q5-style local-supplier volume: per-nation 1995 revenue where
+    the ordering customer and the supplying supplier share a nation.
+
+    Five tables, zero unguarded shuffles: the 1995 orders acquire the
+    customer nation through one guarded lookup; lineitem rows attach that
+    nation by order key (simultaneously dropping non-1995 lines), attach
+    the supplier nation by supp key, keep only matching-nation rows, and
+    partially aggregate revenue per nation key before the tiny nation-name
+    lookup. Revenue is exact integer 1e-4 dollars until the final divide.
+    Columns: ``(n_name, revenue)``."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def in_1995(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(ts, pa.scalar(np.datetime64("1995-01-01", "us"))),
+            pc.less(ts, pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders_95 = attach_lookup(
+        orders.map_batches(in_1995, batch_format="pyarrow"),
+        customer,
+        "o_custkey",
+        "c_custkey",
+        "c_nationkey",
+        broadcast_limit,
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    lines = attach_lookup(
+        lineitem, orders_95, "l_orderkey", "o_orderkey", "c_nationkey", broadcast_limit
+    )
+    lines = attach_lookup(
+        lines, supplier, "l_suppkey", "s_suppkey", "s_nationkey", broadcast_limit
+    )
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.equal(
+                pc.cast(t["c_nationkey"], pa.int64()),
+                pc.cast(t["s_nationkey"], pa.int64()),
+            )
+        )
+        rev = pc.multiply(
+            _cents(f["l_extendedprice"]), pc.subtract(100, _cents(f["l_discount"]))
+        )
+        df = pd.DataFrame(
+            {
+                "n_nationkey": pc.cast(f["c_nationkey"], pa.int64()).to_pandas(),
+                "rev_c4": rev.to_pandas(),
+            }
+        )
+        out = df.groupby("n_nationkey", sort=False)["rev_c4"].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    per_nation = hash_groupby(
+        lines.map_batches(local_rev, batch_format="pyarrow"),
+        ["n_nationkey"],
+        lambda df: df.groupby("n_nationkey", sort=False)["rev_c4"].sum().reset_index(),
+        join_safe=True,  # feeds attach_lookup's Dataset.join path
+    )
+    named = attach_lookup(
+        per_nation, nation, "n_nationkey", "n_nationkey", "n_name", broadcast_limit
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pc.divide(pc.cast(t["rev_c4"], pa.float64()), 10000.0),
+            }
+        )
+
+    return named.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(o_orderpriority, o_orderstatus)`` counts and exact
+    money sums with 'ALL' sentinels (no NULL keys — stable hashing). Like
+    ``orders_rollup`` but expands all four cube levels; the raw table is
+    scanned once and the expansion runs over the already-aggregated leaf
+    set (|priorities| x |statuses| rows). Columns: ``(o_orderpriority,
+    o_orderstatus, n_orders, sum_price)``."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                "o_orderstatus": t["o_orderstatus"].to_pandas(),
+                "price_cents": _cents(t["o_totalprice"]).to_pandas(),
+            }
+        )
+        out = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)["price_cents"]
+            .agg(n_orders="size", price_cents="sum")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(n_orders=("n_orders", "sum"), price_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+
+    leaves = hash_groupby(
+        ds.map_batches(leaf_partial, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        merge,
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lvl_p = df.assign(o_orderstatus="ALL")
+        lvl_s = df.assign(o_orderpriority="ALL")
+        lvl_0 = df.assign(o_orderpriority="ALL", o_orderstatus="ALL")
+        return pa.Table.from_pandas(
+            pd.concat([df, lvl_p, lvl_s, lvl_0], ignore_index=True),
+            preserve_index=False,
+        )
+
+    cube = hash_groupby(
+        leaves.map_batches(expand, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        merge,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "n_orders": t["n_orders"],
+                "sum_price": pc.divide(pc.cast(t["price_cents"], pa.float64()), 100.0),
+            }
+        )
+
+    return cube.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_balance_full_join(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER join through the native hash-partition ``Dataset.join``:
+    AUTOMOBILE-segment customer counts per nation vs low-key supplier
+    counts per nation — each side deliberately filtered so both produce
+    unmatched keys, exercising null-fill on both sides. Missing counts
+    coalesce to 0 after the join (the key column is taken from whichever
+    side is non-null). Columns: ``(nationkey, n_customers, n_suppliers)``."""
+    customer = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    supplier = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], "AUTOMOBILE"))
+        df = pd.DataFrame({"nationkey": pc.cast(f["c_nationkey"], pa.int64()).to_pandas()})
+        out = df.groupby("nationkey", sort=False).size().rename("n_customers").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["s_nationkey"], pa.int64())
+        f = keys.filter(pc.less(keys, 12))
+        df = pd.DataFrame({"supp_nationkey": f.to_pandas()})
+        out = (
+            df.groupby("supp_nationkey", sort=False).size().rename("n_suppliers").reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from fonduer_ray.stages.util import hash_groupby, join_partitions
+
+    cust = hash_groupby(
+        customer.map_batches(cust_partial, batch_format="pyarrow"),
+        ["nationkey"],
+        lambda df: df.groupby("nationkey", sort=False)["n_customers"].sum().reset_index(),
+        join_safe=True,  # both sides feed the full_outer Dataset.join
+    )
+    supp = hash_groupby(
+        supplier.map_batches(supp_partial, batch_format="pyarrow"),
+        ["supp_nationkey"],
+        lambda df: df.groupby("supp_nationkey", sort=False)["n_suppliers"].sum().reset_index(),
+        join_safe=True,
+    )
+    joined = cust.join(
+        supp,
+        "full_outer",
+        num_partitions=join_partitions(),
+        on=("nationkey",),
+        right_on=("supp_nationkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces `on`/`right_on` into one key
+        # column named after the left key; older versions kept both.
+        key = pc.cast(t["nationkey"], pa.int64())
+        if "supp_nationkey" in t.schema.names:
+            key = pc.coalesce(key, pc.cast(t["supp_nationkey"], pa.int64()))
+        return pa.table(
+            {
+                "nationkey": key,
+                "n_customers": pc.coalesce(
+                    pc.cast(t["n_customers"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+                "n_suppliers": pc.coalesce(
+                    pc.cast(t["n_suppliers"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def lineitem_cov_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Covariance sufficient statistics per return flag: exact integer
+    ``(n, sum_qty, sum_price, sum_qty_price)`` so cov(qty, price) is
+    reconstructable bit-exactly downstream — the mergeable-moments pattern
+    (never average inside a partial; sums and counts merge, means don't).
+    Money in cents until the final divide. Columns: ``(l_returnflag, n,
+    sum_qty, sum_price, sum_qty_price)``."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": qty,
+                "price_cents": cents,
+                "qp_cents": pc.multiply(qty, cents),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("qp_cents", alias_name="qp_cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"],
+                "sum_qty": t["sum_qty"],
+                "sum_price": pc.divide(pc.cast(t["price_cents"], pa.float64()), 100.0),
+                "sum_qty_price": pc.divide(pc.cast(t["qp_cents"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

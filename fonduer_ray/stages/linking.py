@@ -118,7 +118,10 @@ def build_canonical_table(
         out = df.drop_duplicates("norm", keep="first")
         return out[["norm", "surface"]].rename(columns={"surface": "canonical"})
 
-    return hash_groupby(summed, ["norm"], best_agg)
+    # join_safe: the table feeds link_triples' shuffle-join path above the
+    # broadcast limit; map_groups' zero-column empty blocks would otherwise
+    # break the per-partition acero join (layout-dependent, latent)
+    return hash_groupby(summed, ["norm"], best_agg, join_safe=True)
 
 
 def build_canonical_map(
@@ -596,7 +599,14 @@ def canonicalize_triples(
              "provenance_doc", "provenance_candidate"]
         )
 
-    canon_tbl = canon_ds.map_batches(project_canon, batch_format="pyarrow")
+    # repartition: canon_ds inherits map_groups' zero-column empty blocks
+    # (map_batches skips them), which break _apply_canonical's shuffle join
+    # when a join partition receives only such shards; vocab-sized, cheap
+    from fonduer_ray.stages.util import join_partitions as _jp
+
+    canon_tbl = canon_ds.map_batches(
+        project_canon, batch_format="pyarrow"
+    ).repartition(_jp())
     linked = _apply_canonical(
         tri_ds.map_batches(project_tri, batch_format="pyarrow"),
         canon_tbl.materialize(),

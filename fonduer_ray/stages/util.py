@@ -83,6 +83,7 @@ def hash_groupby(
     keys: list[str],
     agg: "callable",
     n_partitions: int | None = None,
+    join_safe: bool = False,
 ):
     """High-cardinality groupby: hash-partition rows on a SMALL derived key,
     then run a vectorized pandas groupby inside each partition.
@@ -97,7 +98,19 @@ def hash_groupby(
     dropped) -> aggregated DataFrame; typically
     ``lambda df: df.groupby(keys, sort=False).agg(...).reset_index()``.
     Rows of one key always land in one partition, so per-partition
-    aggregation is exact."""
+    aggregation is exact.
+
+    ``join_safe``: when the result feeds a ``Dataset.join``, pass True.
+    Ray's sort-based ``map_groups`` emits schema-less ZERO-COLUMN empty
+    blocks for hash partitions with no rows; the join aggregator's
+    per-partition table build then fails ("no match or multiple matches
+    for key field ... on left side") whenever a join partition receives
+    only such shards. Map-based operators (map_batches / select_columns /
+    filter) SKIP empty blocks entirely and pass them through, so the only
+    reliable sanitizer is an all-to-all: ``repartition`` rebuilds blocks by
+    slicing typed ones (the same fix train_stage's weight table and
+    prepare_training_data use). Costs one extra exchange of the (already
+    aggregated, small) output; off by default for shuffle-free consumers."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -118,11 +131,14 @@ def hash_groupby(
     def run_agg(g: pd.DataFrame) -> pd.DataFrame:
         return agg(g.drop(columns=["_part"]))
 
-    return (
+    out = (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(run_agg, batch_format="pandas")
     )
+    if not join_safe:
+        return out
+    return out.repartition(join_partitions())
 
 
 def default_concurrency(cap: int | None = None) -> tuple[int, int]:

@@ -1,0 +1,269 @@
+"""Multi-way join analytics (Q3/Q5-style), CUBE, FULL OUTER join and
+covariance statistics: pandas brute-force cross-checks on a synthetic
+TPC-H-lite fixture, plus broadcast-vs-join path equality for the
+multi-value ``attach_lookup``."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fonduer_ray.pipelines.relational import (
+    attach_lookup,
+    lineitem_cov_stats,
+    nation_balance_full_join,
+    nation_revenue,
+    orders_cube,
+    shipping_priority,
+)
+
+SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+STATUSES = ["O", "F"]
+
+
+@pytest.fixture(scope="module")
+def tpch_lite(tmp_path_factory):
+    """Deterministic mini TPC-H: 40 customers over 6 nations, 120 orders
+    straddling the 1995 cutoffs, 400 lineitems, 12 suppliers (keys chosen
+    so the full-outer join has unmatched rows on both sides)."""
+    rng = np.random.RandomState(42)
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(6, dtype=np.int64),
+         "n_name": [f"NATION_{i}" for i in range(6)],
+         "n_regionkey": np.zeros(6, dtype=np.int64)}
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, 41, dtype=np.int64),
+            "c_nationkey": rng.randint(0, 6, 40).astype(np.int32),
+            "c_mktsegment": [SEGMENTS[i % 3] for i in range(40)],
+            "c_acctbal": rng.uniform(-500, 5000, 40).round(2),
+            "c_name": [f"cust{i}" for i in range(40)],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, 13, dtype=np.int64),
+            "s_nationkey": rng.randint(0, 14, 12).astype(np.int32),
+        }
+    )
+    base = np.datetime64("1994-06-01", "us")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 121, dtype=np.int64),
+            "o_custkey": rng.randint(1, 41, 120).astype(np.int64),
+            "o_orderdate": base + (rng.randint(0, 720, 120) * 86_400_000_000
+                                   ).astype("timedelta64[us]"),
+            "o_orderpriority": [PRIORITIES[i % 3] for i in range(120)],
+            "o_orderstatus": [STATUSES[i % 2] for i in range(120)],
+            "o_totalprice": rng.uniform(100, 9000, 120).round(2),
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.randint(1, 121, 400).astype(np.int64),
+            "l_suppkey": rng.randint(1, 13, 400).astype(np.int64),
+            "l_quantity": rng.randint(1, 50, 400).astype(np.float64),
+            "l_extendedprice": rng.uniform(10, 5000, 400).round(2),
+            "l_discount": (rng.randint(0, 10, 400) / 100.0),
+            "l_shipdate": base + (rng.randint(0, 720, 400) * 86_400_000_000
+                                  ).astype("timedelta64[us]"),
+            "l_returnflag": [["A", "N", "R"][i % 3] for i in range(400)],
+        }
+    )
+    out = tmp_path_factory.mktemp("tpch_lite")
+    for name, df in [
+        ("nation", nation), ("customer", customer), ("supplier", supplier),
+        ("orders", orders), ("lineitem", lineitem),
+    ]:
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(out / f"{name}.parquet"),
+        )
+    return str(out), dict(
+        nation=nation, customer=customer, supplier=supplier,
+        orders=orders, lineitem=lineitem,
+    )
+
+
+def cents(col):
+    return (col * 100).round().astype(np.int64)
+
+
+def canon(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def brute_shipping(t):
+    cust = t["customer"][t["customer"].c_mktsegment == "BUILDING"]
+    orders = t["orders"][t["orders"].o_orderdate < np.datetime64("1995-03-15")]
+    orders = orders[orders.o_custkey.isin(cust.c_custkey)]
+    li = t["lineitem"][t["lineitem"].l_shipdate > np.datetime64("1995-03-15")].copy()
+    li["rev_c4"] = cents(li.l_extendedprice) * (100 - cents(li.l_discount))
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    g = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["rev_c4"]
+        .sum()
+        .reset_index()
+    )
+    g["revenue"] = g.rev_c4 / 10000.0
+    g = g.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], ignore_index=True
+    ).head(10)
+    return g[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def brute_nation_rev(t):
+    o = t["orders"][
+        (t["orders"].o_orderdate >= np.datetime64("1995-01-01"))
+        & (t["orders"].o_orderdate < np.datetime64("1996-01-01"))
+    ]
+    j = (
+        t["lineitem"]
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(t["customer"], left_on="o_custkey", right_on="c_custkey")
+        .merge(t["supplier"], left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.c_nationkey.astype(np.int64) == j.s_nationkey.astype(np.int64)]
+    j = j.merge(t["nation"], left_on="c_nationkey", right_on="n_nationkey")
+    j["rev_c4"] = cents(j.l_extendedprice) * (100 - cents(j.l_discount))
+    g = j.groupby("n_name")["rev_c4"].sum().reset_index()
+    g["revenue"] = g.rev_c4 / 10000.0
+    return g[["n_name", "revenue"]]
+
+
+def test_shipping_priority_matches_bruteforce(ray_session, tpch_lite):
+    sf_dir, t = tpch_lite
+    got = canon(shipping_priority(sf_dir).to_pandas())
+    want = canon(brute_shipping(t))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_shipping_priority_join_path_equal(ray_session, tpch_lite):
+    sf_dir, _ = tpch_lite
+    a = canon(shipping_priority(sf_dir).to_pandas())
+    b = canon(shipping_priority(sf_dir, broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_nation_revenue_matches_bruteforce(ray_session, tpch_lite):
+    sf_dir, t = tpch_lite
+    got = canon(nation_revenue(sf_dir).to_pandas())
+    want = canon(brute_nation_rev(t))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_nation_revenue_join_path_equal(ray_session, tpch_lite):
+    sf_dir, _ = tpch_lite
+    a = canon(nation_revenue(sf_dir).to_pandas())
+    b = canon(nation_revenue(sf_dir, broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_orders_cube_matches_bruteforce(ray_session, tpch_lite):
+    sf_dir, t = tpch_lite
+    o = t["orders"].copy()
+    o["price_cents"] = cents(o.o_totalprice)
+    frames = []
+    for keys in [
+        ["o_orderpriority", "o_orderstatus"],
+        ["o_orderpriority"],
+        ["o_orderstatus"],
+        [],
+    ]:
+        if keys:
+            g = o.groupby(keys)["price_cents"].agg(["size", "sum"]).reset_index()
+        else:
+            g = pd.DataFrame(
+                {"size": [len(o)], "sum": [o.price_cents.sum()]}
+            )
+        for col in ("o_orderpriority", "o_orderstatus"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        g = g.rename(columns={"size": "n_orders", "sum": "sum_cents"})
+        frames.append(g)
+    want = pd.concat(frames, ignore_index=True)
+    want["sum_price"] = want.sum_cents / 100.0
+    want = want[["o_orderpriority", "o_orderstatus", "n_orders", "sum_price"]]
+    want["n_orders"] = want["n_orders"].astype(np.int64)
+    got = canon(orders_cube(sf_dir).to_pandas())
+    pd.testing.assert_frame_equal(got, canon(want))
+
+
+def test_full_outer_join_has_both_unmatched_sides(ray_session, tpch_lite):
+    sf_dir, t = tpch_lite
+    got = canon(nation_balance_full_join(sf_dir).to_pandas())
+    cust = (
+        t["customer"][t["customer"].c_mktsegment == "AUTOMOBILE"]
+        .groupby(t["customer"].c_nationkey.astype(np.int64))
+        .size()
+        .rename("n_customers")
+    )
+    supp = (
+        t["supplier"][t["supplier"].s_nationkey < 12]
+        .groupby(t["supplier"].s_nationkey.astype(np.int64))
+        .size()
+        .rename("n_suppliers")
+    )
+    want = (
+        pd.concat([cust, supp], axis=1)
+        .fillna(0)
+        .astype(np.int64)
+        .rename_axis("nationkey")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, canon(want))
+    # the fixture is engineered so both sides contribute unmatched keys
+    assert (got.n_customers == 0).any(), "no supplier-only nations in fixture"
+    assert (got.n_suppliers == 0).any(), "no customer-only nations in fixture"
+
+
+def test_lineitem_cov_stats_matches_bruteforce(ray_session, tpch_lite):
+    sf_dir, t = tpch_lite
+    li = t["lineitem"].copy()
+    li["qty"] = li.l_quantity.astype(np.int64)
+    li["price_cents"] = cents(li.l_extendedprice)
+    li["qp"] = li.qty * li.price_cents
+    g = (
+        li.groupby("l_returnflag")
+        .agg(
+            n=("qty", "size"),
+            sum_qty=("qty", "sum"),
+            price_cents=("price_cents", "sum"),
+            qp=("qp", "sum"),
+        )
+        .reset_index()
+    )
+    g["sum_price"] = g.price_cents / 100.0
+    g["sum_qty_price"] = g.qp / 100.0
+    g["n"] = g["n"].astype(np.int64)
+    want = g[["l_returnflag", "n", "sum_qty", "sum_price", "sum_qty_price"]]
+    got = canon(lineitem_cov_stats(sf_dir).to_pandas())
+    pd.testing.assert_frame_equal(got, canon(want))
+
+
+def test_attach_lookup_multi_value_paths_agree(ray_session):
+    """Multi-column attach: broadcast and hash-join paths must return the
+    same rows (and drop non-matching keys identically)."""
+    import ray.data
+
+    big = ray.data.from_items(
+        [{"k": i % 7, "payload": i} for i in range(50)]
+    )
+    lkp = ray.data.from_items(
+        [{"id": i, "name": f"n{i}", "grp": i * 10} for i in range(5)]
+    )
+
+    def rows(ds):
+        return sorted(
+            (r["k"], r["payload"], r["name"], r["grp"]) for r in ds.take_all()
+        )
+
+    a = rows(attach_lookup(big, lkp, "k", "id", ["name", "grp"]))
+    b = rows(attach_lookup(big, lkp, "k", "id", ["name", "grp"], broadcast_limit=0))
+    assert a == b
+    assert all(k < 5 for k, *_ in a)  # keys 5,6 dropped (inner semantics)
+    assert len(a) == sum(1 for i in range(50) if i % 7 < 5)
