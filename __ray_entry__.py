@@ -619,6 +619,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cov_stats": relational.lineitem_cov_stats,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
+        "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
+        "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
+        "source_stats": lambda sf: textstats.source_stats(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["source", "text", "n_chars"]
+            )
+        ),
+        "inverted_index": lambda sf: search.inverted_index(_docs(sf)),
+        "line_dedup": lambda sf: dedup.line_dedup(_docs(sf)),
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "token_counts_bpe": lambda sf: textstats.token_counts(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
@@ -1194,6 +1203,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
                      / len(string_split(text,' ')) AS mean_token_len
             FROM documents
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(string_split(text,' ')) AS token FROM documents
+            )
+            SELECT token, count(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT 50
+        """,
+        "lm_unigram_score": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS token
+              FROM documents
+            ), counts AS (
+              SELECT token, count(*) AS c FROM toks GROUP BY token
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS sum_freq
+            FROM toks JOIN counts USING(token) GROUP BY doc_id
+        """,
+        "source_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY source
+        """,
+        "inverted_index": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+            idx AS (SELECT doc_id, a,
+                           unnest(generate_series(1, len(a)-4)) AS i FROM t),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(a[i:i+4], ' ') AS gram FROM idx),
+            samp AS (SELECT * FROM g
+                     WHERE CAST(('0x' || substring(md5(gram),1,16)) AS UBIGINT)
+                           % 16 = 0)
+            SELECT gram AS term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings
+            FROM samp GROUP BY gram HAVING count(*) <= 3
+        """,
+        "line_dedup": """
+            WITH raw AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, CAST(floor((i-1)/10) AS BIGINT) AS li,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM raw GROUP BY doc_id, CAST(floor((i-1)/10) AS BIGINT)
+            ), dup AS (
+              SELECT md5(line) AS d FROM lines
+              GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, count(*) AS n_lines,
+                   CAST(count(CASE WHEN md5(line) IN (SELECT d FROM dup)
+                              THEN 1 END) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN md5(line) NOT IN (SELECT d FROM dup)
+                            THEN line END, ' ' ORDER BY li), '')) AS kept_md5
+            FROM lines GROUP BY doc_id
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -1009,3 +1009,162 @@ def duplicate_ngram_coverage(
         )
 
     return hash_groupby(dup_occ, ["doc_id"], coverage)
+
+
+#: above this many duplicated lines the dup set stops broadcasting and the
+#: removal switches to a hash-partition join on the line digest
+LINE_DUP_BROADCAST_LIMIT = 5_000_000
+
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    line_tokens: int = 10,
+    min_docs: int = 2,
+    broadcast_limit: int = LINE_DUP_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """C4-style cross-document line-level dedup (Raffel et al. 2020 remove
+    any three-sentence span seen before; Penedo et al. 2023 RefinedWeb drop
+    duplicated lines): a "line" is a run of ``line_tokens`` tokens (the
+    corpus' sentence convention), and any line appearing in at least
+    ``min_docs`` DISTINCT documents is removed from all of them. Output per
+    non-empty document: ``(doc_id, n_lines, n_removed, kept_md5)`` where
+    ``kept_md5`` hashes the space-joined surviving lines — a value check of
+    the full rewritten text without shipping it to the driver.
+
+    Scale design: pass 1 builds the duplicated-line set from per-block
+    DISTINCT (line-md5, doc) combiner pairs + one digest-keyed
+    ``hash_groupby`` (a line's rows colocate; the >=min_docs filter runs
+    inside the partition). Pass 2 removes: below ``broadcast_limit`` the
+    dup digests broadcast once via ``ray.put`` and removal is a pure map
+    over the corpus; above it, documents explode to (doc, line-idx, line)
+    rows, LEFT-join the dup table on the digest, and one doc-keyed
+    ``hash_groupby`` reassembles surviving lines in order — nothing
+    driver-sized on either path."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import join_partitions
+
+    src = ds.select_columns(["doc_id", "text"])
+
+    def _lines(text: str) -> list[str]:
+        toks = (text or "").split()
+        return [
+            " ".join(toks[i : i + line_tokens])
+            for i in range(0, len(toks), line_tokens)
+        ]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, int]] = set()
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for ln in set(_lines(text)):
+                seen.add((hashlib.md5(ln.encode()).hexdigest(), doc_id))
+        return pa.table(
+            {
+                "digest": pa.array([p[0] for p in seen], pa.string()),
+                "doc_id": pa.array([p[1] for p in seen], pa.int64()),
+            }
+        )
+
+    def dup_agg(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("digest", sort=False)["doc_id"].nunique()
+        out = counts[counts >= min_docs].rename("n_docs").reset_index()
+        return out.astype({"n_docs": "int64"})
+
+    dups = hash_groupby(
+        src.map_batches(pair_partial, batch_format="pyarrow"),
+        ["digest"],
+        dup_agg,
+        join_safe=True,  # may feed the over-limit join below
+    ).materialize()
+
+    if dups.count() <= broadcast_limit:
+        dup_ref = ray.put(
+            frozenset(
+                d
+                for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow")
+                for d in b["digest"].to_pylist()
+            )
+        )
+
+        def remove(batch: pa.Table) -> pa.Table:
+            dup_set = get_broadcast(dup_ref)
+            doc_ids, n_lines, n_removed, kept_md5 = [], [], [], []
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                lines = _lines(text)
+                if not lines:
+                    continue
+                kept = [
+                    ln
+                    for ln in lines
+                    if hashlib.md5(ln.encode()).hexdigest() not in dup_set
+                ]
+                doc_ids.append(doc_id)
+                n_lines.append(len(lines))
+                n_removed.append(len(lines) - len(kept))
+                kept_md5.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_lines": pa.array(n_lines, pa.int64()),
+                    "n_removed": pa.array(n_removed, pa.int64()),
+                    "kept_md5": pa.array(kept_md5, pa.string()),
+                }
+            )
+
+        return src.map_batches(remove, batch_format="pyarrow")
+
+    # join path: the corpus explodes to one row per line, the dup table
+    # left-joins on the digest, and the per-doc reassembly sorts by line
+    # index inside the doc's hash partition
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, lis, lines, digests = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for li, ln in enumerate(_lines(text)):
+                doc_ids.append(doc_id)
+                lis.append(li)
+                lines.append(ln)
+                digests.append(hashlib.md5(ln.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "li": pa.array(lis, pa.int64()),
+                "line": pa.array(lines, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    joined = src.map_batches(explode, batch_format="pyarrow").join(
+        dups,
+        "left_outer",
+        num_partitions=join_partitions(),
+        on=("digest",),
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "li"], ignore_index=True)
+        is_dup = df["n_docs"].notna()
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            kept = g.loc[~is_dup[g.index], "line"]
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_lines": len(g),
+                    "n_removed": int(is_dup[g.index].sum()),
+                    "kept_md5": hashlib.md5(
+                        " ".join(kept).encode()
+                    ).hexdigest(),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"doc_id": "int64", "n_lines": "int64", "n_removed": "int64"}
+        )
+
+    return hash_groupby(joined, ["doc_id"], reassemble)

@@ -178,3 +178,82 @@ def bm25_topk(
 
     scored = ds.map_batches(score_block, batch_format="pyarrow")
     return _topk_scored(scored, k)
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    n: int = 5,
+    max_df: int = 3,
+    sample_mod: int = 16,
+) -> "ray.data.Dataset":
+    """Materialize the rare-phrase slice of an inverted index:
+    ``(term, df, postings)`` for every word ``n``-gram whose document
+    frequency is at most ``max_df`` — the long-tail posting lists a
+    near-verbatim-quote / plagiarism lookup serves point queries from (the
+    Zipf head is excluded BY the df bound, which is what keeps every row
+    small; single tokens are useless as keys in a small-vocabulary corpus,
+    phrases are rare by combinatorics). ``sample_mod`` keeps a
+    deterministic 1/mod md5 sample of the gram space so the materialized
+    index is a fixed fraction of the corpus at any scale (the standard
+    sharding trick — a full index is this same job run mod times).
+
+    Scale design: per-block combiners emit distinct (gram, doc) pairs
+    already sample-filtered; one gram-keyed ``hash_groupby`` builds each
+    posting list where the gram's rows are colocated — lists longer than
+    ``max_df`` are dropped inside the partition, so oversized postings
+    never leave it. Postings are comma-joined sorted doc ids (string) so
+    the row is value-hashable by the oracle."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["doc_id", "text"])
+
+    def term_doc(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        doc_ids, terms = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            for g in grams:
+                d = hashlib.md5(g.encode()).hexdigest()
+                if int(d[:16], 16) % sample_mod == 0:
+                    doc_ids.append(doc_id)
+                    terms.append(g)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    def build_postings(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, g in df.groupby("term", sort=False):
+            docs = sorted(set(g["doc_id"]))
+            if len(docs) <= max_df:
+                rows.append(
+                    {
+                        "term": term,
+                        "df": len(docs),
+                        "postings": ",".join(str(d) for d in docs),
+                    }
+                )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return hash_groupby(
+        src.map_batches(term_doc, batch_format="pyarrow"), ["term"], build_postings
+    )

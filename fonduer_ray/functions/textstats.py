@@ -245,3 +245,221 @@ def doc_top_tfidf(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return src.map_batches(top_term, batch_format="pyarrow")
+
+
+def vocab_topk(ds: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
+    """Global top-k tokens by corpus frequency — the Zipf-head report every
+    tokenizer/vocab decision starts from. ``(token, n)``, ties broken by
+    token ascending.
+
+    Scale design: per-block Counter partials shrink the shuffle to distinct
+    tokens per block; one token-keyed ``hash_groupby`` sums exactly (a
+    token lives in one partition); each partition emits only its local
+    top-k, so the final global sort runs over <= partitions x k rows."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in (text or "").split():
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("token", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "token"], ascending=[False, True])
+        return s.head(k).reset_index(drop=True)
+
+    tops = hash_groupby(
+        src.map_batches(partial, batch_format="pyarrow"), ["token"], local_topk
+    )
+    return tops.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+#: above this many distinct tokens the unigram count table is no longer
+#: broadcast as a driver dict — scoring switches to a hash-partition join
+#: on the token (the guarded pattern shared with relational.attach_lookup)
+VOCAB_FREQ_BROADCAST_LIMIT = 2_000_000
+
+
+def lm_unigram_score(
+    ds: "ray.data.Dataset", broadcast_limit: int = VOCAB_FREQ_BROADCAST_LIMIT
+) -> "ray.data.Dataset":
+    """Corpus-frequency language-model scoring (the CCNet-style LM quality
+    signal, with the corpus itself as the LM): for every document, the sum
+    over token INSTANCES of that token's corpus frequency, plus the token
+    count — ``(doc_id, n_tokens, sum_freq)``. ``sum_freq / n_tokens`` is
+    the mean token frequency: low means rare-token-heavy (gibberish, OCR
+    noise), kept integer-exact so the oracle hashes bit-for-bit.
+
+    Two passes over the corpus: (1) token counts via Counter partials +
+    one token-keyed ``hash_groupby``; (2) scoring — below
+    ``broadcast_limit`` the count table ships once via ``ray.put`` and
+    scoring is a pure map; above it, docs explode to per-(doc, token) term
+    frequencies, hash-join the count table on the token, and one doc-keyed
+    ``hash_groupby`` sums ``tf * count`` (both paths bit-identical —
+    integer sums)."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby, join_partitions
+
+    src = ds.select_columns(["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in (text or "").split():
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    counts_tbl = hash_groupby(
+        src.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)["c"].sum().reset_index(),
+        join_safe=True,  # may feed the over-limit Dataset.join below
+    ).materialize()
+
+    if counts_tbl.count() <= broadcast_limit:
+        counts_ref = ray.put(
+            {
+                t: c
+                for b in counts_tbl.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for t, c in zip(b["token"].to_pylist(), b["c"].to_pylist())
+            }
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            lkp = get_broadcast(counts_ref)
+            n_toks, sums = [], []
+            for text in batch["text"].to_pylist():
+                toks = (text or "").split()
+                n_toks.append(len(toks))
+                sums.append(sum(lkp[t] for t in toks))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "sum_freq": pa.array(sums, pa.int64()),
+                }
+            )
+
+        return src.map_batches(score, batch_format="pyarrow")
+
+    # join path: per-(doc, token) term frequencies keep the exploded table
+    # at distinct-pairs size, the join shuffles on the token, and the final
+    # doc-keyed groupby re-assembles integer sums
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        doc_ids, tokens, tfs, lens = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                doc_ids.append(doc_id)
+                tokens.append(t)
+                tfs.append(f)
+                lens.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    joined = src.map_batches(explode_tf, batch_format="pyarrow").join(
+        counts_tbl,
+        "inner",
+        num_partitions=join_partitions(),
+        on=("token",),
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(part=df["tf"] * df["c"])
+        out = df.groupby("doc_id", sort=False).agg(
+            n_tokens=("n_tokens", "first"), sum_freq=("part", "sum")
+        )
+        return out.reset_index().astype(
+            {"doc_id": "int64", "n_tokens": "int64", "sum_freq": "int64"}
+        )
+
+    return hash_groupby(joined, ["doc_id"], per_doc)
+
+
+def source_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source corpus accounting — the host/domain-level report a crawl
+    pipeline runs first: ``(source, n_docs, sum_chars, n_distinct_texts)``.
+
+    One shuffle: per-block partials pre-aggregate on (source, md5(text)) so
+    the exchange carries one row per distinct (source, digest) per block;
+    a (source, digest)-keyed ``hash_groupby`` merges, then the tiny
+    per-source rollup counts rows (= distinct texts) and sums. Distinctness
+    is md5-based on both sides (the oracle uses ``md5(text)`` too) so the
+    full text never shuffles."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["source", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], list[int]] = {}
+        for source, text, nc in zip(
+            batch["source"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["n_chars"].to_pylist(),
+        ):
+            d = hashlib.md5((text or "").encode()).hexdigest()
+            a = agg.get((source, d))
+            if a is None:
+                agg[(source, d)] = [1, int(nc)]
+            else:
+                a[0] += 1
+                a[1] += int(nc)
+        keys = list(agg)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "digest": pa.array([k[1] for k in keys], pa.string()),
+                "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "sum_chars": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    merged = hash_groupby(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["source", "digest"],
+        lambda df: df.groupby(["source", "digest"], sort=False)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .reset_index(),
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            n_distinct_texts=("digest", "size"),
+        )
+        return out.reset_index()
+
+    return hash_groupby(merged, ["source"], rollup)

@@ -1,0 +1,119 @@
+"""Brute-force checks for the corpus-analysis additions: global vocab
+top-k, LM unigram frequency scoring (both paths), per-source stats,
+phrase inverted index, and C4-style line-level dedup (both paths)."""
+
+import hashlib
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from fonduer_ray.functions.dedup import line_dedup
+from fonduer_ray.functions.search import inverted_index
+from fonduer_ray.functions.textstats import (
+    lm_unigram_score,
+    source_stats,
+    vocab_topk,
+)
+
+DOCS = [
+    # docs 0 and 1 share their first line (10 tokens) exactly; doc 2 is a
+    # full duplicate of doc 0; doc 3 is unique; doc 4 short (one partial line)
+    (0, "a b c d e f g h i j k l m n o p q r s t"),
+    (1, "a b c d e f g h i j z z z z z z z z z z"),
+    (2, "a b c d e f g h i j k l m n o p q r s t"),
+    (3, "u v w x y u v w x y u v w x y u v w x y"),
+    (4, "tail only"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.from_items(
+        [{"doc_id": d, "text": t, "source": f"s{d % 2}", "n_chars": len(t)}
+         for d, t in DOCS]
+    )
+
+
+def test_vocab_topk_matches_counter(docs_ds):
+    got = [(r["token"], r["n"]) for r in vocab_topk(docs_ds, k=5).take_all()]
+    counts = Counter(t for _, text in DOCS for t in text.split())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
+def test_lm_unigram_score_paths_match_brute(docs_ds):
+    counts = Counter(t for _, text in DOCS for t in text.split())
+    want = {
+        d: (len(text.split()), sum(counts[t] for t in text.split()))
+        for d, text in DOCS
+    }
+    for limit in (None, 0):
+        kw = {} if limit is None else {"broadcast_limit": 0}
+        out = lm_unigram_score(docs_ds, **kw).take_all()
+        got = {r["doc_id"]: (r["n_tokens"], r["sum_freq"]) for r in out}
+        assert got == want, f"broadcast_limit={limit}"
+
+
+def test_source_stats_matches_brute(docs_ds):
+    out = {r["source"]: r for r in source_stats(docs_ds).take_all()}
+    df = pd.DataFrame(
+        [{"source": f"s{d % 2}", "text": t, "n_chars": len(t)} for d, t in DOCS]
+    )
+    for source, g in df.groupby("source"):
+        r = out[source]
+        assert r["n_docs"] == len(g)
+        assert r["sum_chars"] == int(g["n_chars"].sum())
+        assert r["n_distinct_texts"] == g["text"].nunique()
+
+
+def test_inverted_index_rare_phrases(docs_ds):
+    # sample_mod=1 keeps every gram; doc 3's repeated phrase has df == 1
+    out = inverted_index(docs_ds, n=5, max_df=3, sample_mod=1).take_all()
+    idx = {r["term"]: (r["df"], r["postings"]) for r in out}
+    # shared prefix line grams appear in docs 0, 1, 2
+    assert idx["a b c d e"] == (3, "0,1,2")
+    # doc-0/2-only grams
+    assert idx["k l m n o"] == (2, "0,2")
+    # doc-3 grams are df=1
+    assert idx["u v w x y"] == (1, "3")
+    # every df respects the bound
+    assert all(df <= 3 for df, _ in idx.values())
+
+
+def brute_line_dedup(min_docs=2):
+    lines_of = {
+        d: [" ".join(t.split()[i : i + 10]) for i in range(0, len(t.split()), 10)]
+        for d, t in DOCS
+    }
+    owners = {}
+    for d, lines in lines_of.items():
+        for ln in set(lines):
+            owners.setdefault(ln, set()).add(d)
+    dup = {ln for ln, ds_ in owners.items() if len(ds_) >= min_docs}
+    out = {}
+    for d, lines in lines_of.items():
+        kept = [ln for ln in lines if ln not in dup]
+        out[d] = (
+            len(lines),
+            len(lines) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_line_dedup_paths_match_brute(docs_ds):
+    want = brute_line_dedup()
+    for limit in (None, 0):
+        kw = {} if limit is None else {"broadcast_limit": 0}
+        out = line_dedup(docs_ds, **kw).take_all()
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_removed"], r["kept_md5"])
+            for r in out
+        }
+        assert got == want, f"broadcast_limit={limit}"
+    # the engineered corpus must exercise both removal and retention
+    assert want[0][1] == 2  # doc 0: both lines duplicated (line1 w/ 1, full dup w/ 2)
+    assert want[3][1] == 0  # unique doc untouched
