@@ -672,6 +672,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
         "value_quantiles_sampled": sampled_quantiles_q,
+        "value_percentiles_exact": lambda sf: sketches.exact_percentiles(
+            ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+        ),
+        "dedup_keep_survivors": lambda sf: dedup.dedup_keep_survivors(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            ).filter(expr="doc_id < 1000"),
+            dedup.ngram_jaccard_pairs(
+                ray.data.read_parquet(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                ).filter(expr="doc_id < 1000"),
+                threshold=0.5,
+                n=5,
+            ),
+        ),
         "events_sample_per_group": sample_per_group_q,
         # graph analytics over the derived purchase / co-occurrence graphs
         "graph_degrees": graph_degrees_q,
@@ -1878,6 +1893,54 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "value_percentiles_exact": """
+            WITH s AS (
+              SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), o AS (
+              SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                     count(*) OVER () AS n FROM s
+            )
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(cents AS DOUBLE)/100.0 AS value
+            FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
+            WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "dedup_keep_survivors": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 1000
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(toks)-4),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+              FROM t WHERE len(toks) >= 5
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE 2 * least(len(a.grams), len(b.grams))
+                    >= greatest(len(a.grams), len(b.grams))
+            ),
+            pairs AS (SELECT id_a, id_b FROM p WHERE inter >= 0.5 * (na + nb - inter)),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, node) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+            ),
+            clusters AS (
+              SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+            )
+            SELECT cluster_id AS doc_id, count(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
         """,
         "jaccard_dup_clusters": """
             WITH RECURSIVE t AS (

@@ -1168,3 +1168,35 @@ def line_dedup(
         )
 
     return hash_groupby(joined, ["doc_id"], reassemble)
+
+
+def dedup_keep_survivors(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset | pa.Table",
+    max_iters: int = 30,
+    small_limit: int = CLUSTER_SMALL_LIMIT,
+) -> "ray.data.Dataset":
+    """Apply near-dup removal end-to-end: given the duplicate-pair graph,
+    keep exactly one document per connected component (the minimum doc id —
+    a deterministic canonical-representative rule) and report how much it
+    represents. Output: one row per SURVIVING document,
+    ``(doc_id, cluster_size)`` — the deduplicated corpus manifest a
+    training run reads instead of the raw doc list.
+
+    Scale design: builds on :func:`dup_clusters` (guarded single-worker
+    union-find vs distributed min-label propagation), then ONE
+    cluster-keyed ``hash_groupby`` where each cluster's members are
+    colocated — the min/size reduce to a single row per cluster inside the
+    partition, so output size = number of clusters."""
+    import pandas as pd
+
+    clusters = dup_clusters(ds, pairs, max_iters=max_iters, small_limit=small_limit)
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", sort=False)["doc_id"].agg(["min", "size"])
+        out = g.reset_index(drop=True).rename(
+            columns={"min": "doc_id", "size": "cluster_size"}
+        )
+        return out.astype({"doc_id": "int64", "cluster_size": "int64"})
+
+    return hash_groupby(clusters, ["cluster_id"], survivors)

@@ -405,3 +405,118 @@ def hll_per_group(
         [group_col, "bucket"],
         merge,
     )
+
+
+def exact_percentiles(
+    ds: "ray.data.Dataset",
+    val_col: str = "value",
+    pcts: tuple = (1, 10, 25, 50, 75, 90, 99),
+    n_buckets: int = 65536,
+) -> "ray.data.Dataset":
+    """EXACT distributed percentiles of a numeric column without a global
+    sort — the classic two-pass histogram refinement (complements
+    :func:`sampled_quantiles`, which trades exactness for one pass).
+
+    Values quantize to integer cents (the engine's money convention, and
+    what makes per-value equality exact). Pass 1: per-block bucket-count
+    partials over a fixed ``n_buckets`` grid between the column min/max —
+    the exchanged state is <= n_buckets rows per block and the merged
+    histogram (driver-side) is bounded by n_buckets regardless of data
+    size. The driver walks cumulative counts to find each target rank's
+    bucket + within-bucket remainder. Pass 2: ONE filtered scan aggregates
+    exact per-value counts inside only the target buckets (bounded by
+    bucket width in distinct cents, n_buckets times smaller than the value
+    range) and the driver resolves the remainder ranks. Rank convention
+    ``rn = max(1, ceil(pct*n/100))`` in integer arithmetic, identical to
+    ``sampled_quantiles`` and re-derivable in SQL via ``row_number()``.
+
+    Returns ``(pct:int64, value:float64)``."""
+    from ray.data.aggregate import Max, Min
+
+    src = ds.select_columns([val_col])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(t[val_col], 100.0)), pa.int64())}
+        )
+
+    cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
+    stats = cents_ds.aggregate(Min("cents"), Max("cents"))
+    mn, mx = int(stats["min(cents)"]), int(stats["max(cents)"])
+    width = max(1, (mx - mn + n_buckets) // n_buckets)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        b = (c - mn) // width
+        ub, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist_rows = hash_groupby(
+        cents_ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["bucket"],
+        lambda df: df.groupby("bucket", sort=False)["n"].sum().reset_index(),
+    ).take_all()  # bounded: <= n_buckets rows
+    hist_rows.sort(key=lambda r: r["bucket"])
+    total = sum(r["n"] for r in hist_rows)
+
+    # rank -> (bucket, remainder-within-bucket)
+    targets: dict[int, list[tuple[int, int]]] = {}
+    for pct in pcts:
+        rn = max(1, (pct * total + 99) // 100)
+        acc = 0
+        for r in hist_rows:
+            if acc + r["n"] >= rn:
+                targets.setdefault(int(r["bucket"]), []).append((pct, rn - acc))
+                break
+            acc += r["n"]
+
+    want_buckets = sorted(targets)
+
+    def in_targets(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        b = (c - mn) // width
+        mask = np.isin(b, want_buckets)
+        c = c[mask]
+        uv, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(uv, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    val_rows = hash_groupby(
+        cents_ds.map_batches(in_targets, batch_format="pyarrow"),
+        ["cents"],
+        lambda df: df.groupby("cents", sort=False)["n"].sum().reset_index(),
+    ).take_all()  # bounded: distinct cents inside <= len(pcts) buckets
+    val_rows.sort(key=lambda r: r["cents"])
+
+    out_p, out_v = [], []
+    for bucket, wants in targets.items():
+        lo, hi = mn + bucket * width, mn + (bucket + 1) * width
+        rows = [r for r in val_rows if lo <= r["cents"] < hi]
+        for pct, rem in wants:
+            acc = 0
+            for r in rows:
+                if acc + r["n"] >= rem:
+                    out_p.append(pct)
+                    out_v.append(r["cents"] / 100.0)
+                    break
+                acc += r["n"]
+    order = np.argsort(out_p)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pct": pa.array(np.array(out_p, dtype=np.int64)[order]),
+                "value": pa.array(np.array(out_v, dtype=np.float64)[order]),
+            }
+        )
+    )
