@@ -607,6 +607,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": relational.orders_rollup,
         "signup_purchase_funnel": relational.signup_purchase_funnel,
         "events_props_stats": relational.events_props_stats,
+        "retention_cohorts": relational.retention_cohorts,
+        "value_histogram": relational.value_histogram,
+        "stratified_sample": lambda sf: training.stratified_sample(
+            ray.data.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+            ),
+            "lang",
+            "doc_id",
+            {"en": 50, "de": 25, "zh": 10},
+        ),
         "events_range_join": relational.events_range_join,
         "orders_sample_split": relational.orders_sample_split,
         "customers_without_orders": relational.customers_without_orders,
@@ -1218,6 +1228,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
                      / len(string_split(text,' ')) AS mean_token_len
             FROM documents
+        """,
+        "retention_cohorts": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/604800) AS BIGINT) AS wk FROM events
+            ), f AS (
+              SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id, f.cohort, e.wk - f.cohort AS offs
+              FROM e JOIN f USING(user_id)
+              WHERE e.wk - f.cohort BETWEEN 0 AND 3
+            )
+            SELECT cohort AS cohort_week, offs AS week_offset,
+                   count(*) AS n_users
+            FROM a GROUP BY cohort, offs
+        """,
+        "value_histogram": """
+            WITH s AS (
+              SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events
+            )
+            SELECT cents // 5000 AS bin, count(*) AS n,
+                   CAST(sum(cents) AS DOUBLE)/100.0 AS sum_value
+            FROM s GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,16))
+                       AS UBIGINT) % 100
+                  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                              WHEN 'zh' THEN 10 ELSE 0 END
         """,
         "vocab_topk": """
             WITH toks AS (

@@ -631,3 +631,35 @@ def prepare_training_data(
         key_col="seq_key",
         stage="training_sequences",
     )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum RATE sampling — the downsample-by-source
+    step of a crawl pipeline (keep 10% of source A, 50% of B, drop the
+    rest): a row survives iff ``md5_low64(key) % 100 < rate_pct[group]``.
+
+    Pure stateless map (the rates dict broadcasts in the task closure) —
+    no shuffle, no driver state, trivially resumable; complementary to
+    :func:`mixture_sample`, which hits exact QUOTAS but needs a per-group
+    merge. Output: the surviving ``(group_col, key_col)`` rows."""
+    from fonduer_ray.functions.dedup import _md5_64
+
+    rates_ref = ray.put(dict(rates_pct))
+
+    def keep(t: pa.Table) -> pa.Table:
+        rates = get_broadcast(rates_ref)
+        groups = t[group_col].to_pylist()
+        keys = t[key_col].to_pylist()
+        mask = [
+            _md5_64(str(k)) % 100 < rates.get(g, default_pct)
+            for g, k in zip(groups, keys)
+        ]
+        return t.select([group_col, key_col]).filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

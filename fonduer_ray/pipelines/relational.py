@@ -1469,3 +1469,95 @@ def lineitem_cov_stats(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_cohorts(
+    sf_dir: str, horizon_weeks: int = 3
+) -> "ray.data.Dataset":
+    """Weekly cohort retention — the standard product-analytics triangle:
+    cohort = ISO-epoch week of a user's FIRST event; for each offset
+    0..``horizon_weeks``, how many of that cohort's users were active in
+    cohort week + offset. Columns: ``(cohort_week, week_offset, n_users)``.
+
+    ONE user-keyed hash shuffle computes first-week + active-week set per
+    user and emits its (cohort, offset) pairs; the final groupby runs over
+    cohort x offset rows (tiny at any scale). Weeks are integer epoch-week
+    indices (epoch seconds // 604800) so the SQL oracle matches exactly."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        # via datetime64[s]: unit-safe whether pandas holds ns or us
+        wk = pd.Series(
+            df["ts"].values.astype("datetime64[s]").astype("int64") // 604_800,
+            index=df.index,
+        )
+        u = pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+        first = u.groupby("user_id", sort=False)["wk"].transform("min")
+        offs = u["wk"] - first
+        keep = (offs >= 0) & (offs <= horizon_weeks)
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_week": first[keep],
+                    "week_offset": offs[keep],
+                    "user_id": u["user_id"][keep],
+                }
+            )
+            .drop_duplicates()
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        return out.astype(
+            {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
+        )
+
+    per_user_counts = hash_groupby(ds, ["user_id"], per_user)
+    return hash_groupby(
+        per_user_counts,
+        ["cohort_week", "week_offset"],
+        lambda df: df.groupby(["cohort_week", "week_offset"], sort=False)[
+            "n_users"
+        ]
+        .sum()
+        .reset_index(),
+    )
+
+
+def value_histogram(sf_dir: str, bin_cents: int = 5000) -> "ray.data.Dataset":
+    """Fixed-width value histogram over events: bin index =
+    ``cents // bin_cents`` ($50 bins by default), with exact counts and
+    exact cent sums per bin. Per-block partials bound the exchange to the
+    bin count; one tiny groupby merges.
+    Columns: ``(bin, n, sum_value)``."""
+    ds = _read(sf_dir, "events", ["value"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        c = cents.to_numpy(zero_copy_only=False)
+        b = c // bin_cents
+        df = pd.DataFrame({"bin": b, "cents": c})
+        out = df.groupby("bin", sort=False)["cents"].agg(n="size", cents="sum")
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    agg = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"],
+        lambda df: df.groupby("bin", sort=False)
+        .agg(n=("n", "sum"), cents=("cents", "sum"))
+        .reset_index(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": t["bin"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
