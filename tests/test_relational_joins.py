@@ -267,3 +267,24 @@ def test_attach_lookup_multi_value_paths_agree(ray_session):
     assert a == b
     assert all(k < 5 for k, *_ in a)  # keys 5,6 dropped (inner semantics)
     assert len(a) == sum(1 for i in range(50) if i % 7 < 5)
+
+
+def test_hash_groupby_join_safe_survives_empty_partitions(ray_session):
+    """A single-key input with many hash partitions maximizes map_groups'
+    empty-partition strays; join_safe output must still join cleanly."""
+    import ray.data
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    base = ray.data.from_items([{"g": 0, "x": i} for i in range(5)])
+    hg = hash_groupby(
+        base,
+        ["g"],
+        lambda df: df.groupby("g", sort=False)["x"].sum().rename("s").reset_index(),
+        n_partitions=32,
+        join_safe=True,
+    )
+    right = ray.data.from_items([{"g": 0, "name": "hit"}, {"g": 9, "name": "miss"}])
+    out = hg.join(right, "inner", num_partitions=8, on=("g",))
+    rows = out.take_all()
+    assert len(rows) == 1 and rows[0]["s"] == 10 and rows[0]["name"] == "hit"
