@@ -685,6 +685,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_exact": lambda sf: sketches.exact_percentiles(
             ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
         ),
+        "grouped_percentiles": lambda sf: sketches.grouped_percentiles(
+            ray.data.read_parquet(
+                f"{sf}/events.parquet", columns=["event_type", "value"]
+            ),
+            "event_type",
+        ),
         "dedup_keep_survivors": lambda sf: dedup.dedup_keep_survivors(
             ray.data.read_parquet(
                 f"{sf}/documents.parquet", columns=["doc_id", "text"]
@@ -1945,6 +1951,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "grouped_percentiles": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), o AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n FROM s
+            )
+            SELECT event_type, CAST(pct AS BIGINT) AS pct,
+                   CAST(cents AS DOUBLE)/100.0 AS value
+            FROM o, (VALUES (50),(90),(99)) p(pct)
+            WHERE rn = GREATEST(1, (pct*n+99)//100)
         """,
         "dedup_keep_survivors": """
             WITH RECURSIVE t AS (

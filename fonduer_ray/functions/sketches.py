@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 from fonduer_ray.functions.dedup import _md5_64
-from fonduer_ray.stages.util import hash_groupby
+from fonduer_ray.stages.util import get_broadcast, hash_groupby
 
 #: token-hash memo shared per worker process (corpus vocab repeats heavily)
 _TOK_MEMO: dict[str, int] = {}
@@ -520,3 +520,154 @@ def exact_percentiles(
             }
         )
     )
+
+
+#: guard for the grouped-percentile target broadcast: one row per
+#: (group, pct) — beyond this the report is no longer human-sized and the
+#: caller should shard by group range
+GROUP_TARGET_LIMIT = 1_000_000
+
+
+def grouped_percentiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    val_col: str = "value",
+    pcts: tuple = (50, 90, 99),
+    n_buckets: int = 65536,
+) -> "ray.data.Dataset":
+    """EXACT percentiles per group (the per-service latency report:
+    p50/p90/p99 of ``val_col`` for every ``group_col``) — the grouped
+    generalization of :func:`exact_percentiles`, same integer-cents rank
+    convention ``rn = max(1, ceil(pct*n/100))``.
+
+    Fully distributed rank walk: pass 1 aggregates (group, bucket) counts
+    (per-block partials, one hash shuffle), then a group-keyed groupby
+    walks each group's bucket histogram to its target (bucket, remainder)
+    pairs — output one row per (group, pct), which broadcasts under a
+    guard (``GROUP_TARGET_LIMIT``). Pass 2 aggregates exact (group, cents)
+    counts inside only each group's target buckets and a final group-keyed
+    groupby resolves the remainders. Driver state = the (group, pct)
+    target table, never value-sized. Returns ``(group_col, pct, value)``."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    src = ds.select_columns([group_col, val_col])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "g": t[group_col],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t[val_col], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
+    stats = cents_ds.aggregate(Min("cents"), Max("cents"))
+    mn, mx = int(stats["min(cents)"]), int(stats["max(cents)"])
+    width = max(1, (mx - mn + n_buckets) // n_buckets)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t["g"].to_pylist(),
+                "bucket": (t["cents"].to_numpy(zero_copy_only=False) - mn)
+                // width,
+            }
+        )
+        out = df.groupby(["g", "bucket"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    gb_counts = hash_groupby(
+        cents_ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["g", "bucket"],
+        lambda df: df.groupby(["g", "bucket"], sort=False)["n"].sum().reset_index(),
+    )
+
+    def walk_targets(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, grp in df.groupby("g", sort=False):
+            grp = grp.sort_values("bucket")
+            total = int(grp["n"].sum())
+            buckets = grp["bucket"].tolist()
+            counts = grp["n"].tolist()
+            for pct in pcts:
+                rn = max(1, (pct * total + 99) // 100)
+                acc = 0
+                for b, c in zip(buckets, counts):
+                    if acc + c >= rn:
+                        rows.append(
+                            {"g": g, "pct": pct, "bucket": int(b), "rem": rn - acc}
+                        )
+                        break
+                    acc += c
+        out = pd.DataFrame(rows, columns=["g", "pct", "bucket", "rem"])
+        return out.astype({"pct": "int64", "bucket": "int64", "rem": "int64"})
+
+    targets = hash_groupby(gb_counts, ["g"], walk_targets).materialize()
+    n_targets = targets.count()
+    if n_targets > GROUP_TARGET_LIMIT:
+        raise ValueError(
+            f"{n_targets} (group, pct) targets exceed GROUP_TARGET_LIMIT; "
+            "shard the input by group range and run per shard"
+        )
+    want: dict = {}
+    for b in targets.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for g, pct, bucket, rem in zip(
+            b["g"].to_pylist(), b["pct"].to_pylist(),
+            b["bucket"].to_pylist(), b["rem"].to_pylist(),
+        ):
+            want.setdefault(g, {}).setdefault(bucket, []).append((pct, rem))
+    want_ref = ray.put(want)
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        lkp = get_broadcast(want_ref)
+        gs = t["g"].to_pylist()
+        cs = t["cents"].to_numpy(zero_copy_only=False)
+        keep_g, keep_c = [], []
+        for g, c in zip(gs, cs):
+            tb = lkp.get(g)
+            if tb is not None and int(c - mn) // width in tb:
+                keep_g.append(g)
+                keep_c.append(int(c))
+        df = pd.DataFrame({"g": keep_g, "cents": keep_c})
+        out = df.groupby(["g", "cents"], sort=False).size().rename("n").reset_index()
+        out = out.astype({"cents": "int64", "n": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    gv_counts = hash_groupby(
+        cents_ds.map_batches(value_partial, batch_format="pyarrow"),
+        ["g"],
+        lambda df: df.groupby(["g", "cents"], sort=False)["n"].sum().reset_index(),
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        lkp = get_broadcast(want_ref)
+        rows = []
+        for g, grp in df.groupby("g", sort=False):
+            grp = grp.sort_values("cents")
+            by_bucket = lkp.get(g, {})
+            for bucket, wants_ in by_bucket.items():
+                lo, hi = mn + bucket * width, mn + (bucket + 1) * width
+                sub = grp[(grp["cents"] >= lo) & (grp["cents"] < hi)]
+                cs = sub["cents"].tolist()
+                ns = sub["n"].tolist()
+                for pct, rem in wants_:
+                    acc = 0
+                    for c, n in zip(cs, ns):
+                        if acc + n >= rem:
+                            rows.append({"g": g, "pct": pct, "value": c / 100.0})
+                            break
+                        acc += n
+        out = pd.DataFrame(rows, columns=["g", "pct", "value"])
+        return out.astype({"pct": "int64", "value": "float64"})
+
+    final = hash_groupby(gv_counts, ["g"], resolve)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "pct", "value"])
+
+    return final.map_batches(rename, batch_format="pyarrow")

@@ -71,3 +71,30 @@ def test_dedup_keep_survivors_bruteforce(ray_session):
         for r in dedup_keep_survivors(docs, pairs).take_all()
     }
     assert out == {0: 3, 1: 2, 4: 1, 6: 1, 7: 1}
+
+
+def test_grouped_percentiles_matches_bruteforce(ray_session):
+    from fonduer_ray.functions.sketches import grouped_percentiles
+
+    rng = np.random.RandomState(5)
+    rows = [
+        {"grp": ["a", "b", "c"][i % 3], "value": float(v)}
+        for i, v in enumerate(rng.uniform(0, 500, 3000).round(2))
+    ]
+    # heavy skew inside one group
+    rows += [{"grp": "a", "value": 7.77}] * 500
+    ds = ray.data.from_items(rows)
+    got = {
+        (r["grp"], r["pct"]): r["value"]
+        for r in grouped_percentiles(ds, "grp", n_buckets=16).take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    want = {}
+    for g, sub in df.groupby("grp"):
+        cents = np.sort(np.rint(sub["value"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        for pct in (50, 90, 99):
+            want[(g, pct)] = cents[max(1, (pct * n + 99) // 100) - 1] / 100.0
+    assert got == want
