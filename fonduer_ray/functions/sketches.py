@@ -458,13 +458,19 @@ def exact_percentiles(
             }
         )
 
-    hist_rows = hash_groupby(
-        cents_ds.map_batches(bucket_partial, batch_format="pyarrow"),
-        ["bucket"],
-        lambda df: df.groupby("bucket", sort=False)["n"].sum().reset_index(),
-    ).take_all()  # bounded: <= n_buckets rows
-    hist_rows.sort(key=lambda r: r["bucket"])
-    total = sum(r["n"] for r in hist_rows)
+    # driver-side merge of the per-block partials: each partial is already
+    # <= n_buckets rows, so the stream is bounded by blocks x n_buckets and
+    # the merged dict by n_buckets — measured 0.4s vs 20s for a bucket-keyed
+    # shuffle of the same rows (the shuffle's fixed task-matrix cost dwarfs
+    # this bounded reduction)
+    hist: dict[int, int] = {}
+    for b in cents_ds.map_batches(
+        bucket_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, v in zip(b["bucket"].to_pylist(), b["n"].to_pylist()):
+            hist[k] = hist.get(k, 0) + v
+    hist_rows = [{"bucket": k, "n": v} for k, v in sorted(hist.items())]
+    total = sum(hist.values())
 
     # rank -> (bucket, remainder-within-bucket)
     targets: dict[int, list[tuple[int, int]]] = {}
@@ -492,12 +498,14 @@ def exact_percentiles(
             }
         )
 
-    val_rows = hash_groupby(
-        cents_ds.map_batches(in_targets, batch_format="pyarrow"),
-        ["cents"],
-        lambda df: df.groupby("cents", sort=False)["n"].sum().reset_index(),
-    ).take_all()  # bounded: distinct cents inside <= len(pcts) buckets
-    val_rows.sort(key=lambda r: r["cents"])
+    # bounded: distinct cents inside <= len(pcts) buckets x bucket width
+    vals: dict[int, int] = {}
+    for b in cents_ds.map_batches(
+        in_targets, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, v in zip(b["cents"].to_pylist(), b["n"].to_pylist()):
+            vals[k] = vals.get(k, 0) + v
+    val_rows = [{"cents": k, "n": v} for k, v in sorted(vals.items())]
 
     out_p, out_v = [], []
     for bucket, wants in targets.items():
