@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_purchase_funnel": relational.signup_purchase_funnel,
         "events_props_stats": relational.events_props_stats,
         "retention_cohorts": relational.retention_cohorts,
+        "event_transitions": relational.event_transitions,
         "value_histogram": relational.value_histogram,
         "stratified_sample": lambda sf: training.stratified_sample(
             ray.data.read_parquet(
@@ -1234,6 +1235,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
                      / len(string_split(text,' ')) AS mean_token_len
             FROM documents
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events
+            )
+            SELECT event_type AS src, nxt AS dst, count(*) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
         """,
         "retention_cohorts": """
             WITH e AS (

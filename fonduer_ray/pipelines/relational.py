@@ -1561,3 +1561,37 @@ def value_histogram(sf_dir: str, bin_cents: int = 5000) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """First-order Markov transition counts between consecutive events of
+    the same user (the what-happens-after-X product question, and the
+    lead()-window complement of ``events_lag_delta``): for each user's
+    events ordered by (ts, event_id), count (event_type -> next event_type)
+    pairs. Columns: ``(src, dst, n)``.
+
+    ONE user-keyed hash shuffle; inside each partition the ordering,
+    pairwise shift and count all run vectorized in pandas; the final
+    rollup is enum-squared-sized."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        same_user = df["user_id"].shift(-1) == df["user_id"]
+        out = pd.DataFrame(
+            {"src": df["event_type"], "dst": df["event_type"].shift(-1)}
+        )[same_user]
+        return (
+            out.groupby(["src", "dst"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    per_user = hash_groupby(ds, ["user_id"], transitions)
+    return hash_groupby(
+        per_user,
+        ["src", "dst"],
+        lambda df: df.groupby(["src", "dst"], sort=False)["n"].sum().reset_index(),
+    )

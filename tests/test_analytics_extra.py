@@ -113,3 +113,24 @@ def test_stratified_sample_rates(ray_session):
     n_b = sum(1 for g, _ in got if g == "b")
     n_c = sum(1 for g, _ in got if g == "c")
     assert n_a == 1000 and n_c == 0 and 200 < n_b < 400
+
+
+def test_event_transitions_matches_bruteforce(ray_session, events_dir):
+    from fonduer_ray.pipelines.relational import event_transitions
+
+    sf_dir, df = events_dir
+    s = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    same = s["user_id"].shift(-1) == s["user_id"]
+    want = (
+        pd.DataFrame({"src": s["event_type"], "dst": s["event_type"].shift(-1)})[same]
+        .groupby(["src", "dst"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    got = (
+        event_transitions(sf_dir)
+        .to_pandas()
+        .sort_values(["src", "dst"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want.sort_values(["src", "dst"], ignore_index=True))
