@@ -128,8 +128,17 @@ def hash_groupby(
             "_part", pa.array((h % n_partitions).astype(np.int32))
         )
 
-    def run_agg(g: pd.DataFrame) -> pd.DataFrame:
-        return agg(g.drop(columns=["_part"]))
+    def run_agg(g: pd.DataFrame):
+        out_df = agg(g.drop(columns=["_part"]))
+        # Emit ARROW blocks: row-wise consumers (take_all / iter_rows) cost
+        # ~1 ms/row on pandas blocks vs ~2 us/row on arrow (measured 15s vs
+        # 0.03s at 17k rows), and downstream pyarrow-format map_batches
+        # skip a per-batch pandas->arrow conversion. Empty frames stay
+        # pandas: from_pandas would type object columns as null and the
+        # null-typed schema poisons downstream unions/joins.
+        if len(out_df):
+            return pa.Table.from_pandas(out_df, preserve_index=False)
+        return out_df
 
     out = (
         ds.map_batches(add_part, batch_format="pyarrow")
