@@ -349,6 +349,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir: str) -> "ray.data.Dataset":
         return docops.read_docs(sf_dir, ["doc_id", "text"])
 
+    def _sized(sf_dir: str, table: str, columns: list[str] | None = None):
+        """Row-count-aware read (see relational._read): Ray's default
+        ~2x-CPU block split turns a 1000-row table into 64 blocks, and
+        every downstream shuffle round then pays 64 task dispatches —
+        measured ~2s of pure dispatch PER ROUND in the jaccard family."""
+        from fonduer_ray.stages.util import read_blocks_for
+
+        path = f"{sf_dir}/{table}.parquet"
+        n = read_blocks_for(path)
+        if n:
+            return ray.data.read_parquet(
+                path, columns=columns, override_num_blocks=n
+            )
+        return ray.data.read_parquet(path, columns=columns)
+
     def _emb(sf_dir: str) -> "ray.data.Dataset":
         from fonduer_ray.stages.util import read_blocks_for
 
@@ -406,17 +421,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["query_id", "neighbor_id", "rank"])
 
     def jaccard_pairs(sf_dir: str):
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).filter(expr="doc_id < 1000")
+        docs = _sized(sf_dir, "documents", ["doc_id", "text"]).filter(
+            expr="doc_id < 1000"
+        )
         return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=5).select_columns(
             ["id_a", "id_b"]
         )
 
     def jaccard_clusters(sf_dir: str):
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).filter(expr="doc_id < 1000")
+        docs = _sized(sf_dir, "documents", ["doc_id", "text"]).filter(
+            expr="doc_id < 1000"
+        )
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=5)
         return dedup.dup_clusters(docs, pairs)
 
@@ -455,21 +470,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sketches.kmv_sketch(_docs(sf_dir))
 
     def hll_per_group_q(sf_dir: str):
-        ev = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
-        )
+        ev = _sized(sf_dir, "events", ["event_type", "user_id"])
         return sketches.hll_per_group(ev, "event_type", "user_id")
 
     def sampled_quantiles_q(sf_dir: str):
-        ev = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
-        )
+        ev = _sized(sf_dir, "events", ["event_id", "value"])
         return sketches.sampled_quantiles(ev)
 
     def sample_per_group_q(sf_dir: str):
-        ev = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
-        )
+        ev = _sized(sf_dir, "events", ["event_type", "event_id"])
         return sketches.sample_per_group(
             ev, group_col="event_type", key_col="event_id", n_per_group=3
         )
@@ -488,9 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.triangle_counts(graph.part_cooccur_edges(sf_dir))
 
     def graph_khop_q(sf_dir: str):
-        seed = ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-        ).min("o_custkey")
+        seed = _sized(sf_dir, "orders", ["o_custkey"]).min("o_custkey")
         return graph.khop(graph.purchase_edges(sf_dir), seeds=[int(seed)], k=3)
 
     # -- training-data prep wrappers ----------------------------------------
@@ -507,9 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Language-weighted data mixing over (lang, doc_id): quotas =
         total * pct // 100, bottom-quota by md5(doc_id) per lang (same
         weights hardcoded in the oracle SQL — keep in sync)."""
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
-        )
+        docs = _sized(sf_dir, "documents", ["doc_id", "lang"])
         return training.mixture_sample(
             docs,
             "lang",
@@ -611,9 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.event_transitions,
         "value_histogram": relational.value_histogram,
         "stratified_sample": lambda sf: training.stratified_sample(
-            ray.data.read_parquet(
-                f"{sf}/documents.parquet", columns=["doc_id", "lang"]
-            ),
+            _sized(sf, "documents", ["doc_id", "lang"]),
             "lang",
             "doc_id",
             {"en": 50, "de": 25, "zh": 10},
@@ -633,9 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
         "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
         "source_stats": lambda sf: textstats.source_stats(
-            ray.data.read_parquet(
-                f"{sf}/documents.parquet", columns=["source", "text", "n_chars"]
-            )
+            _sized(sf, "documents", ["source", "text", "n_chars"])
         ),
         "inverted_index": lambda sf: search.inverted_index(_docs(sf)),
         "line_dedup": lambda sf: dedup.line_dedup(_docs(sf)),
@@ -684,22 +685,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sketch": kmv_q,
         "value_quantiles_sampled": sampled_quantiles_q,
         "value_percentiles_exact": lambda sf: sketches.exact_percentiles(
-            ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+            _sized(sf, "events", ["value"])
         ),
         "grouped_percentiles": lambda sf: sketches.grouped_percentiles(
-            ray.data.read_parquet(
-                f"{sf}/events.parquet", columns=["event_type", "value"]
-            ),
+            _sized(sf, "events", ["event_type", "value"]),
             "event_type",
         ),
         "dedup_keep_survivors": lambda sf: dedup.dedup_keep_survivors(
-            ray.data.read_parquet(
-                f"{sf}/documents.parquet", columns=["doc_id", "text"]
-            ).filter(expr="doc_id < 1000"),
+            _sized(sf, "documents", ["doc_id", "text"]).filter(expr="doc_id < 1000"),
             dedup.ngram_jaccard_pairs(
-                ray.data.read_parquet(
-                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
-                ).filter(expr="doc_id < 1000"),
+                _sized(sf, "documents", ["doc_id", "text"]).filter(expr="doc_id < 1000"),
                 threshold=0.5,
                 n=5,
             ),
