@@ -614,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "retention_cohorts": relational.retention_cohorts,
         "event_transitions": relational.event_transitions,
+        "returned_item_report": relational.returned_item_report,
+        "impute_values": relational.impute_values,
         "value_histogram": relational.value_histogram,
         "stratified_sample": lambda sf: training.stratified_sample(
             _sized(sf, "documents", ["doc_id", "lang"]),
@@ -1230,6 +1232,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
                      / len(string_split(text,' ')) AS mean_token_len
             FROM documents
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS DOUBLE)/10000.0 AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "impute_values": """
+            WITH base AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents,
+                     CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS imputed
+              FROM events
+            ), means AS (
+              SELECT event_type,
+                     CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+              FROM base WHERE imputed = 0 GROUP BY event_type
+            )
+            SELECT event_id,
+                   CASE WHEN imputed = 1 THEN mean_cents ELSE cents END
+                     AS filled_cents,
+                   CAST(imputed AS BIGINT) AS imputed
+            FROM base JOIN means USING(event_type)
         """,
         "event_transitions": """
             WITH o AS (

@@ -1595,3 +1595,140 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
         ["src", "dst"],
         lambda df: df.groupby(["src", "dst"], sort=False)["n"].sum().reset_index(),
     )
+
+
+def returned_item_report(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    lost to returns ('R' lineitems of Q4-1995 orders). Same guarded-lookup
+    composition as ``shipping_priority``: lineitem pre-aggregates per
+    order BEFORE any join, the date-filtered orders attach the customer
+    key, and the per-customer rollup attaches the name last (one row per
+    customer by then). Columns: ``(c_custkey, c_name, revenue)``."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    from fonduer_ray.stages.util import hash_groupby
+
+    def q4_1995(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(ts, pa.scalar(np.datetime64("1995-10-01", "us"))),
+            pc.less(ts, pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            _cents(f["l_extendedprice"]), pc.subtract(100, _cents(f["l_discount"]))
+        )
+        df = pd.DataFrame(
+            {"l_orderkey": f["l_orderkey"].to_pandas(), "rev_c4": rev.to_pandas()}
+        )
+        out = df.groupby("l_orderkey", sort=False)["rev_c4"].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_order = hash_groupby(
+        lineitem.map_batches(returned_rev, batch_format="pyarrow"),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", sort=False)["rev_c4"].sum().reset_index(),
+        join_safe=True,
+    )
+    with_cust = attach_lookup(
+        per_order,
+        orders.map_batches(q4_1995, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        "o_custkey",
+        broadcast_limit,
+    )
+    per_cust = hash_groupby(
+        with_cust.select_columns(["o_custkey", "rev_c4"]),
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", sort=False)["rev_c4"].sum().reset_index(),
+        join_safe=True,
+    )
+    named = attach_lookup(
+        per_cust, customer, "o_custkey", "c_custkey", "c_name", broadcast_limit
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "revenue": pc.divide(pc.cast(t["rev_c4"], pa.float64()), 10000.0),
+            }
+        )
+
+    return (
+        named.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def impute_values(sf_dir: str, null_every: int = 13) -> "ray.data.Dataset":
+    """Group-mean imputation — the missing-value repair step of a feature
+    pipeline, demonstrated on a DETERMINISTIC corruption (events whose
+    ``event_id % null_every == 0`` treat ``value`` as missing, since the
+    synthetic table has no real nulls; the oracle mirrors the same rule).
+    Missing values fill with the floor-integer-cents mean of the event
+    type's PRESENT values. Columns: ``(event_id, filled_cents, imputed)``.
+
+    Two passes, both bounded: per-type (sum, count) partials merge in one
+    tiny groupby and broadcast; the fill is then a pure vectorized map."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    from fonduer_ray.stages.util import get_broadcast, hash_groupby
+
+    def present_partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "cents": cents.to_numpy(zero_copy_only=False),
+            }
+        )[ids % null_every != 0]
+        out = df.groupby("event_type", sort=False)["cents"].agg(
+            s="sum", n="size"
+        )
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    means_rows = hash_groupby(
+        ds.map_batches(present_partial, batch_format="pyarrow"),
+        ["event_type"],
+        lambda df: df.groupby("event_type", sort=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .reset_index(),
+    ).take_all()
+    means = {r["event_type"]: r["s"] // r["n"] for r in means_rows}
+    means_ref = ray.put(means)
+
+    def fill(t: pa.Table) -> pa.Table:
+        m = get_broadcast(means_ref)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        missing = ids % null_every == 0
+        filled = np.where(
+            missing,
+            np.array([m[et] for et in t["event_type"].to_pylist()]),
+            cents,
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "filled_cents": pa.array(filled, pa.int64()),
+                "imputed": pa.array(missing.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")

@@ -288,3 +288,62 @@ def test_hash_groupby_join_safe_survives_empty_partitions(ray_session):
     out = hg.join(right, "inner", num_partitions=8, on=("g",))
     rows = out.take_all()
     assert len(rows) == 1 and rows[0]["s"] == 10 and rows[0]["name"] == "hit"
+
+
+def test_returned_item_report_matches_bruteforce(ray_session, tpch_lite):
+    from fonduer_ray.pipelines.relational import returned_item_report
+
+    sf_dir, t = tpch_lite
+    o = t["orders"][
+        (t["orders"].o_orderdate >= np.datetime64("1995-10-01"))
+        & (t["orders"].o_orderdate < np.datetime64("1996-01-01"))
+    ]
+    li = t["lineitem"][t["lineitem"].l_returnflag == "R"].copy()
+    li["rev_c4"] = cents(li.l_extendedprice) * (100 - cents(li.l_discount))
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        t["customer"], left_on="o_custkey", right_on="c_custkey"
+    )
+    g = j.groupby(["c_custkey", "c_name"])["rev_c4"].sum().reset_index()
+    g["revenue"] = g.rev_c4 / 10000.0
+    want = g.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], ignore_index=True
+    ).head(20)[["c_custkey", "c_name", "revenue"]]
+    got = returned_item_report(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_impute_values_bruteforce(ray_session, tmp_path):
+    from fonduer_ray.pipelines.relational import impute_values
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(1, 301, dtype=np.int64),
+            "event_type": [["a", "b"][i % 2] for i in range(300)],
+            "value": rng.uniform(0, 100, 300).round(2),
+            "ts": np.datetime64("2024-01-01", "us"),
+            "user_id": np.int64(1),
+            "props": "",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = impute_values(str(tmp_path)).to_pandas()
+    c = (df.value * 100).round().astype(np.int64)
+    present = df.event_id % 13 != 0
+    means = {
+        et: int(c[present & (df.event_type == et)].sum()
+                // (present & (df.event_type == et)).sum())
+        for et in ("a", "b")
+    }
+    want = pd.DataFrame(
+        {
+            "event_id": df.event_id,
+            "filled_cents": np.where(
+                ~present, df.event_type.map(means).astype(np.int64), c
+            ),
+            "imputed": (~present).astype(np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+    assert got[got.imputed == 1].shape[0] == (~present).sum()
