@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "candidate_counts": docops.candidate_counts,
         "triples_kg": docops.triples,
         "triples_kg_spec": docops.triples_via_spec,
+        "triples_kg_incremental": docops.triples_incremental,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -838,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triples_kg": _ORACLE_TRIPLES,
         "triples_kg_spec": _ORACLE_TRIPLES,
+        "triples_kg_incremental": _ORACLE_TRIPLES,
         "lf_label_counts": f"""
             WITH toks AS (
               SELECT doc_id,

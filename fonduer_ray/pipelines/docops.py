@@ -939,3 +939,61 @@ def video_frame_stats(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_docs(sf_dir, ["doc_id"])
     return map_stage(ds, _VideoStatsStage, {}, 32)
+
+
+def triples_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental KG construction — the reference's ``clear=False``
+    re-apply path (``featurizer.py:65-146``, ``labeler.py:72-115``,
+    ``tests/e2e/test_incremental.py``) re-expressed as immutable
+    generations: extraction runs as TWO generations over disjoint url
+    halves appended to an upsert store keyed by ``candidate_stable_id``
+    (``materialize.append_generation``), plus the second half appended
+    AGAIN (a re-crawl whose rows must upsert, not duplicate);
+    ``read_upserted`` keeps the newest generation per candidate and the
+    GLOBAL canonicalization runs at read over the merged store. Because
+    doc-local extraction is pure per document and canonicalization sees
+    the identical candidate multiset, the result is value-identical to
+    the batch ``triples`` — it shares that query's oracle, which is the
+    incremental-equals-batch correctness gate."""
+    import shutil
+    import tempfile
+
+    from fonduer_ray.stages.fused import pages_to_triples
+    from fonduer_ray.stages.linking import canonicalize_triples
+    from fonduer_ray.stages.materialize import append_generation, read_upserted
+
+    pages = htmlize(sf_dir)
+
+    def half(parity: int) -> "ray.data.Dataset":
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [int(u) % 2 == parity for u in t["url"].to_pylist()]
+            )
+            return t.filter(mask)
+
+        return pages.map_batches(f, batch_format="pyarrow")
+
+    def extract(parity: int) -> "ray.data.Dataset":
+        return pages_to_triples(
+            half(parity),
+            _mention_specs(),
+            _relation_specs(),
+            [("lf_cooccur", _lf_cooccur)],
+            pred_names={"cooccur": PRED},
+            threshold=0.6,
+            batch_size=128,
+        )
+
+    out = tempfile.mkdtemp(prefix="fonduer_ray_kg_incr_")
+    try:
+        append_generation(extract(0), out, "candidate_stable_id")
+        append_generation(extract(1), out, "candidate_stable_id")
+        # simulated re-crawl: identical rows re-append as a newer
+        # generation; dedup-on-read must collapse them
+        append_generation(extract(1), out, "candidate_stable_id")
+        merged = read_upserted(out, "candidate_stable_id").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    deduped = canonicalize_triples(merged, n_salts=KGConfig().n_salts)
+    return deduped.select_columns(["subj", "pred", "obj", "support"])

@@ -230,3 +230,21 @@ def test_orders_per_nation_join_path_equality(ray_session, sf_dir):
     assert rows(orders_per_nation(sf_dir, broadcast_limit=0)) == rows(
         orders_per_nation(sf_dir)
     )
+
+
+def test_incremental_triples_equal_batch(ray_session, sf_dir):
+    """Generation-appended extraction + re-crawl upsert + canonicalize-at-
+    read must be value-identical to the one-shot batch run (the reference's
+    clear=False incremental semantics, test_incremental.py analog)."""
+    from fonduer_ray.pipelines import docops
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        canon(docops.triples_incremental(sf_dir)),
+        canon(docops.triples(sf_dir)),
+    )
