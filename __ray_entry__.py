@@ -683,6 +683,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": embedding_dups_lsh,
         # mergeable sketches (HLL / count-min / KMV over 3-shingles)
         "hll_registers": hll_q,
+        "bloom_positions": lambda sf: sketches.bloom_positions(
+            _sized(sf, "orders", ["o_orderkey"])
+        ),
+        # width 65536 >> the ~30k distinct shingles, so sketch noise stays
+        # ~1-2 and the candidate set is honest; the verify pass makes the
+        # output EXACT regardless
+        "heavy_hitters": lambda sf: sketches.heavy_hitters(
+            _docs(sf), threshold=6, width=65536
+        ),
         "hll_users_per_type": hll_per_group_q,
         "cms_counters": cms_q,
         "kmv_sketch": kmv_q,
@@ -1991,6 +2000,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "bloom_positions": """
+            WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+            p AS (
+              SELECT DISTINCT CAST(('0x' || substring(md5(
+                       CAST(r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)
+                     ), 1, 16)) AS UBIGINT) % 65536 AS position
+              FROM k, (VALUES (0),(1),(2),(3)) h(r)
+            )
+            SELECT CAST(position AS BIGINT) AS position FROM p
+        """,
+        "heavy_hitters": """
+            WITH t AS (SELECT string_split(text,' ') AS a FROM documents),
+            g AS (SELECT array_to_string(a[i:i+2],' ') AS tok
+                  FROM (SELECT a,
+                               unnest(generate_series(1, len(a)-2)) AS i
+                        FROM t))
+            SELECT tok AS token, count(*) AS n
+            FROM g GROUP BY tok HAVING count(*) >= 6
         """,
         "grouped_percentiles": """
             WITH s AS (

@@ -679,3 +679,135 @@ def grouped_percentiles(
         return t.rename_columns([group_col, "pct", "value"])
 
     return final.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ Bloom
+
+
+def bloom_positions(
+    ds: "ray.data.Dataset",
+    key_col: str = "o_orderkey",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> "ray.data.Dataset":
+    """First-class Bloom filter build over a key column: the SET BIT
+    POSITIONS of an (m_bits, k_hashes) filter, as sorted distinct
+    ``(position)`` rows — the exchangeable representation of the bitmap (a
+    bitmap is the bitwise-OR of its rows' positions, so per-block partial
+    position sets merge by distinct-union; the dedup suite's internal
+    membership prefilter uses the same construction at 2^27 bits,
+    ``dedup._bloom_of_pair_ids``). Hash row ``r`` maps key ``x`` to
+    ``md5_low64(f"{r}:{x}") % m_bits`` — DuckDB-reproducible, so the full
+    bit table is value-checked. Output bounded by ``m_bits`` rows.
+
+    Scale: per-block distinct-position partials (bounded by m_bits) merged
+    by one position-keyed groupby; the filter never exists as a single
+    object until a consumer ORs the rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos: set[int] = set()
+        for x in t[key_col].to_pylist():
+            for r in range(k_hashes):
+                pos.add(_md5_64(f"{r}:{x}") % m_bits)
+        return pa.table({"position": pa.array(sorted(pos), pa.int64())})
+
+    return hash_groupby(
+        ds.select_columns([key_col]).map_batches(partial, batch_format="pyarrow"),
+        ["position"],
+        lambda df: df.drop_duplicates(ignore_index=True),
+    )
+
+
+def bloom_probe(
+    positions, keys, m_bits: int = 65536, k_hashes: int = 4
+) -> list[bool]:
+    """Membership probe against a materialized position table (list of
+    {position} rows): True = possibly present (no false negatives),
+    False = definitely absent."""
+    bits = {int(r["position"]) for r in positions}
+    return [
+        all(_md5_64(f"{r}:{x}") % m_bits in bits for r in range(k_hashes))
+        for x in keys
+    ]
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    threshold: int = 1000,
+    depth: int = 4,
+    width: int = 1024,
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters (3-shingles occurring >= ``threshold`` times)
+    via the sketch-guided candidate + exact-verify pattern: pass 1 builds
+    the count-min sketch (:func:`cms_counters` — bounded depth x width
+    state); because CMS never underestimates, every true heavy hitter
+    survives the sketch filter, so pass 2 only has to count EXACTLY the
+    candidate shingles whose estimate clears the threshold (a broadcast
+    set, sized by the sketch's overestimate rate, not the vocabulary) and
+    drop the false positives. Output: ``(token, n)`` exact counts — the
+    sketch bounds the state, the verify pass restores exactness."""
+    from ray import cloudpickle  # noqa: F401  (parity with module imports)
+
+    sketch = cms_counters(ds, depth=depth, width=width).take_all()
+    cells: dict[tuple[int, int], int] = {
+        (int(r["row"]), int(r["col"])): int(r["count"]) for r in sketch
+    }
+
+    def candidate_partial(t: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for text in t["text"].to_pylist():
+            seen.update(_shingles(text))
+        cands = [
+            s
+            for s in seen
+            if min(
+                cells.get((r, _md5_64(f"{r}:{s}") % width), 0)
+                for r in range(depth)
+            )
+            >= threshold
+        ]
+        return pa.table({"token": pa.array(sorted(cands), pa.string())})
+
+    cand_rows = hash_groupby(
+        ds.select_columns(["text"]).map_batches(
+            candidate_partial, batch_format="pyarrow"
+        ),
+        ["token"],
+        lambda df: df.drop_duplicates(ignore_index=True),
+    ).take_all()
+    cand_set = frozenset(r["token"] for r in cand_rows)
+    cand_ref = ray.put(cand_set)
+
+    from fonduer_ray.stages.util import get_broadcast as _gb
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cand = _gb(cand_ref)
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for s in _shingles(text):
+                if s in cand:
+                    counts[s] = counts.get(s, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = hash_groupby(
+        ds.select_columns(["text"]).map_batches(
+            exact_partial, batch_format="pyarrow"
+        ),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)["n"].sum().reset_index(),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n"], threshold))
+
+    return exact.map_batches(keep, batch_format="pyarrow")

@@ -246,3 +246,44 @@ def test_hll_per_group_matches_per_group_exact_registers(ray_session):
         regs = [r for r in out if r["g"] == g]
         true = len({k for gg, k in zip(groups, keys) if gg == g})
         assert abs(hll_estimate(regs) - true) / true < 0.1
+
+
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    import ray.data
+
+    from fonduer_ray.functions.sketches import bloom_positions, bloom_probe
+
+    keys = list(range(0, 2000, 2))  # evens present
+    ds = ray.data.from_items([{"k": k} for k in keys])
+    pos = bloom_positions(ds, key_col="k").take_all()
+    present = bloom_probe(pos, keys)
+    assert all(present), "bloom filters must have no false negatives"
+    absent = bloom_probe(pos, list(range(1, 2000, 2)))  # odds absent
+    fpr = sum(absent) / len(absent)
+    assert fpr < 0.05, f"false-positive rate {fpr} too high for m=64k, n=1k, k=4"
+
+
+def test_heavy_hitters_exact_at_any_sketch_width(ray_session):
+    import ray.data
+    from collections import Counter
+
+    from fonduer_ray.functions.sketches import heavy_hitters
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": ("hot gram one " * 20) + f"cold {i} filler"}
+         for i in range(30)]
+    )
+    truth = Counter()
+    for i in range(30):
+        toks = (("hot gram one " * 20) + f"cold {i} filler").split()
+        for j in range(len(toks) - 2):
+            truth[" ".join(toks[j : j + 3])] += 1
+    want = {t: n for t, n in truth.items() if n >= 100}
+    # a deliberately TINY sketch (width 8): massive overestimates mean a
+    # bloated candidate set, but the verify pass must still return the
+    # exact heavy-hitter counts
+    got = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(docs, threshold=100, width=8).take_all()
+    }
+    assert got == want and len(want) > 0
