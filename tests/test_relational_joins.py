@@ -347,3 +347,34 @@ def test_impute_values_bruteforce(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(canon(got), canon(want))
     assert got[got.imputed == 1].shape[0] == (~present).sum()
+
+
+@pytest.mark.parametrize(
+    "n_keys,n_partitions,join_parts",
+    [(1, 64, 4), (3, 16, 8), (7, 32, 2), (50, 8, 16)],
+)
+def test_join_safe_partition_matrix(ray_session, n_keys, n_partitions, join_parts):
+    """The stray-empty-block failure was partition-layout dependent; sweep
+    key-cardinality x groupby-partitions x join-partitions combinations."""
+    import ray.data
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    base = ray.data.from_items(
+        [{"g": i % n_keys, "x": i} for i in range(200)]
+    )
+    hg = hash_groupby(
+        base,
+        ["g"],
+        lambda df: df.groupby("g", sort=False)["x"].sum().rename("s").reset_index(),
+        n_partitions=n_partitions,
+        join_safe=True,
+    )
+    right = ray.data.from_items([{"g": k, "tag": f"t{k}"} for k in range(n_keys)])
+    out = hg.join(right, "inner", num_partitions=join_parts, on=("g",))
+    rows = {r["g"]: (r["s"], r["tag"]) for r in out.take_all()}
+    want = {
+        k: (sum(i for i in range(200) if i % n_keys == k), f"t{k}")
+        for k in range(n_keys)
+    }
+    assert rows == want
