@@ -137,7 +137,10 @@ def pack_sequences(
     no further shuffle."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    counts = _token_counts(ds)
+    # materialize the (doc_id, n) counts: narrow rows, but consumed three
+    # times below (max, bucket sums, offsets) — lazy, each consumption
+    # re-tokenized the FULL corpus text
+    counts = _token_counts(ds).materialize()
 
     max_id = counts.max("doc_id")
     if max_id is None:
