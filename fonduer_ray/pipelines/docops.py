@@ -987,10 +987,13 @@ def triples_incremental(sf_dir: str) -> "ray.data.Dataset":
     out = tempfile.mkdtemp(prefix="fonduer_ray_kg_incr_")
     try:
         append_generation(extract(0), out, "candidate_stable_id")
-        append_generation(extract(1), out, "candidate_stable_id")
-        # simulated re-crawl: identical rows re-append as a newer
-        # generation; dedup-on-read must collapse them
-        append_generation(extract(1), out, "candidate_stable_id")
+        # materialize the second half once: the simulated re-crawl appends
+        # the SAME rows as a newer generation (dedup-on-read must collapse
+        # them) — re-running the extraction for identical output would just
+        # triple the doc-pipeline cost
+        gen1 = extract(1).materialize()
+        append_generation(gen1, out, "candidate_stable_id")
+        append_generation(gen1, out, "candidate_stable_id")
         merged = read_upserted(out, "candidate_stable_id").materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
