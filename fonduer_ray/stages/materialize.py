@@ -200,12 +200,19 @@ def append_generation(
 
 def read_upserted(out_dir: str, key_col: str) -> "ray.data.Dataset":
     """Read all generations, keeping the NEWEST row per key — one
-    hash-partitioned groupby on the key (dedup-on-read upsert)."""
+    hash-partitioned groupby on the key (dedup-on-read upsert).
+
+    Uses ``hash_groupby`` (vectorized per-partition dedup) rather than the
+    native per-key ``map_groups``, which iterates one Python call per
+    distinct key (~0.3 ms each — 8s for a 23k-key store, measured)."""
     import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
 
     ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
 
-    def latest(group: pd.DataFrame) -> pd.DataFrame:
-        return group[group["_gen"] == group["_gen"].max()].drop(columns=["_gen"])
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_gen", kind="stable")
+        return df.drop_duplicates(key_col, keep="last").drop(columns=["_gen"])
 
-    return ds.groupby(key_col).map_groups(latest, batch_format="pandas")
+    return hash_groupby(ds, [key_col], latest)
