@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples_kg": docops.triples,
         "triples_kg_spec": docops.triples_via_spec,
         "triples_kg_incremental": docops.triples_incremental,
+        "warc_roundtrip_stats": docops.warc_roundtrip_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -2000,6 +2001,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "warc_roundtrip_stats": """
+            WITH raw AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, CAST(floor((i-1)/10) AS BIGINT) AS li,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM raw GROUP BY doc_id, CAST(floor((i-1)/10) AS BIGINT)
+            ), html AS (
+              SELECT doc_id,
+                     '<html><body>'
+                       || string_agg('<p>' || line || '</p>', '' ORDER BY li)
+                       || '</body></html>' AS h
+              FROM lines GROUP BY doc_id
+            )
+            SELECT doc_id, md5(h) AS html_md5,
+                   1577836800000000 + doc_id * 1000000 AS ts_us
+            FROM html
         """,
         "bloom_positions": """
             WITH k AS (SELECT DISTINCT o_orderkey FROM orders),

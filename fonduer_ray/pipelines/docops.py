@@ -1000,3 +1000,61 @@ def triples_incremental(sf_dir: str) -> "ray.data.Dataset":
 
     deduped = canonicalize_triples(merged, n_salts=KGConfig().n_salts)
     return deduped.select_columns(["subj", "pred", "obj", "support"])
+
+
+def warc_roundtrip_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Common-Crawl container round-trip as a driver-visible operator: the
+    documents table renders to pages, writes out as spec-conformant WARC
+    (per-record gzip members, ``sources/warc.py``), reads back through the
+    WARC source, and reports ``(doc_id, html_md5, ts_us)`` — the html md5
+    and the microsecond timestamp prove byte- and field-exact round-trip
+    (the oracle rebuilds the page html from the text column in SQL).
+    Timestamps are ``2020-01-01 + doc_id seconds``."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from fonduer_ray.sources.warc import read_warc, write_warc
+
+    pages = htmlize(sf_dir)
+    base_us = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        ids = [int(u) for u in t["url"].to_pylist()]
+        ts = [base_us + i * 1_000_000 for i in ids]
+        return t.append_column(
+            "warc_ts", pa.array(ts, pa.timestamp("us"))
+        ).append_column("text", pa.array([""] * len(ids), pa.string()))
+
+    out = tempfile.mkdtemp(prefix="fonduer_ray_warc_rt_")
+    try:
+        write_warc(pages.map_batches(add_cols, batch_format="pyarrow"), out)
+        back = read_warc(sorted(glob.glob(f"{out}/*.warc.gz")))
+
+        def stats(t: pa.Table) -> pa.Table:
+            ids, digests, tss = [], [], []
+            for url, html, ts in zip(
+                t["url"].to_pylist(),
+                t["html"].to_pylist(),
+                t["warc_ts"].to_pylist(),
+            ):
+                ids.append(int(url))
+                digests.append(hashlib.md5(html or b"").hexdigest())
+                tss.append(
+                    int(ts.timestamp() * 1_000_000)
+                    if hasattr(ts, "timestamp")
+                    else int(ts)
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "html_md5": pa.array(digests, pa.string()),
+                    "ts_us": pa.array(tss, pa.int64()),
+                }
+            )
+
+        result = back.map_batches(stats, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
