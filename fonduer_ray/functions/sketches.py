@@ -442,6 +442,10 @@ def exact_percentiles(
             {"cents": pc.cast(pc.round(pc.multiply(t[val_col], 100.0)), pa.int64())}
         )
 
+    # materialize: consumed three times (min/max, histogram, refinement).
+    # The column is one int64 per row; at extreme scale where even that
+    # spills, drop the materialize and pay re-scans instead — the passes
+    # are pure maps over the source.
     cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
     stats = cents_ds.aggregate(Min("cents"), Max("cents"))
     mn, mx = int(stats["min(cents)"]), int(stats["max(cents)"])
