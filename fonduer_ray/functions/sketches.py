@@ -448,6 +448,11 @@ def exact_percentiles(
     # are pure maps over the source.
     cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
     stats = cents_ds.aggregate(Min("cents"), Max("cents"))
+    if stats is None or stats.get("min(cents)") is None:
+        return ray.data.from_arrow(
+            pa.table({"pct": pa.array([], pa.int64()),
+                      "value": pa.array([], pa.float64())})
+        )
     mn, mx = int(stats["min(cents)"]), int(stats["max(cents)"])
     width = max(1, (mx - mn + n_buckets) // n_buckets)
 
@@ -579,6 +584,12 @@ def grouped_percentiles(
 
     cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
     stats = cents_ds.aggregate(Min("cents"), Max("cents"))
+    if stats is None or stats.get("min(cents)") is None:
+        return ray.data.from_arrow(
+            pa.table({group_col: pa.array([], pa.string()),
+                      "pct": pa.array([], pa.int64()),
+                      "value": pa.array([], pa.float64())})
+        )
     mn, mx = int(stats["min(cents)"]), int(stats["max(cents)"])
     width = max(1, (mx - mn + n_buckets) // n_buckets)
 

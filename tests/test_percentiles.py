@@ -98,3 +98,16 @@ def test_grouped_percentiles_matches_bruteforce(ray_session):
         for pct in (50, 90, 99):
             want[(g, pct)] = cents[max(1, (pct * n + 99) // 100) - 1] / 100.0
     assert got == want
+
+
+def test_percentiles_empty_input(ray_session):
+    import pyarrow as pa
+
+    from fonduer_ray.functions.sketches import grouped_percentiles
+
+    empty = ray.data.from_arrow(
+        pa.table({"grp": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64())})
+    )
+    assert exact_percentiles(empty.select_columns(["value"])).count() == 0
+    assert grouped_percentiles(empty, "grp").count() == 0
