@@ -566,7 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "rolling_hash"]
         )
 
-    return {
+    q = {
         # fonduer-style pipeline over the documents table (full HTML path)
         "parse_doc_stats": docops.parse_doc_stats,
         "mention_counts": docops.mention_counts,
@@ -720,6 +720,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": graph_triangles_q,
         "graph_khop": graph_khop_q,
     }
+    # The driver's correctness sweep covers only the FIRST 50 dict entries
+    # per round; rotate so queries that have never received a driver-issued
+    # CORRECTNESS row come first (round-3 verdict item #1).  The engine-side
+    # oracle checker (scripts/check_oracle.py) still validates all of them
+    # locally regardless of order.
+    ordered = {k: v for k, v in q.items() if k not in _DRIVER_VERIFIED}
+    ordered.update({k: v for k, v in q.items() if k in _DRIVER_VERIFIED})
+    return ordered
+
+
+#: query names with a green driver-issued CORRECTNESS row on record
+#: (CORRECTNESS_r03.json — all 50 rows green).  Names NOT in this set sort
+#: first in queries() so the round-4 driver sweep reaches them.
+_DRIVER_VERIFIED = frozenset(
+    {
+        "parse_doc_stats", "mention_counts", "union_mentions",
+        "intersect_mentions", "inverse_mentions", "concat_mentions",
+        "candidate_counts", "triples_kg", "triples_kg_spec",
+        "triples_kg_incremental", "warc_roundtrip_stats", "lf_label_counts",
+        "lf_marginals_by_doc", "entity_support", "feature_keys",
+        "feature_stats", "logreg_scores", "ner_person_mentions",
+        "hocr_visual_stats", "jpeg_decode_stats", "video_frame_stats",
+        "pdf_visual_stats", "boilerplate_stats", "pricing_summary",
+        "revenue_filter", "top_orders", "orders_per_nation",
+        "supplier_region", "part_brands", "events_by_type", "user_topk",
+        "user_sessions", "events_tumbling_window", "events_hopping_window",
+        "top_events_per_user", "events_value_median", "events_running_total",
+        "events_lag_delta", "events_value_rank", "events_asof_join",
+        "events_pivot", "orders_rollup", "signup_purchase_funnel",
+        "events_props_stats", "retention_cohorts", "event_transitions",
+        "returned_item_report", "impute_values", "value_histogram",
+        "stratified_sample",
+    }
+)
 
 
 # ---------------------------------------------------------------------------
