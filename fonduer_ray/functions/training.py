@@ -430,43 +430,39 @@ def packed_sequence_text(
     every row except the final sequence carries exactly ``seq_len``
     tokens.
 
-    Scale design: the map joins to the (doc_id, text) table with a
-    hash-partition ``Dataset.join`` (both sides shuffle on doc_id; a doc's
-    slices are contiguous so the join fans out at most
-    ceil(doc_len/seq_len)+1 rows per doc), each joined row slices its
-    token range vectorized, and one ``hash_groupby`` on ``seq_id``
-    concatenates slices ordered by ``seq_tok_start``. Nothing driver-side
-    beyond the packing prefix sum's bucket partials."""
-    from fonduer_ray.stages.util import join_partitions
-
-    # repartition: pack_sequences' bucket map_groups can emit zero-column
-    # empty blocks (skipped by its final map_batches) that would break the
-    # join below when a join partition receives only such shards
-    mapping = pack_sequences(ds, seq_len=seq_len, n_buckets=n_buckets).repartition(
-        join_partitions()
-    )
-    joined = mapping.join(
-        ds,
-        "inner",
-        num_partitions=join_partitions(),
-        on=("doc_id",),
-    )
+    Scale design: the (narrow, 5-int-column) assignment map is first
+    collapsed to ONE row per document carrying its slice list, so the text
+    join ships each document's text exactly once — a 25k-token doc at
+    seq_len=256 previously paid ~100x text replication through the join
+    shuffle (per-slice join rows). Each joined row splits its text once
+    and emits per-slice substrings; one ``hash_groupby`` on ``seq_id``
+    then concatenates slices ordered by ``seq_tok_start``. Shuffle bytes
+    are O(corpus text) + O(slice count x 40B), independent of the
+    slices-per-doc fanout. Nothing driver-side beyond the packing prefix
+    sum's bucket partials."""
+    mapping = pack_sequences(ds, seq_len=seq_len, n_buckets=n_buckets)
+    joined = _per_doc_slices(mapping, ds)
 
     def slice_rows(batch: pa.Table) -> pa.Table:
-        texts = []
-        for text, s, k in zip(
-            batch["text"].to_pylist(),
-            batch["doc_tok_start"].to_pylist(),
-            batch["n_toks"].to_pylist(),
+        seq_ids, sstarts_out, ntoks_out, parts = [], [], [], []
+        for text, blob in zip(
+            batch["text"].to_pylist(), batch["slices"].to_pylist()
         ):
+            sids, dstarts, sstarts, ks = np.frombuffer(
+                blob, dtype=np.int64
+            ).reshape(4, -1)
             toks = (text or "").split()
-            texts.append(" ".join(toks[s : s + k]))
+            for sid, s, ss, k in zip(sids, dstarts, sstarts, ks):
+                seq_ids.append(sid)
+                sstarts_out.append(ss)
+                ntoks_out.append(k)
+                parts.append(" ".join(toks[s : s + k]))
         return pa.table(
             {
-                "seq_id": batch["seq_id"],
-                "seq_tok_start": batch["seq_tok_start"],
-                "n_toks": batch["n_toks"],
-                "part": pa.array(texts, pa.string()),
+                "seq_id": pa.array(seq_ids, pa.int64()),
+                "seq_tok_start": pa.array(sstarts_out, pa.int64()),
+                "n_toks": pa.array(ntoks_out, pa.int64()),
+                "part": pa.array(parts, pa.string()),
             }
         )
 
@@ -488,6 +484,41 @@ def packed_sequence_text(
         joined.map_batches(slice_rows, batch_format="pyarrow"),
         ["seq_id"],
         assemble,
+    )
+
+
+def _per_doc_slices(
+    mapping: "ray.data.Dataset", ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Collapse the ``pack_sequences`` assignment map to one row per doc
+    and join the document text on — each doc's text crosses the join
+    shuffle exactly once, regardless of how many sequences the doc spans.
+    The slice lists ride as ONE binary column (a 4xK int64 matrix:
+    seq_id / doc_tok_start / seq_tok_start / n_toks per slice) because
+    Acero's hash join rejects list-typed payload columns. Exposed for the
+    replication regression test (asserts joined row count == n_docs, not
+    n_slices)."""
+    from fonduer_ray.stages.util import join_partitions
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "doc_tok_start"], kind="stable")
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            mat = np.array(
+                [g["seq_id"], g["doc_tok_start"], g["seq_tok_start"], g["n_toks"]],
+                dtype=np.int64,
+            )
+            rows.append({"doc_id": int(doc_id), "slices": mat.tobytes()})
+        return pd.DataFrame(rows, columns=["doc_id", "slices"])
+
+    # join_safe: hash_groupby's map_groups can emit zero-column empty
+    # blocks that break Dataset.join partitions receiving only such shards
+    per_doc_map = hash_groupby(mapping, ["doc_id"], per_doc, join_safe=True)
+    return per_doc_map.join(
+        ds,
+        "inner",
+        num_partitions=join_partitions(),
+        on=("doc_id",),
     )
 
 

@@ -284,6 +284,29 @@ def test_packed_sequence_text_matches_manual_concat():
     assert out.n_toks.sum() == len(stream)
 
 
+def test_packed_text_join_ships_each_doc_once():
+    # one 5000-token doc at seq_len=16 spans ~313 sequences; the text join
+    # must still carry exactly ONE row (slice lists), not one per slice —
+    # the round-3 shape flaw replicated the full text per slice row
+    long_doc = " ".join(f"w{j}" for j in range(5000))
+    ds = _docs([long_doc, "a b c"], ids=[0, 1])
+    mapping = training.pack_sequences(ds, seq_len=16)
+    n_slices = mapping.count()
+    assert n_slices > 300  # the fanout the join must NOT pay
+    joined = training._per_doc_slices(mapping, ds)
+    assert joined.count() == 2  # one row per doc: text crosses the join once
+    # and the end result is still the exact concat-and-chunk stream
+    out = (
+        training.packed_sequence_text(ds, seq_len=16)
+        .to_pandas()
+        .sort_values("seq_id", ignore_index=True)
+    )
+    stream = long_doc.split() + ["a", "b", "c"]
+    assert out.n_toks.sum() == len(stream)
+    got = " ".join(out.sort_values("seq_id").text)
+    assert got.split() == stream
+
+
 def test_clean_corpus_composes_component_verdicts():
     texts = [
         # quality-passing English-ish docs need >=20 words, >=2 stopwords
