@@ -585,8 +585,12 @@ def grouped_percentiles(
     cents_ds = src.map_batches(to_cents, batch_format="pyarrow").materialize()
     stats = cents_ds.aggregate(Min("cents"), Max("cents"))
     if stats is None or stats.get("min(cents)") is None:
+        # derive the empty group column's type from the input schema so
+        # the empty result unions/compares cleanly with non-empty runs
+        # (a hardcoded string type diverges for int group keys)
+        g_field = ds.schema().base_schema.field(group_col)
         return ray.data.from_arrow(
-            pa.table({group_col: pa.array([], pa.string()),
+            pa.table({group_col: pa.array([], g_field.type),
                       "pct": pa.array([], pa.int64()),
                       "value": pa.array([], pa.float64())})
         )
@@ -749,61 +753,107 @@ def bloom_probe(
 # ------------------------------------------------------- heavy hitters
 
 
+#: above this many sketch-surviving candidate tokens the candidate set is
+#: no longer collected/broadcast as a driver frozenset — the verify pass
+#: filters per-block against the (bounded, broadcast-once) CMS directly,
+#: which is EXACTLY the candidate-membership predicate, so both paths are
+#: bit-identical (the guarded switch shared with textstats.lm_unigram_score)
+HH_CANDIDATE_BROADCAST_LIMIT = 1_000_000
+
+#: hard bound on driver-side CMS state: depth x width cells collect to the
+#: driver once (take_all below); at 64M int64 cells that is ~512MB — past
+#: it the sketch should be widened via sharded sub-sketches instead
+CMS_DRIVER_CELL_LIMIT = 64 * 1024 * 1024
+
+
 def heavy_hitters(
     ds: "ray.data.Dataset",
     threshold: int = 1000,
     depth: int = 4,
     width: int = 1024,
+    broadcast_limit: int = HH_CANDIDATE_BROADCAST_LIMIT,
 ) -> "ray.data.Dataset":
     """EXACT heavy hitters (3-shingles occurring >= ``threshold`` times)
     via the sketch-guided candidate + exact-verify pattern: pass 1 builds
     the count-min sketch (:func:`cms_counters` — bounded depth x width
     state); because CMS never underestimates, every true heavy hitter
     survives the sketch filter, so pass 2 only has to count EXACTLY the
-    candidate shingles whose estimate clears the threshold (a broadcast
-    set, sized by the sketch's overestimate rate, not the vocabulary) and
-    drop the false positives. Output: ``(token, n)`` exact counts — the
-    sketch bounds the state, the verify pass restores exactness."""
-    from ray import cloudpickle  # noqa: F401  (parity with module imports)
+    shingles whose estimate clears the threshold and drop the false
+    positives. Output: ``(token, n)`` exact counts — the sketch bounds the
+    state, the verify pass restores exactness.
 
+    Scale guard: the candidate set (true heavy hitters + CMS-collision
+    false positives — vocabulary-sized when width is too small for the
+    corpus) is counted BEFORE any driver collection. At or below
+    ``broadcast_limit`` it ships once as a frozenset (fast set lookups in
+    the verify pass); above it nothing is collected — the verify pass
+    re-evaluates the CMS min-count predicate per block against the
+    broadcast (depth x width, bounded) cell matrix, which defines
+    candidate membership, so the two paths return identical rows."""
+    if depth * width > CMS_DRIVER_CELL_LIMIT:
+        raise ValueError(
+            f"CMS sketch {depth}x{width} exceeds the driver cell bound "
+            f"({CMS_DRIVER_CELL_LIMIT}); use sharded sub-sketches instead"
+        )
+
+    # bounded by construction: cms_counters emits <= depth*width rows
     sketch = cms_counters(ds, depth=depth, width=width).take_all()
-    cells: dict[tuple[int, int], int] = {
-        (int(r["row"]), int(r["col"])): int(r["count"]) for r in sketch
-    }
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for r in sketch:
+        cells[int(r["row"]), int(r["col"])] = int(r["count"])
+    cells_ref = ray.put(cells)
+
+    from fonduer_ray.stages.util import get_broadcast as _gb
+
+    def _survives(c: "np.ndarray", s: str) -> bool:
+        return all(
+            c[r, _md5_64(f"{r}:{s}") % width] >= threshold
+            for r in range(depth)
+        )
 
     def candidate_partial(t: pa.Table) -> pa.Table:
+        c = _gb(cells_ref)
         seen: set[str] = set()
         for text in t["text"].to_pylist():
             seen.update(_shingles(text))
-        cands = [
-            s
-            for s in seen
-            if min(
-                cells.get((r, _md5_64(f"{r}:{s}") % width), 0)
-                for r in range(depth)
-            )
-            >= threshold
-        ]
+        cands = [s for s in seen if _survives(c, s)]
         return pa.table({"token": pa.array(sorted(cands), pa.string())})
 
-    cand_rows = hash_groupby(
+    cand_ds = hash_groupby(
         ds.select_columns(["text"]).map_batches(
             candidate_partial, batch_format="pyarrow"
         ),
         ["token"],
         lambda df: df.drop_duplicates(ignore_index=True),
-    ).take_all()
-    cand_set = frozenset(r["token"] for r in cand_rows)
-    cand_ref = ray.put(cand_set)
+    ).materialize()
 
-    from fonduer_ray.stages.util import get_broadcast as _gb
+    if cand_ds.count() <= broadcast_limit:
+        cand_ref = ray.put(
+            frozenset(
+                tok
+                for b in cand_ds.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for tok in b["token"].to_pylist()
+            )
+        )
+
+        def is_candidate(c, cand, s):  # set-membership fast path
+            return s in cand
+
+    else:
+        cand_ref = ray.put(None)  # nothing driver-side above the limit
+
+        def is_candidate(c, cand, s):  # CMS predicate == membership
+            return _survives(c, s)
 
     def exact_partial(t: pa.Table) -> pa.Table:
+        c = _gb(cells_ref)
         cand = _gb(cand_ref)
         counts: dict[str, int] = {}
         for text in t["text"].to_pylist():
             for s in _shingles(text):
-                if s in cand:
+                if is_candidate(c, cand, s):
                     counts[s] = counts.get(s, 0) + 1
         return pa.table(
             {

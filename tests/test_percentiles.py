@@ -111,3 +111,12 @@ def test_percentiles_empty_input(ray_session):
     )
     assert exact_percentiles(empty.select_columns(["value"])).count() == 0
     assert grouped_percentiles(empty, "grp").count() == 0
+    # an INT group key must keep its type in the empty result (the r3
+    # early-return hardcoded string, breaking unions with non-empty runs)
+    empty_int = ray.data.from_arrow(
+        pa.table({"gid": pa.array([], pa.int64()),
+                  "value": pa.array([], pa.float64())})
+    )
+    out = grouped_percentiles(empty_int, "gid")
+    assert out.count() == 0
+    assert out.schema().base_schema.field("gid").type == pa.int64()

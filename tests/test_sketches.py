@@ -287,3 +287,37 @@ def test_heavy_hitters_exact_at_any_sketch_width(ray_session):
         for r in heavy_hitters(docs, threshold=100, width=8).take_all()
     }
     assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_broadcast_and_cms_paths_equal(ray_session):
+    import ray.data
+
+    from fonduer_ray.functions.sketches import heavy_hitters
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": ("hot gram one " * 10) + f"cold {i} tail x"}
+         for i in range(20)]
+    )
+    broad = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(docs, threshold=50, width=16).take_all()
+    }
+    # broadcast_limit=0 forces the no-driver-collection CMS-predicate path
+    joined = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(
+            docs, threshold=50, width=16, broadcast_limit=0
+        ).take_all()
+    }
+    assert broad == joined and len(broad) > 0
+
+
+def test_heavy_hitters_rejects_unbounded_driver_sketch(ray_session):
+    import pytest
+    import ray.data
+
+    from fonduer_ray.functions.sketches import heavy_hitters
+
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a b c d"}])
+    with pytest.raises(ValueError, match="driver cell bound"):
+        heavy_hitters(docs, depth=8, width=16 * 1024 * 1024)
