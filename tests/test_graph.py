@@ -113,6 +113,48 @@ def test_triangles_brute(undirected):
     assert got_map == want
 
 
+def test_triangle_wedges_degree_bounded_on_star():
+    # hub node 0 with 400 leaves: lowest-ID orientation would wedge
+    # O(N^2)=79800 pairs at the hub; degree orientation points every edge
+    # leaf->hub, so NO node has 2 out-edges and zero wedges are generated
+    star = [(0, i) for i in range(1, 401)]
+    wedges = G._oriented_wedges(_edges_ds(star, cols=("a", "b")))
+    assert wedges.count() == 0
+    assert G.triangle_counts(_edges_ds(star, cols=("a", "b"))).count() == 0
+
+
+def test_triangles_on_hub_with_closures():
+    # hub 0 + leaves 1..50, plus a few leaf-leaf closing edges: each
+    # closing edge (i, j) forms exactly one triangle (0, i, j)
+    edges = [(0, i) for i in range(1, 51)] + [(1, 2), (3, 4), (5, 6)]
+    got = G.triangle_counts(_edges_ds(edges, cols=("a", "b"))).to_pandas()
+    got_map = dict(zip(got["node"], got["n_triangles"]))
+    assert got_map == {0: 3, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+    # degree orientation keeps wedge fanout linear: the only wedges come
+    # from degree<=3 leaf apexes, never the hub's C(50,2)
+    n_wedges = G._oriented_wedges(_edges_ds(edges, cols=("a", "b"))).count()
+    assert n_wedges <= len(edges)
+
+
+def test_oriented_wedges_broadcast_and_join_paths_equal():
+    edges = [(0, i) for i in range(1, 20)] + [(1, 2), (3, 4), (2, 3)]
+    fast = (
+        G._oriented_wedges(_edges_ds(edges, cols=("a", "b")))
+        .to_pandas()
+        .sort_values(["apex", "wa", "wb"], ignore_index=True)
+    )
+    # broadcast_limit=0 forces the endpoint-exploded join path
+    joined = (
+        G._oriented_wedges(_edges_ds(edges, cols=("a", "b")), broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["apex", "wa", "wb"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, joined)
+    assert len(fast) > 0
+
+
 def test_components_brute(undirected):
     got = G.components(_edges_ds(undirected, cols=("a", "b"))).to_pandas()
     parent: dict[int, int] = {}
