@@ -1033,6 +1033,8 @@ def warc_roundtrip_stats(sf_dir: str) -> "ray.data.Dataset":
         back = read_warc(sorted(glob.glob(f"{out}/*.warc.gz")))
 
         def stats(t: pa.Table) -> pa.Table:
+            from datetime import timezone
+
             ids, digests, tss = [], [], []
             for url, html, ts in zip(
                 t["url"].to_pylist(),
@@ -1041,11 +1043,15 @@ def warc_roundtrip_stats(sf_dir: str) -> "ray.data.Dataset":
             ):
                 ids.append(int(url))
                 digests.append(hashlib.md5(html or b"").hexdigest())
-                tss.append(
-                    int(ts.timestamp() * 1_000_000)
-                    if hasattr(ts, "timestamp")
-                    else int(ts)
-                )
+                if hasattr(ts, "timestamp"):
+                    # naive datetime from Arrow timestamp("us") — WARC
+                    # dates are UTC; pin before .timestamp() so the
+                    # result doesn't depend on the process timezone.
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    tss.append(int(ts.timestamp() * 1_000_000))
+                else:
+                    tss.append(int(ts))
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),

@@ -13,6 +13,8 @@ the SQL oracle agree bit-for-bit regardless of summation order.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -165,7 +167,14 @@ def attach_lookup(
     At or below ``broadcast_limit`` it is shipped ONCE via ``ray.put`` and
     applied as a vectorized dict lookup inside ``map_batches`` — no
     shuffle of the big side. Above the limit both sides hash-partition
-    through ``Dataset.join`` so nothing driver-sized ever materializes."""
+    through ``Dataset.join`` so nothing driver-sized ever materializes.
+
+    PRECONDITION: ``lookup_key`` must be UNIQUE on the lookup side (it is
+    a dimension/primary key at every call site). The two strategies
+    diverge on duplicates — the broadcast dict silently keeps the last
+    row per key while ``Dataset.join`` multiplies rows (SQL semantics) —
+    so a non-unique lookup would flip results with ``broadcast_limit``.
+    Under ``FONDUER_RAY_DEBUG=1`` the broadcast path asserts uniqueness."""
     vals = [val] if isinstance(val, str) else list(val)
     n_lookup = lookup.count()
     lookup = lookup.select_columns([lookup_key] + vals)
@@ -173,18 +182,23 @@ def attach_lookup(
     if n_lookup <= broadcast_limit:
         schema = lookup.schema()
         types = dict(zip(schema.names, schema.types))
-        lkp_ref = ray.put(
-            {
-                row[0]: row[1:]
-                for batch in lookup.iter_batches(
-                    batch_size=65536, batch_format="pyarrow"
-                )
-                for row in zip(
-                    batch[lookup_key].to_pylist(),
-                    *(batch[v].to_pylist() for v in vals),
-                )
-            }
-        )
+        lkp = {
+            row[0]: row[1:]
+            for batch in lookup.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for row in zip(
+                batch[lookup_key].to_pylist(),
+                *(batch[v].to_pylist() for v in vals),
+            )
+        }
+        if os.environ.get("FONDUER_RAY_DEBUG") == "1" and len(lkp) != n_lookup:
+            raise ValueError(
+                f"attach_lookup: lookup key '{lookup_key}' is not unique "
+                f"({n_lookup} rows, {len(lkp)} distinct keys); broadcast "
+                "and join paths would diverge"
+            )
+        lkp_ref = ray.put(lkp)
 
         def attach(t: pa.Table) -> pa.Table:
             lkp = get_broadcast(lkp_ref)
@@ -1718,16 +1732,26 @@ def impute_values(sf_dir: str, null_every: int = 13) -> "ray.data.Dataset":
             pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
         missing = ids % null_every == 0
+        # An event_type with NO present rows has no mean; the oracle's
+        # inner join to the per-type means drops such rows, so mirror
+        # that: fill with m.get(..., 0) then mask out rows whose type
+        # is absent from the means table (np.where evaluates both
+        # branches, so a bare m[et] would KeyError on them).
+        types = t["event_type"].to_pylist()
+        has_mean = np.array([et in m for et in types])
         filled = np.where(
             missing,
-            np.array([m[et] for et in t["event_type"].to_pylist()]),
+            np.array([m.get(et, 0) for et in types]),
             cents,
         )
+        keep = has_mean
         return pa.table(
             {
-                "event_id": t["event_id"],
-                "filled_cents": pa.array(filled, pa.int64()),
-                "imputed": pa.array(missing.astype(np.int64), pa.int64()),
+                "event_id": pa.array(ids[keep], pa.int64()),
+                "filled_cents": pa.array(filled[keep], pa.int64()),
+                "imputed": pa.array(
+                    missing[keep].astype(np.int64), pa.int64()
+                ),
             }
         )
 

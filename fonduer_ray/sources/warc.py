@@ -220,6 +220,11 @@ def rows_to_warc_bytes(table: pa.Table) -> bytes:
             rtype, ctype = "conversion", "text/plain"
         ts = row.get("warc_ts")
         if hasattr(ts, "timestamp"):  # datetime from Arrow timestamp
+            # Arrow timestamp("us") without tz round-trips to a NAIVE
+            # datetime whose .timestamp() is local-tz dependent; WARC
+            # dates are UTC by spec, so pin UTC before converting.
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
             ts_us = int(ts.timestamp() * 1_000_000)
         else:
             ts_us = int(ts or 0)

@@ -212,7 +212,17 @@ def read_upserted(out_dir: str, key_col: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(out_dir, file_extensions=["parquet"])
 
     def latest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("_gen", kind="stable")
+        # Secondary sort on a content hash: among duplicate keys within
+        # the SAME generation the survivor must not depend on partition
+        # row order, or repeated reads of one store could differ.
+        row_hash = pd.util.hash_pandas_object(
+            df.drop(columns=["_gen"]), index=False
+        ).to_numpy()
+        df = (
+            df.assign(_rh=row_hash)
+            .sort_values(["_gen", "_rh"], kind="stable")
+            .drop(columns=["_rh"])
+        )
         return df.drop_duplicates(key_col, keep="last").drop(columns=["_gen"])
 
     return hash_groupby(ds, [key_col], latest)

@@ -378,3 +378,32 @@ def test_join_safe_partition_matrix(ray_session, n_keys, n_partitions, join_part
         for k in range(n_keys)
     }
     assert rows == want
+
+
+def test_impute_values_all_missing_type(ray_session, tmp_path):
+    """An event_type whose rows are ALL deterministically missing (every
+    event_id % 13 == 0) has no mean; the oracle's inner join drops those
+    rows — the Ray path must mirror that instead of raising KeyError."""
+    from fonduer_ray.pipelines.relational import impute_values
+
+    # type "z" only gets ids that are multiples of 13 → all missing
+    ids = [13, 26, 39, 1, 2, 3, 4, 5]
+    types = ["z", "z", "z", "a", "a", "a", "a", "a"]
+    df = pd.DataFrame(
+        {
+            "event_id": np.array(ids, dtype=np.int64),
+            "event_type": types,
+            "value": np.linspace(1.0, 8.0, 8).round(2),
+            "ts": np.datetime64("2024-01-01", "us"),
+            "user_id": np.int64(1),
+            "props": "",
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    got = impute_values(str(tmp_path)).to_pandas()
+    # all three z rows drop (no mean to join); the five a rows survive
+    assert set(got.event_id) == {1, 2, 3, 4, 5}
+    assert (got.imputed == 0).all()
