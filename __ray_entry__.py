@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples_kg_spec": docops.triples_via_spec,
         "triples_kg_incremental": docops.triples_incremental,
         "warc_roundtrip_stats": docops.warc_roundtrip_stats,
+        "gold_label_eval": docops.gold_label_eval,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -2035,6 +2036,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "gold_label_eval": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            pred AS (
+              SELECT DISTINCT a.doc_id, a.w AS s, b.w AS o
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT)
+                   = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+            ),
+            gold AS (
+              SELECT DISTINCT a.doc_id, a.w AS s, b.w AS o
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT)
+                   = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 5
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+               AND CAST(('0x' || substring(md5(
+                     CAST(a.doc_id AS VARCHAR) || ':' || a.w || ':' || b.w
+                   ), 1, 16)) AS UBIGINT) % 2 = 0
+            ),
+            contrib AS (
+              SELECT p.doc_id, 1 AS n_pred, 0 AS n_gold,
+                     CASE WHEN g.s IS NOT NULL THEN 1 ELSE 0 END AS n_tp
+              FROM pred p LEFT JOIN gold g
+                ON p.doc_id = g.doc_id AND p.s = g.s AND p.o = g.o
+              UNION ALL
+              SELECT doc_id, 0, 1, 0 FROM gold
+            )
+            SELECT doc_id,
+                   CAST(sum(n_pred) AS BIGINT) AS n_pred,
+                   CAST(sum(n_gold) AS BIGINT) AS n_gold,
+                   CAST(sum(n_tp) AS BIGINT) AS n_tp
+            FROM contrib GROUP BY doc_id
         """,
         "warc_roundtrip_stats": """
             WITH raw AS (

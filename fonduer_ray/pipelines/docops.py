@@ -1064,3 +1064,99 @@ def warc_roundtrip_stats(sf_dir: str) -> "ray.data.Dataset":
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+# -- gold-label annotation ---------------------------------------------------
+
+#: gold window is WIDER than the candidate throttler's (some gold pairs are
+#: unreachable by extraction -> real false negatives) and md5-halved (some
+#: predicted pairs are not gold -> real false positives)
+GOLD_WINDOW = 5
+
+
+def _gold_entities(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic external-gold stand-in: distinct (doc_id, subj, obj)
+    token pairs within one PARA_TOKENS block at distance <= GOLD_WINDOW,
+    kept when md5_64(f"{doc_id}:{subj}:{obj}") is even — the synthesis a
+    reference user's hand-curated gold CSV plays in the e2e tests
+    (``tests/shared/hardware_utils.py:28-56`` loads exactly such an
+    entity-tuple table). Derived per doc row, so 'distinct' needs no
+    shuffle: one doc's text lives in one row."""
+    from fonduer_ray.functions.dedup import _md5_64
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        docs, subjs, objs = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (text or "").split()
+            seen: set[tuple[str, str]] = set()
+            subj_pos = [
+                (i, w) for i, w in enumerate(toks) if w in SUBJ_DICT
+            ]
+            obj_pos = [(i, w) for i, w in enumerate(toks) if w in OBJ_DICT]
+            for ia, wa in subj_pos:
+                for ib, wb in obj_pos:
+                    if ia // PARA_TOKENS != ib // PARA_TOKENS:
+                        continue
+                    if abs(ia - ib) > GOLD_WINDOW:
+                        continue
+                    seen.add((wa, wb))
+            for wa, wb in sorted(seen):
+                if _md5_64(f"{doc_id}:{wa}:{wb}") % 2 == 0:
+                    docs.append(int(doc_id))
+                    subjs.append(wa)
+                    objs.append(wb)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "subj": pa.array(subjs, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def gold_label_eval(sf_dir: str) -> "ray.data.Dataset":
+    """First-class gold-label path (reference ``supervision/labeler.py``
+    ``table=GoldLabel`` + ``hardware_utils.entity_level_f1``): candidates
+    from the REAL parse->mention->candidate stages collapse to distinct
+    entity tuples, an external gold entity table joins on via
+    :func:`fonduer_ray.stages.gold.attach_gold_labels` (size-guarded
+    broadcast vs hash join), and the entity-level confusion aggregates
+    per doc. Columns: ``(doc_id, n_pred, n_gold, n_tp)``."""
+    import pandas as pd
+
+    from fonduer_ray.stages.gold import attach_gold_labels, entity_confusion
+    from fonduer_ray.stages.util import hash_groupby
+
+    cands = candidates_table(candidate_docs(sf_dir))
+
+    def prep(t: pa.Table) -> pa.Table:
+        docs, subjs, objs = [], [], []
+        for doc_name, texts in zip(
+            t["doc_name"].to_pylist(), t["arg_texts"].to_pylist()
+        ):
+            docs.append(int(doc_name))
+            subjs.append(texts[0])
+            objs.append(texts[1])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "subj": pa.array(subjs, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            }
+        )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    pred = hash_groupby(
+        cands.map_batches(prep, batch_format="pyarrow"),
+        ["doc_id", "subj", "obj"],
+        distinct,
+    )
+    gold = _gold_entities(sf_dir)
+    labeled = attach_gold_labels(pred, gold, ["doc_id", "subj", "obj"])
+    return entity_confusion(labeled, gold)
