@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_person_mentions": docops.ner_person_mentions,
         "hocr_visual_stats": docops.hocr_visual_stats,
         "jpeg_decode_stats": docops.jpeg_decode_stats,
+        "mp3_audio_stats": docops.mp3_audio_stats,
         "video_frame_stats": docops.video_frame_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
         "boilerplate_stats": docops.boilerplate_stats,
@@ -810,6 +811,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
                    CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
                    CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+            FROM documents
+        """,
+        # silent CBR MPEG1-L3 fixture: 5 + id%7 frames of 1152 samples,
+        # bitrate (96,112,128,160)[id%4], stereo when id is even
+        "mp3_audio_stats": """
+            SELECT doc_id,
+                   CAST(5 + doc_id % 7 AS BIGINT) AS n_mp3_frames,
+                   CAST((5 + doc_id % 7) * 1152 AS BIGINT) AS n_samples,
+                   CAST(44100 AS BIGINT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                     AS n_channels,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 112
+                        WHEN 2 THEN 128 ELSE 160 END AS BIGINT)
+                     AS bitrate_kbps
             FROM documents
         """,
         # MJPEG-AVI fixture: 3 + id%3 uniform frames, every 2nd sampled

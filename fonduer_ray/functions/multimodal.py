@@ -2,10 +2,12 @@
 
 Decode kernels are REAL for PNG, BMP, baseline JPEG (``functions/jpeg.py``,
 pure-numpy Huffman+DCT), PCM WAV audio (``functions/codecs.py``) and
-MJPEG-AVI video (``functions/avi.py`` — RIFF container + per-frame JPEG).
-MP3 and inter-frame video codecs (H.264 etc.) remain stubbed: those land
-on the per-row ``error`` side channel (or raise at construction where the
-whole stage is unusable) unless ``fake=True`` supplies the deterministic
+MJPEG-AVI video (``functions/avi.py`` — RIFF container + per-frame JPEG),
+and MP3 frame-header metadata (``functions/mp3.py`` — duration/bitrate/
+sample-rate/channels from the header walk; PCM synthesis stays out).
+Inter-frame video codecs (H.264 etc.) remain stubbed: those land on the
+per-row ``error`` side channel (or raise at construction where the whole
+stage is unusable) unless ``fake=True`` supplies the deterministic
 stand-in used by the plumbing tests. In a container with the real
 libraries the stand-ins swap out behind the same stage signatures.
 
@@ -173,9 +175,15 @@ class ImageEmbed:
 
 class AudioDecode:
     """binary -> (key, sample_rate, n_channels, n_frames, duration_sec,
-    rms, error): real PCM WAV decode via the stdlib wave module."""
+    rms, error): real PCM WAV decode via the stdlib wave module, and a
+    REAL MPEG-audio (MP3) frame-header walk (``functions/mp3.py``) for
+    metadata — sample rate, channels, sample count, duration. MP3 PCM
+    synthesis (Huffman + IMDCT) stays out of scope, so ``rms`` is 0.0
+    for MP3 rows; everything else is exact from the headers."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from fonduer_ray.functions.mp3 import mp3_parse, sniff_mp3
+
         rows = []
         for key, payload in zip(batch["key"].to_pylist(), batch["data"].to_pylist()):
             payload = payload or b""
@@ -189,14 +197,21 @@ class AudioDecode:
                 "error": None,
             }
             try:
-                samples, rate = codecs.wav_decode(payload)
-                row["sample_rate"] = rate
-                row["n_channels"] = samples.shape[1]
-                row["n_frames"] = samples.shape[0]
-                row["duration_sec"] = samples.shape[0] / rate if rate else 0.0
-                row["rms"] = float(
-                    np.sqrt(np.mean(samples.astype(np.float64) ** 2))
-                )
+                if sniff_mp3(payload):
+                    meta = mp3_parse(payload)
+                    row["sample_rate"] = meta["sample_rate"]
+                    row["n_channels"] = meta["n_channels"]
+                    row["n_frames"] = meta["n_samples"]
+                    row["duration_sec"] = meta["duration_sec"]
+                else:
+                    samples, rate = codecs.wav_decode(payload)
+                    row["sample_rate"] = rate
+                    row["n_channels"] = samples.shape[1]
+                    row["n_frames"] = samples.shape[0]
+                    row["duration_sec"] = samples.shape[0] / rate if rate else 0.0
+                    row["rms"] = float(
+                        np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                    )
             except Exception as exc:  # noqa: BLE001
                 row["error"] = str(exc)
             rows.append(row)

@@ -1160,3 +1160,57 @@ def gold_label_eval(sf_dir: str) -> "ray.data.Dataset":
     gold = _gold_entities(sf_dir)
     labeled = attach_gold_labels(pred, gold, ["doc_id", "subj", "obj"])
     return entity_confusion(labeled, gold)
+
+
+class _Mp3StatsStage:
+    """Deterministic MP3 fixture -> real frame-header walk -> closed-form
+    stats. Each doc_id derives a silent CBR MPEG1-L3 stream: ``5 + id%7``
+    frames, bitrate ``(96,112,128,160)[id%4]`` kbps at 44100 Hz, stereo
+    when id is even, with an ID3v2 tag of ``id%11`` junk bytes prepended
+    (exercising the synchsafe skip). All output fields are integers the
+    oracle knows in closed form; duration derives as n_samples/44100
+    downstream. Encode + parse both run inside the stage (one pass, no
+    payload shuffle); AudioDecode covers the same parse via tests."""
+
+    BITRATES = (96, 112, 128, 160)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from fonduer_ray.functions.mp3 import mp3_encode_silent, mp3_parse
+
+        ids, frames, samples, rates, chans, kbps = [], [], [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            data = mp3_encode_silent(
+                n_frames=5 + doc_id % 7,
+                bitrate_kbps=self.BITRATES[doc_id % 4],
+                sample_rate=44100,
+                stereo=doc_id % 2 == 0,
+                id3v2_junk=doc_id % 11,
+            )
+            meta = mp3_parse(data)
+            ids.append(doc_id)
+            frames.append(meta["n_frames"])
+            samples.append(meta["n_samples"])
+            rates.append(meta["sample_rate"])
+            chans.append(meta["n_channels"])
+            kbps.append(meta["bitrate_kbps"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_mp3_frames": pa.array(frames, pa.int64()),
+                "n_samples": pa.array(samples, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_channels": pa.array(chans, pa.int64()),
+                "bitrate_kbps": pa.array(kbps, pa.int64()),
+            }
+        )
+
+
+def mp3_audio_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_mp3_frames, n_samples, sample_rate, n_channels,
+    bitrate_kbps) through the real MP3 encode->frame-walk path
+    (``functions/mp3.py``), oracle-checked in closed form against the
+    doc_id-derived fixture parameters."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return map_stage(ds, _Mp3StatsStage, {}, 64)
