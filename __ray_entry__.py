@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples_kg_incremental": docops.triples_incremental,
         "warc_roundtrip_stats": docops.warc_roundtrip_stats,
         "gold_label_eval": docops.gold_label_eval,
+        "url_canonical_stats": docops.url_canonical_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -811,6 +812,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
                    CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
                    CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+            FROM documents
+        """,
+        # messy-URL fixture: the canonical form is closed-form from
+        # (doc_id, source) — tracker params dropped, query sorted,
+        # default port/userinfo/fragment/trailing-slash removed
+        "url_canonical_stats": """
+            SELECT doc_id,
+                   'www.' || source || '.example.com' AS host,
+                   'https://www.' || source || '.example.com/Docs/'
+                     || CAST(doc_id AS VARCHAR) || '?a='
+                     || CAST(doc_id % 7 AS VARCHAR) || '&z=9'
+                     AS canonical_url
             FROM documents
         """,
         # silent CBR MPEG1-L3 fixture: 5 + id%7 frames of 1152 samples,

@@ -1,0 +1,103 @@
+"""URL canonicalization for web corpora.
+
+Common-Crawl-scale pipelines dedupe and group by CANONICAL url — the raw
+``url`` column carries case noise, default ports, tracking parameters,
+fragments, and unsorted query strings that make byte-equality useless.
+(The reference ingests documents by name and never normalizes URLs; this
+is one of the LLM-data operators the brief adds on top of its surface.)
+
+Rules (the common subset of RFC 3986 normalization + tracker stripping):
+
+- scheme and host lowercase; userinfo dropped
+- default ports stripped (``:80`` for http, ``:443`` for https)
+- fragment dropped
+- query: split on ``&``, drop tracking keys (``utm_*``, ``fbclid``,
+  ``gclid``, ``msclkid``, ``ref``, ``mc_eid``), sort the rest bytewise
+  by ``key=value`` pair, re-join; an emptied query drops its ``?``
+- path kept verbatim except a single trailing ``/`` on a non-root path
+  is removed (root ``/`` survives)
+
+Pure ``map_batches`` — no state, no shuffle; at 100 TB this runs fused
+into the read stage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+_TRACKING_EXACT = frozenset({"fbclid", "gclid", "msclkid", "ref", "mc_eid"})
+
+
+def _is_tracking(key: str) -> bool:
+    return key.startswith("utm_") or key in _TRACKING_EXACT
+
+
+def canonicalize_url(url: str) -> str:
+    """One URL -> canonical form (see module rules). Malformed inputs
+    (no ``://``) are returned lowercased-scheme-less as-is."""
+    if "://" not in url:
+        return url
+    scheme, rest = url.split("://", 1)
+    scheme = scheme.lower()
+    # authority ends at the first /, ?, or #
+    end = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i != -1 and i < end:
+            end = i
+    authority, tail = rest[:end], rest[end:]
+    if "@" in authority:  # userinfo
+        authority = authority.rsplit("@", 1)[1]
+    host, _, port = authority.partition(":")
+    host = host.lower()
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        host = f"{host}:{port}"
+    # split off fragment first, then query
+    tail = tail.split("#", 1)[0]
+    path, _, query = tail.partition("?")
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    keep = sorted(
+        p
+        for p in query.split("&")
+        if p and not _is_tracking(p.partition("=")[0])
+    )
+    out = f"{scheme}://{host}{path}"
+    if keep:
+        out += "?" + "&".join(keep)
+    return out
+
+
+def url_host(canonical: str) -> str:
+    """Host (incl. any non-default port) of a canonical URL; '' when the
+    input has no authority."""
+    if "://" not in canonical:
+        return ""
+    rest = canonical.split("://", 1)[1]
+    end = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch)
+        if i != -1 and i < end:
+            end = i
+    return rest[:end]
+
+
+def canonicalize_urls(
+    ds: "ray.data.Dataset", url_col: str = "url"
+) -> "ray.data.Dataset":
+    """Append ``canonical_url`` and ``host`` columns."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        canonical = [canonicalize_url(u or "") for u in urls]
+        hosts = [url_host(c) for c in canonical]
+        return t.append_column(
+            "canonical_url", pa.array(canonical, pa.string())
+        ).append_column("host", pa.array(hosts, pa.string()))
+
+    return ds.map_batches(canon, batch_format="pyarrow")

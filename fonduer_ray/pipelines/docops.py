@@ -1214,3 +1214,29 @@ def mp3_audio_stats(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_docs(sf_dir, ["doc_id"])
     return map_stage(ds, _Mp3StatsStage, {}, 64)
+
+
+def url_canonical_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, host, canonical_url) through the real URL canonicalizer
+    (``functions/weburl.py``). Each doc derives a deliberately messy URL
+    — uppercase scheme/host, userinfo, default port, tracking params,
+    unsorted query, trailing slash, fragment — whose canonical form the
+    oracle knows in closed form."""
+    from fonduer_ray.functions.weburl import canonicalize_urls
+
+    ds = read_docs(sf_dir, ["doc_id", "source"])
+
+    def mess(t: pa.Table) -> pa.Table:
+        urls = [
+            f"HTTPS://User:Pw@WWW.{src}.Example.COM:443/Docs/{doc_id}/"
+            f"?utm_source=feed&z=9&a={doc_id % 7}&fbclid=xyz#frag"
+            for doc_id, src in zip(
+                t["doc_id"].to_pylist(), t["source"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    out = canonicalize_urls(ds.map_batches(mess, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "host", "canonical_url"])

@@ -1,0 +1,59 @@
+"""URL canonicalization (functions/weburl.py)."""
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.functions.weburl import (
+    canonicalize_url,
+    canonicalize_urls,
+    url_host,
+)
+
+
+def test_canonicalize_rules():
+    cases = {
+        # scheme/host lowercase, default port + userinfo + fragment drop
+        "HTTPS://U:p@WWW.Ex.COM:443/A/b#frag": "https://www.ex.com/A/b",
+        "HTTP://ex.com:80/": "http://ex.com/",
+        # non-default port survives
+        "http://ex.com:8080/x": "http://ex.com:8080/x",
+        # tracking params drop, rest sorted; emptied query drops '?'
+        "https://ex.com/p?utm_source=a&z=1&a=2": "https://ex.com/p?a=2&z=1",
+        "https://ex.com/p?utm_campaign=x&fbclid=y": "https://ex.com/p",
+        # trailing slash removed on non-root path, root kept
+        "https://ex.com/a/b/": "https://ex.com/a/b",
+        "https://ex.com/": "https://ex.com/",
+        # path case preserved; query with no '=' kept
+        "https://ex.com/CaseD?flag": "https://ex.com/CaseD?flag",
+        # no scheme -> returned as-is
+        "not a url": "not a url",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_url_host():
+    assert url_host("https://a.b.com/x?q=1") == "a.b.com"
+    assert url_host("http://a.b.com:8080") == "a.b.com:8080"
+    assert url_host("garbage") == ""
+
+
+def test_canonicalize_urls_dataset(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "HTTPS://Ex.COM:443/a/?utm_source=x&b=1",
+                        "http://other.org/p#f",
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+    )
+    rows = canonicalize_urls(ds).take_all()
+    assert rows[0]["canonical_url"] == "https://ex.com/a?b=1"
+    assert rows[0]["host"] == "ex.com"
+    assert rows[1]["canonical_url"] == "http://other.org/p"
+    assert rows[1]["host"] == "other.org"
