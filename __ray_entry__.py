@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_stats": docops.warc_roundtrip_stats,
         "gold_label_eval": docops.gold_label_eval,
         "url_canonical_stats": docops.url_canonical_stats,
+        "link_graph_stats": docops.link_graph_stats,
+        "host_inlink_counts": docops.host_inlink_counts,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -825,6 +827,38 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id % 7 AS VARCHAR) || '&z=9'
                      AS canonical_url
             FROM documents
+        """,
+        # linked-web fixture: doc i carries 1 + i%3 anchors, link k ->
+        # doc (7i+k) % N; canonical form closed-form from the target id
+        "link_graph_stats": """
+            WITH links AS (
+              SELECT d.doc_id, k.k AS link_pos,
+                     (7 * d.doc_id + k.k)
+                       % (SELECT count(*) FROM documents) AS tgt
+              FROM documents d, (VALUES (1),(2),(3)) k(k)
+              WHERE k.k <= 1 + d.doc_id % 3
+            )
+            SELECT doc_id,
+                   CAST(link_pos AS BIGINT) AS link_pos,
+                   'https://www.src' || CAST(tgt % 20 AS VARCHAR)
+                     || '.example.com/Docs/' || CAST(tgt AS VARCHAR)
+                     AS canonical_url,
+                   'www.src' || CAST(tgt % 20 AS VARCHAR)
+                     || '.example.com' AS dst_host,
+                   'anchor ' || CAST(tgt AS VARCHAR) AS anchor
+            FROM links
+        """,
+        "host_inlink_counts": """
+            WITH links AS (
+              SELECT (7 * d.doc_id + k.k)
+                       % (SELECT count(*) FROM documents) AS tgt
+              FROM documents d, (VALUES (1),(2),(3)) k(k)
+              WHERE k.k <= 1 + d.doc_id % 3
+            )
+            SELECT 'www.src' || CAST(tgt % 20 AS VARCHAR)
+                     || '.example.com' AS dst_host,
+                   count(*) AS n_inlinks
+            FROM links GROUP BY 1
         """,
         # silent CBR MPEG1-L3 fixture: 5 + id%7 frames of 1152 samples,
         # bitrate (96,112,128,160)[id%4], stereo when id is even

@@ -101,3 +101,67 @@ def canonicalize_urls(
         ).append_column("host", pa.array(hosts, pa.string()))
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _subtree_text(node) -> str:
+    """Concatenated text of a node's subtree (its own text + each child's
+    text and tail), document order — the anchor text of an <a> element."""
+    parts = [node.text or ""]
+    for ch in node.children:
+        parts.append(_subtree_text(ch))
+        parts.append(ch.tail or "")
+    return "".join(parts)
+
+
+def extract_links(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """HTML pages -> one row per ``<a href>`` link: ``(src_url, link_pos,
+    href, anchor)`` in document (DFS) order, 1-based ``link_pos`` per page.
+
+    The web-graph primitive for Common-Crawl-style corpora (outlink
+    extraction feeding host-graph construction); uses the same tolerant
+    HTML tree parser as the document pipeline (``parser/htmltree.py``),
+    so link extraction and text extraction agree on malformed markup.
+    Pure ``map_batches`` — downstream host-graph aggregation is one
+    hash shuffle on the canonical target host."""
+    from fonduer_ray.parser.htmltree import parse_html
+
+    def links(t: pa.Table) -> pa.Table:
+        srcs, poss, hrefs, anchors = [], [], [], []
+        for url, html in zip(
+            t[url_col].to_pylist(), t[html_col].to_pylist()
+        ):
+            root = parse_html(html or b"")
+            if root is None:
+                continue
+            pos = 0
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                # children pushed reversed so pop order is document order
+                stack.extend(reversed(node.children))
+                if node.tag != "a":
+                    continue
+                href = next(
+                    (v for k, v in node.attrs if k == "href"), None
+                )
+                if not href:
+                    continue
+                pos += 1
+                srcs.append(url)
+                poss.append(pos)
+                hrefs.append(href)
+                anchors.append(_subtree_text(node))
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "link_pos": pa.array(poss, pa.int64()),
+                "href": pa.array(hrefs, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    return ds.map_batches(links, batch_format="pyarrow")

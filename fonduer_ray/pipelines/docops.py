@@ -1240,3 +1240,83 @@ def url_canonical_stats(sf_dir: str) -> "ray.data.Dataset":
 
     out = canonicalize_urls(ds.map_batches(mess, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "host", "canonical_url"])
+
+
+def _linked_pages(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic linked-web fixture: doc i's page carries ``1 + i%3``
+    anchors, link k (1-based) pointing at doc ``t = (7*i + k) % N`` via a
+    deliberately messy absolute URL (uppercase host, default port,
+    tracking param) whose canonical form is closed-form from ``t``
+    (source of doc t is ``src{t % 20}`` in the driver testdata). N is the
+    documents row count (Parquet metadata — no scan)."""
+    ds = read_docs(sf_dir, ["doc_id"])
+    n_docs = ds.count()
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            anchors = []
+            for k in range(1, 2 + doc_id % 3):
+                tgt = (7 * doc_id + k) % n_docs
+                anchors.append(
+                    f'<a href="HTTPS://WWW.src{tgt % 20}.Example.COM:443'
+                    f'/Docs/{tgt}/?utm_source=feed">anchor {tgt}</a>'
+                )
+            urls.append(str(doc_id))
+            htmls.append(
+                ("<html><body><p>page</p>" + "".join(anchors)
+                 + "</body></html>").encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def link_graph_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, link_pos, canonical_url, dst_host, anchor) through the
+    REAL html-tree link extraction + URL canonicalization
+    (``functions/weburl.py``) over the linked-web fixture — one row per
+    outlink, value-checked in closed form by the oracle."""
+    from fonduer_ray.functions.weburl import canonicalize_urls, extract_links
+
+    links = extract_links(_linked_pages(sf_dir))
+    out = canonicalize_urls(links, url_col="href")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(u) for u in t["src_url"].to_pylist()], pa.int64()
+                ),
+                "link_pos": t["link_pos"],
+                "canonical_url": t["canonical_url"],
+                "dst_host": t["host"],
+                "anchor": t["anchor"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def host_inlink_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(dst_host, n_inlinks) — the host-graph in-degree aggregate over the
+    extracted links (one hash shuffle keyed by canonical target host)."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    links = link_graph_stats(sf_dir).select_columns(["dst_host"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("dst_host", sort=False)
+            .size()
+            .reset_index(name="n_inlinks")
+        )
+
+    return hash_groupby(links, ["dst_host"], agg)

@@ -57,3 +57,31 @@ def test_canonicalize_urls_dataset(ray_session):
     assert rows[0]["host"] == "ex.com"
     assert rows[1]["canonical_url"] == "http://other.org/p"
     assert rows[1]["host"] == "other.org"
+
+
+def test_extract_links_document_order_and_nesting(ray_session):
+    from fonduer_ray.functions.weburl import extract_links
+
+    html = (
+        b"<html><body>"
+        b'<p>intro <a href="/one">first <b>bold</b> text</a> mid</p>'
+        b'<a name="no-href">skipped</a>'
+        b'<div><a href="/two"></a></div>'
+        b'<a href="/three">tail</a>'
+        b"</body></html>"
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["p1"], pa.string()),
+                "html": pa.array([html], pa.binary()),
+            }
+        )
+    )
+    rows = sorted(extract_links(ds).take_all(), key=lambda r: r["link_pos"])
+    assert [(r["link_pos"], r["href"], r["anchor"]) for r in rows] == [
+        (1, "/one", "first bold text"),
+        (2, "/two", ""),
+        (3, "/three", "tail"),
+    ]
+    assert all(r["src_url"] == "p1" for r in rows)
