@@ -62,18 +62,21 @@ def _ensure_corpus() -> str:
 
 
 def _warmup_kg() -> None:
-    """Pre-spawn Ray workers/actors with a small untimed run: a long-lived
+    """Pre-spawn Ray workers/actors with an untimed run: a long-lived
     cluster amortizes worker startup, so steady-state throughput is the
-    number the scaling criterion cares about."""
+    number the scaling criterion cares about. 50k docs (not a token 2k):
+    back-to-back full runs measured 25.0k cold -> 38.7k warm docs/s at 32
+    CPUs — a 2k warmup leaves most of the worker fleet cold and the gap
+    lands asymmetrically on the high-parallelism scaling child."""
     import shutil
 
     from fonduer_ray.pipelines.kg import KGConfig, run_kg
     from fonduer_ray.sources.webpages import generate_corpus
 
-    warm_dir = "/tmp/fonduer_ray_bench_warmup"
+    warm_dir = "/tmp/fonduer_ray_bench_warmup50k"
     marker = os.path.join(warm_dir, "ok")
     if not os.path.exists(marker):
-        generate_corpus(warm_dir, n_docs=2000)
+        generate_corpus(warm_dir, n_docs=50000)
         open(marker, "w").close()
     out = "/tmp/fonduer_ray_bench_kb_warmup"
     shutil.rmtree(out, ignore_errors=True)
@@ -209,6 +212,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _loadavg_1m() -> float:
+    """Box 1-minute load average — recorded alongside every scaling
+    sample because this shared box's ambient load (other tenants) swings
+    0.3 -> 10+ within an hour and dominates the efficiency ratio
+    (BASELINE.md sessions H/I/J/K: 0.41-0.85 on identical code)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
+
 def _scaling_samples(
     lo: int, hi: int, n_runs: int, pinned: bool
 ) -> dict[int, list[float]]:
@@ -259,7 +274,13 @@ def run_scaling_inline() -> dict:
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     n_runs = int(os.environ.get("GRAFT_BENCH_SCALING_RUNS", "2"))
-    samples = _scaling_samples(lo, hi, n_runs, pinned=False)
+    load_before = _loadavg_1m()
+    # pinned: confine each child to exactly num_cpus hardware threads —
+    # an unpinned small-N child borrows the box's idle cores (a real
+    # N-CPU node has exactly N), inflating lo throughput and deflating
+    # the efficiency ratio (measured 0.58 unpinned vs 0.85 pinned on the
+    # same binary; see BASELINE.md's session-J/K analysis)
+    samples = _scaling_samples(lo, hi, n_runs, pinned=True)
     med_lo = statistics.median(samples[lo])
     med_hi = statistics.median(samples[hi])
     return {
@@ -270,6 +291,10 @@ def run_scaling_inline() -> dict:
             str(hi): round(med_hi, 1),
         },
         "median_eff": round((med_hi / med_lo) / (hi / lo), 3),
+        # ambient context: this shared box's OTHER tenants push loadavg
+        # 0.3 -> 10+ within an hour; efficiency readings taken above ~2
+        # are load-dominated, not code-dominated (see BASELINE.md)
+        "loadavg_1m": [load_before, _loadavg_1m()],
     }
 
 
@@ -282,11 +307,14 @@ def main() -> None:
     training = run_training_headline(NUM_CPUS)
     queries = run_queries(SF_DIR)
     total = time.time() - t0
-    # scaling evidence rides in the same artifact; subprocess children own
-    # their own Ray sessions, so it runs OUTSIDE the timed window (it is a
-    # repeat of the headline at two parallelism levels, not new work)
+    # scaling evidence rides in the same artifact; it runs OUTSIDE the
+    # timed window in fresh subprocesses, AFTER this session's Ray (and
+    # its ~40% object-store /dev/shm reservation) is torn down — children
+    # racing the parent's plasma store for shared memory measured a 4x
+    # slowdown and a garbage efficiency number
     scaling = None
     if os.environ.get("GRAFT_BENCH_SKIP_SCALING") != "1":
+        ray.shutdown()
         try:
             scaling = run_scaling_inline()
         except Exception as exc:  # never lose the bench line to scaling
