@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
         "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
+        "importance_weights": lambda sf: textstats.importance_weights(
+            _sized(sf, "documents", ["doc_id", "text", "lang"])
+        ),
         "source_stats": lambda sf: textstats.source_stats(
             _sized(sf, "documents", ["source", "text", "n_chars"])
         ),
@@ -1418,6 +1421,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 50
+        """,
+        "importance_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text,' ')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token,
+                     count(*) AS c_all,
+                     count(*) FILTER (WHERE lang = 'en') AS c_tgt
+              FROM toks GROUP BY token
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum((c.c_tgt * 1000000) // c.c_all) AS BIGINT)
+                     AS importance
+            FROM toks t JOIN cnt c USING(token)
+            GROUP BY t.doc_id
         """,
         "lm_unigram_score": """
             WITH toks AS (

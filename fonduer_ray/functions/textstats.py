@@ -463,3 +463,136 @@ def source_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return out.reset_index()
 
     return hash_groupby(merged, ["source"], rollup)
+
+
+def importance_weights(
+    ds: "ray.data.Dataset",
+    target_col: str = "lang",
+    target_value: str = "en",
+    scale: int = 1_000_000,
+    broadcast_limit: int = VOCAB_FREQ_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    integer-exact: per token the target-vs-corpus frequency ratio
+    ``w(t) = (c_target(t) * scale) // c_all(t)``, per document the sum of
+    ``w`` over token INSTANCES — ``(doc_id, n_tokens, importance)``.
+    ``importance / (n_tokens * scale)`` is the mean target-likelihood
+    ratio; rank-and-resample on it to skew a raw corpus toward the target
+    distribution. Integer division keeps both engine and oracle bit-exact
+    under any summation order.
+
+    Same scale shape as :func:`lm_unigram_score`: one token-keyed
+    ``hash_groupby`` computes (c_all, c_target) TOGETHER (the target
+    counter rides the same shuffle — no second pass over the corpus);
+    scoring broadcasts the weight map under ``broadcast_limit`` or
+    explodes to per-(doc, token) tf rows and hash-joins above it, both
+    paths bit-identical."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby, join_partitions
+
+    src = ds.select_columns(["doc_id", "text", target_col])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c_all: dict[str, int] = {}
+        c_tgt: dict[str, int] = {}
+        for text, tv in zip(
+            batch["text"].to_pylist(), batch[target_col].to_pylist()
+        ):
+            is_tgt = tv == target_value
+            for t in (text or "").split():
+                c_all[t] = c_all.get(t, 0) + 1
+                if is_tgt:
+                    c_tgt[t] = c_tgt.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(c_all), pa.string()),
+                "c_all": pa.array(list(c_all.values()), pa.int64()),
+                "c_tgt": pa.array(
+                    [c_tgt.get(t, 0) for t in c_all], pa.int64()
+                ),
+            }
+        )
+
+    counts_tbl = hash_groupby(
+        src.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)[["c_all", "c_tgt"]]
+        .sum()
+        .reset_index(),
+        join_safe=True,  # may feed the over-limit Dataset.join below
+    ).materialize()
+
+    if counts_tbl.count() <= broadcast_limit:
+        w_ref = ray.put(
+            {
+                t: (ct * scale) // ca
+                for b in counts_tbl.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for t, ca, ct in zip(
+                    b["token"].to_pylist(),
+                    b["c_all"].to_pylist(),
+                    b["c_tgt"].to_pylist(),
+                )
+            }
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            w = get_broadcast(w_ref)
+            n_toks, sums = [], []
+            for text in batch["text"].to_pylist():
+                toks = (text or "").split()
+                n_toks.append(len(toks))
+                sums.append(sum(w[t] for t in toks))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "importance": pa.array(sums, pa.int64()),
+                }
+            )
+
+        return src.map_batches(score, batch_format="pyarrow")
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        doc_ids, tokens, tfs, lens = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                doc_ids.append(doc_id)
+                tokens.append(t)
+                tfs.append(f)
+                lens.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    joined = src.map_batches(explode_tf, batch_format="pyarrow").join(
+        counts_tbl,
+        "inner",
+        num_partitions=join_partitions(),
+        on=("token",),
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(part=df["tf"] * ((df["c_tgt"] * scale) // df["c_all"]))
+        out = df.groupby("doc_id", sort=False).agg(
+            n_tokens=("n_tokens", "first"), importance=("part", "sum")
+        )
+        return out.reset_index().astype(
+            {"doc_id": "int64", "n_tokens": "int64", "importance": "int64"}
+        )
+
+    return hash_groupby(joined, ["doc_id"], per_doc)

@@ -117,3 +117,33 @@ def test_line_dedup_paths_match_brute(docs_ds):
     # the engineered corpus must exercise both removal and retention
     assert want[0][1] == 2  # doc 0: both lines duplicated (line1 w/ 1, full dup w/ 2)
     assert want[3][1] == 0  # unique doc untouched
+
+
+def test_importance_weights_paths_match_brute(ray_session):
+    from fonduer_ray.functions.textstats import importance_weights
+
+    docs = [
+        (0, "a b a c", "en"),
+        (1, "a b b d", "en"),
+        (2, "a c c d", "fr"),
+        (3, "e e e e", "fr"),
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t, "lang": lg} for d, t, lg in docs]
+    )
+    c_all = Counter(t for _, text, _ in docs for t in text.split())
+    c_tgt = Counter(
+        t for _, text, lg in docs if lg == "en" for t in text.split()
+    )
+    w = {t: (c_tgt.get(t, 0) * 1_000_000) // c_all[t] for t in c_all}
+    want = {
+        d: (len(text.split()), sum(w[t] for t in text.split()))
+        for d, text, _ in docs
+    }
+    for kw in ({}, {"broadcast_limit": 0}):
+        out = importance_weights(ds, **kw).take_all()
+        got = {r["doc_id"]: (r["n_tokens"], r["importance"]) for r in out}
+        assert got == want, f"{kw}"
+    # target-language docs must rank above off-target on mean importance
+    mean = {d: want[d][1] / want[d][0] for d, _, _ in docs}
+    assert min(mean[0], mean[1]) > max(mean[2], mean[3])
