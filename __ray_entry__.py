@@ -490,6 +490,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def graph_pagerank_q(sf_dir: str):
         return graph.pagerank(graph.purchase_edges(sf_dir), iters=5)
 
+    def graph_ppr_q(sf_dir: str):
+        import numpy as np
+
+        # seed set: every 50th customer (suppliers sit above SUPP_OFFSET);
+        # the oracle mirrors this predicate verbatim
+        return graph.personalized_pagerank(
+            graph.purchase_edges(sf_dir),
+            source_pred=lambda a: (a % 50 == 0) & (a < 1_000_000),
+            iters=5,
+        )
+
     def graph_components_q(sf_dir: str):
         return graph.components(graph.part_cooccur_edges(sf_dir))
 
@@ -724,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the derived purchase / co-occurrence graphs
         "graph_degrees": graph_degrees_q,
         "graph_pagerank": graph_pagerank_q,
+        "graph_ppr": graph_ppr_q,
         "graph_components": graph_components_q,
         "graph_triangles": graph_triangles_q,
         "graph_khop": graph_khop_q,
@@ -2458,6 +2470,11 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i ON i.node = n.node
         """,
         "graph_pagerank": _graph.pagerank_oracle_sql(_PURCHASE_EDGES_SQL, iters=5),
+        "graph_ppr": _graph.ppr_oracle_sql(
+            _PURCHASE_EDGES_SQL,
+            "node % 50 = 0 AND node < 1000000",
+            iters=5,
+        ),
         "graph_components": f"""
             WITH RECURSIVE e AS ({_PART_COOCCUR_EDGES_SQL}),
             nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),

@@ -355,6 +355,214 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    source_pred,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
+) -> "ray.data.Dataset":
+    """Personalized (topic-sensitive) PageRank: teleport and dangling mass
+    return to a SOURCE set instead of every node — the seed-relative
+    authority signal web-KG pipelines use to rank pages around known
+    entities (Haveliwala 2002, topic-sensitive PageRank).
+
+    ``source_pred`` is a VECTORIZED predicate (int64 numpy node array ->
+    bool array) defining the source set; a predicate ships as code (bytes,
+    not node-scale data) so it stays broadcastable at any graph size —
+    wrap an explicit seed list as ``lambda a: np.isin(a, seeds)``.
+
+    Exact integer semantics (mirrored verbatim by
+    :func:`ppr_oracle_sql`; s = |sources ∩ nodes|):
+
+    - r0(u)   = scale // s  if u ∈ S else 0
+    - contrib = r(u) // out_deg(u) per out-edge
+    - share   = (sum of r over dangling nodes) // s, paid only to S
+    - r'(v)   = [v ∈ S] * (15 * (scale // s)) // 100
+                + (85 * (in_sum(v) + [v ∈ S] * share)) // 100
+
+    Same guarded two-path distribution as :func:`pagerank`: driver-side
+    numpy rank vector + one streaming edge pass per iteration below
+    ``broadcast_limit`` nodes; all-Dataset with the guarded contrib
+    lookup and ONE rebuild ``hash_groupby`` above it. Integer addition
+    commutes, so both paths are bit-identical (equality-tested)."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    edges = edges.materialize()
+    state = degrees(edges).drop_columns(["in_deg"]).materialize()
+    n = state.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return ray.data.from_arrow(empty)
+
+    s_count = 0
+    for b in state.select_columns(["node"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        s_count += int(source_pred(b["node"].to_numpy()).sum())
+    if s_count == 0:
+        return ray.data.from_arrow(empty)
+    base = scale // s_count
+    teleport = (15 * base) // 100
+
+    if n <= broadcast_limit:
+        state_df = state.to_pandas().sort_values("node", ignore_index=True)
+        nodes = state_df["node"].to_numpy(dtype=np.int64)
+        outdeg = state_df["out_deg"].to_numpy(dtype=np.int64)
+        dangling = outdeg == 0
+        is_src = source_pred(nodes)
+        r = np.where(is_src, base, 0).astype(np.int64)
+
+        for _ in range(iters):
+            share = int(r[dangling].sum()) // s_count
+            contrib = np.where(dangling, 0, r // np.maximum(outdeg, 1))
+            bcast = ray.put((nodes, contrib))
+
+            def edge_partial(t: pa.Table, _b=bcast) -> pa.Table:
+                nds, ctr = get_broadcast(_b)
+                src = t["src"].to_numpy()
+                dst = t["dst"].to_numpy()
+                vals = ctr[np.searchsorted(nds, src)]
+                di = np.searchsorted(nds, dst)
+                uniq, inv = np.unique(di, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, vals)
+                return pa.table(
+                    {"idx": pa.array(uniq, pa.int64()),
+                     "s": pa.array(sums, pa.int64())}
+                )
+
+            inc = np.zeros(n, dtype=np.int64)
+            for batch in edges.map_batches(
+                edge_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                np.add.at(
+                    inc, batch["idx"].to_numpy(), batch["s"].to_numpy()
+                )
+            r = is_src * teleport + (85 * (inc + is_src * share)) // 100
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "rank": pa.array(r)})
+        )
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        nds = t["node"].to_numpy()
+        r0 = np.where(source_pred(nds), base, 0).astype(np.int64)
+        return t.append_column("r", pa.array(r0))
+
+    state = state.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dangling = state.filter(expr="out_deg == 0").sum("r") or 0
+        share = dangling // s_count
+
+        contribs = state.filter(expr="out_deg > 0").map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "contrib": pc.divide(t["r"], t["out_deg"]).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_contrib = attach_lookup(edges, contribs, "src", "node", "contrib")
+
+        in_rows = edge_contrib.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"].combine_chunks(),
+                    "out_deg": pa.nulls(len(t), pa.int64()),
+                    "inc": t["contrib"].cast(pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        deg_rows = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "out_deg": t["out_deg"].cast(pa.int64()).combine_chunks(),
+                    "inc": pa.nulls(len(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def rebuild(df: pd.DataFrame, _tp=teleport, _sh=share) -> pd.DataFrame:
+            df = df.assign(
+                out_deg=df["out_deg"].fillna(-1).astype("int64"),
+                inc=df["inc"].fillna(0).astype("int64"),
+            )
+            g = df.groupby("node", sort=False).agg(
+                out_deg=("out_deg", "max"), inc=("inc", "sum")
+            )
+            g = g.reset_index()
+            src_mask = source_pred(
+                g["node"].to_numpy(dtype=np.int64)
+            ).astype(np.int64)
+            g["r"] = src_mask * _tp + (
+                85 * (g["inc"].to_numpy() + src_mask * _sh)
+            ) // 100
+            out = g[["node", "out_deg", "r"]]
+            return out.astype(
+                {"node": "int64", "out_deg": "int64", "r": "int64"}
+            )
+
+        state = hash_groupby(
+            deg_rows.union(in_rows), ["node"], rebuild
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def ppr_oracle_sql(
+    edges_cte: str,
+    source_pred_sql: str,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> str:
+    """Unrolled DuckDB re-derivation of :func:`personalized_pagerank` —
+    identical integer arithmetic, one CTE per iteration.
+    ``source_pred_sql`` is a boolean SQL expression over ``node`` that
+    MUST mirror the Python ``source_pred`` exactly."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"ns AS (SELECT count(*) AS s FROM nodes"
+        f" WHERE {source_pred_sql}),",
+        "deg AS (SELECT nodes.node,"
+        " (SELECT count(*) FROM e WHERE e.src = nodes.node) AS outdeg,"
+        f" CASE WHEN {source_pred_sql} THEN 1 ELSE 0 END AS is_src"
+        " FROM nodes),",
+        f"r0 AS (SELECT node, outdeg, is_src,"
+        f" CAST(is_src * ({scale} // ns.s) AS BIGINT) AS r"
+        f" FROM deg, ns),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"r{i} AS (SELECT d.node, d.outdeg, d.is_src, CAST("
+            f" d.is_src * ((15 * ({scale} // ns.s)) // 100)"
+            f" + (85 * (COALESCE(inc.s, 0) + d.is_src * dang.share)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM deg d CROSS JOIN ns CROSS JOIN"
+            f" (SELECT COALESCE(sum(r) FILTER (WHERE outdeg = 0), 0)"
+            f"   // (SELECT s FROM ns) AS share FROM {prev}) dang"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(p.r // p.outdeg) AS s"
+            f"   FROM e JOIN {prev} p ON p.node = e.src AND p.outdeg > 0"
+            f"   GROUP BY e.dst) inc ON inc.node = d.node)"
+            + ("," if i < iters else "")
+        )
+    parts.append(f"SELECT node, r AS rank FROM r{iters}")
+    return "\n".join(parts)
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = 5, scale: int = PR_SCALE
 ) -> str:

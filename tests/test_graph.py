@@ -217,3 +217,61 @@ def test_part_cooccur_edges_sampled_and_canonical(ray_session):
     assert all(
         _md5_64(f"{a}:{b}") % 8 == 0 for a, b in zip(df["a"], df["b"])
     )
+
+
+def _ppr_reference(pairs, pred, iters, scale=G.PR_SCALE):
+    """Single-threaded replay of personalized_pagerank's exact integer
+    semantics (teleport + dangling mass paid only to the source set)."""
+    nodes = sorted({n for e in pairs for n in e})
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in pairs:
+        outdeg[a] += 1
+    src = {v for v in nodes if pred(v)}
+    s = len(src)
+    base = scale // s
+    teleport = (15 * base) // 100
+    r = {v: (base if v in src else 0) for v in nodes}
+    for _ in range(iters):
+        share = sum(r[v] for v in nodes if outdeg[v] == 0) // s
+        inc = {v: 0 for v in nodes}
+        for a, b in pairs:
+            inc[b] += r[a] // outdeg[a]
+        r = {
+            v: (teleport if v in src else 0)
+            + (85 * (inc[v] + (share if v in src else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_integer_reference(directed):
+    import numpy as np
+
+    pred_np = lambda a: a % 2 == 0  # noqa: E731
+    got = G.personalized_pagerank(
+        _edges_ds(directed), source_pred=pred_np, iters=4
+    ).to_pandas()
+    want = _ppr_reference(directed, lambda v: v % 2 == 0, iters=4)
+    assert dict(zip(got["node"], got["rank"])) == want
+    # off-source nodes with no in-links hold zero rank; sources hold mass
+    assert any(v > 0 for v in want.values())
+
+
+def test_personalized_pagerank_paths_bit_identical(directed):
+    pred = lambda a: a % 2 == 0  # noqa: E731
+    fast = G.personalized_pagerank(
+        _edges_ds(directed), source_pred=pred, iters=3
+    ).to_pandas()
+    slow = G.personalized_pagerank(
+        _edges_ds(directed), source_pred=pred, iters=3, broadcast_limit=0
+    ).to_pandas()
+    assert dict(zip(fast["node"], fast["rank"])) == dict(
+        zip(slow["node"], slow["rank"])
+    )
+
+
+def test_personalized_pagerank_empty_source_set(directed):
+    out = G.personalized_pagerank(
+        _edges_ds(directed), source_pred=lambda a: a < -1, iters=2
+    ).take_all()
+    assert out == []
