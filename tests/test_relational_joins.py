@@ -407,3 +407,23 @@ def test_impute_values_all_missing_type(ray_session, tmp_path):
     # all three z rows drop (no mean to join); the five a rows survive
     assert set(got.event_id) == {1, 2, 3, 4, 5}
     assert (got.imputed == 0).all()
+
+
+def test_attach_lookup_debug_asserts_unique_keys(ray_session, monkeypatch):
+    """FONDUER_RAY_DEBUG=1 turns the broadcast path's silent last-wins on
+    duplicate lookup keys into a loud error (the join path would multiply
+    rows instead — results must not flip with broadcast_limit)."""
+    import ray.data
+
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    big = ray.data.from_items([{"k": 1, "x": 10}, {"k": 2, "x": 20}])
+    dup = ray.data.from_items(
+        [{"lk": 1, "v": "a"}, {"lk": 1, "v": "b"}, {"lk": 2, "v": "c"}]
+    )
+    monkeypatch.setenv("FONDUER_RAY_DEBUG", "1")
+    with pytest.raises(ValueError, match="not unique"):
+        attach_lookup(big, dup, "k", "lk", "v")
+    monkeypatch.delenv("FONDUER_RAY_DEBUG")
+    out = attach_lookup(big, dup, "k", "lk", "v").take_all()  # last-wins
+    assert {r["k"]: r["v"] for r in out} == {1: "b", 2: "c"}
