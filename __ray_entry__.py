@@ -605,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hocr_visual_stats": docops.hocr_visual_stats,
         "jpeg_decode_stats": docops.jpeg_decode_stats,
         "mp3_audio_stats": docops.mp3_audio_stats,
+        "gif_decode_stats": docops.gif_decode_stats,
         "video_frame_stats": docops.video_frame_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
         "boilerplate_stats": docops.boilerplate_stats,
@@ -887,6 +888,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 112
                         WHEN 2 THEN 128 ELSE 160 END AS BIGINT)
                      AS bitrate_kbps
+            FROM documents
+        """,
+        # animated-GIF fixture: 2 + id%2 frames; first frame splits into
+        # gray a=id%256 (left w//2 cols) and b=(id*7)%256 — palette
+        # decode is exact, so the truncated mean is closed-form
+        "gif_decode_stats": """
+            SELECT doc_id,
+                   CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+                   CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
+                   CAST(2 + doc_id % 2 AS BIGINT) AS n_gif_frames,
+                   CAST(((doc_id % 256) * ((16 + (doc_id % 4) * 8) // 2)
+                        + ((doc_id * 7) % 256)
+                          * ((16 + (doc_id % 4) * 8)
+                             - (16 + (doc_id % 4) * 8) // 2))
+                        // (16 + (doc_id % 4) * 8) AS BIGINT) AS mean_first
             FROM documents
         """,
         # MJPEG-AVI fixture: 3 + id%3 uniform frames, every 2nd sampled

@@ -46,6 +46,8 @@ def sniff_format(data: bytes) -> str | None:
         return "avi"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     return None
 
 
@@ -225,7 +227,7 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def image_decode(data: bytes) -> tuple[np.ndarray, str]:
-    """Sniff + decode PNG, BMP or baseline JPEG."""
+    """Sniff + decode PNG, BMP, baseline JPEG or GIF."""
     fmt = sniff_format(data)
     if fmt == "png":
         return png_decode(data)
@@ -235,7 +237,13 @@ def image_decode(data: bytes) -> tuple[np.ndarray, str]:
         from fonduer_ray.functions.jpeg import jpeg_decode
 
         return jpeg_decode(data)
-    raise ValueError("unsupported image format (PNG/BMP/JPEG supported natively)")
+    if fmt == "gif":
+        from fonduer_ray.functions.gif import gif_decode
+
+        return gif_decode(data)
+    raise ValueError(
+        "unsupported image format (PNG/BMP/JPEG/GIF supported natively)"
+    )
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -1320,3 +1320,61 @@ def host_inlink_counts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hash_groupby(links, ["dst_host"], agg)
+
+
+class _GifStatsStage:
+    """Deterministic GIF fixture -> real LZW encode->decode -> closed-form
+    stats. Each doc_id derives an animated GIF of ``2 + id%2`` frames
+    (dims ``16+(id%4)*8 x 16+(id%3)*8``): frame 0 splits vertically into
+    gray ``a = id%256`` (left half, w//2 cols) and ``b = (id*7)%256``
+    (right), later frames are solid ``b``. Palette decode is EXACT, so
+    the first frame's truncated mean is ``(a*(w//2) + b*(w - w//2)) //
+    w`` — SQL-expressible. Encode + parse + decode run inside the stage
+    (one pass, no payload shuffle)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fonduer_ray.functions.gif import (
+            gif_decode_frame,
+            gif_encode,
+            gif_parse,
+        )
+
+        ids, ws, hs, nf, means = [], [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            w = 16 + (doc_id % 4) * 8
+            h = 16 + (doc_id % 3) * 8
+            a, b = doc_id % 256, (doc_id * 7) % 256
+            first = np.full((h, w, 3), b, dtype=np.uint8)
+            first[:, : w // 2] = a
+            frames = [first] + [
+                np.full((h, w, 3), b, dtype=np.uint8)
+                for _ in range(1 + doc_id % 2)
+            ]
+            meta = gif_parse(gif_encode(frames))
+            img = gif_decode_frame(meta, 0)
+            ids.append(doc_id)
+            ws.append(meta["width"])
+            hs.append(meta["height"])
+            nf.append(meta["n_frames"])
+            means.append(int(img.mean()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_gif_frames": pa.array(nf, pa.int64()),
+                "mean_first": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def gif_decode_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, width, height, n_gif_frames, mean_first) through the real
+    GIF LZW encode->decode path (``functions/gif.py``), oracle-checked in
+    closed form against the doc_id-derived fixture parameters."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return map_stage(ds, _GifStatsStage, {}, 64)
