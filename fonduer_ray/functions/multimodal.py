@@ -1,7 +1,8 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
 Decode kernels are REAL for PNG, BMP, baseline JPEG (``functions/jpeg.py``,
-pure-numpy Huffman+DCT), PCM WAV audio (``functions/codecs.py``) and
+pure-numpy Huffman+DCT), GIF (``functions/gif.py``, real variable-width
+LZW incl. animation), PCM WAV audio (``functions/codecs.py``) and
 MJPEG-AVI video (``functions/avi.py`` — RIFF container + per-frame JPEG),
 and MP3 frame-header metadata (``functions/mp3.py`` — duration/bitrate/
 sample-rate/channels from the header walk; PCM synthesis stays out).
@@ -64,9 +65,9 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 class ImageDecode:
     """binary -> (key, width, height, mode, content_hash, error).
 
-    Real decode for PNG/BMP; unsupported formats land on the ``error``
-    side-channel column (never a silent drop). ``fake=True`` keeps the
-    deterministic stand-in for plumbing tests."""
+    Real decode for PNG/BMP/JPEG/GIF; unsupported formats land on the
+    ``error`` side-channel column (never a silent drop). ``fake=True``
+    keeps the deterministic stand-in for plumbing tests."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
