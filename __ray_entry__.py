@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
         "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
+        "profile_events": relational.profile_events,
         "importance_weights": lambda sf: textstats.importance_weights(
             _sized(sf, "documents", ["doc_id", "text", "lang"])
         ),
@@ -1449,6 +1450,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 50
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   min(event_id) AS min_i, max(event_id) AS max_i
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(*) - count(ts),
+                   count(DISTINCT ts),
+                   CAST(epoch_us(min(ts)) AS BIGINT),
+                   CAST(epoch_us(max(ts)) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   min(user_id), max(user_id)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT CAST(round(value*100) AS BIGINT)),
+                   min(CAST(round(value*100) AS BIGINT)),
+                   max(CAST(round(value*100) AS BIGINT))
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props), NULL, NULL
+            FROM events
         """,
         "importance_weights": """
             WITH toks AS (

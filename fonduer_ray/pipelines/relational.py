@@ -1756,3 +1756,161 @@ def impute_values(sf_dir: str, null_every: int = 13) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def profile_columns(
+    ds: "ray.data.Dataset", spec: dict[str, str]
+) -> "ray.data.Dataset":
+    """Distributed table profiler — the schema/statistics pass a pipeline
+    runs before deciding partitioning keys and filters: per column
+    ``(column, n_rows, n_nulls, n_distinct, min_i, max_i)``.
+
+    ``spec`` maps column -> kind: ``"int"`` (integer-valued; min/max
+    reported directly), ``"cents"`` (float money; min/max as
+    round(v*100)), ``"ts"`` (timestamp; min/max as epoch microseconds),
+    ``"str"`` (min/max NULL — no cross-locale collation guarantees;
+    distinct still exact via md5). All arithmetic integer-exact.
+
+    Scale: ONE pass emits per-block partial rows of two kinds — a
+    bounded stats row per (block, column) carrying (n, nulls, min, max),
+    and per-(column, value-key) distinct markers pre-deduped inside the
+    block — then one hash shuffle keyed by (column, value-key) merges
+    distincts and a tiny column-keyed rollup finishes. Value keys are
+    int64 (value itself or md5-low-64 for strings), so the shuffle never
+    carries raw strings."""
+    from fonduer_ray.functions.dedup import _md5_64
+    from fonduer_ray.stages.util import hash_groupby
+
+    cols = list(spec)
+    src = ds.select_columns(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_col, out_key, out_n, out_null, out_min, out_max = (
+            [], [], [], [], [], [],
+        )
+        for c in cols:
+            kind = spec[c]
+            arr = t[c]
+            n = len(arr)
+            nulls = arr.null_count
+            valid = arr.drop_null()
+            if kind == "int":
+                vals = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+            elif kind == "cents":
+                vals = (
+                    pc.cast(
+                        pc.round(pc.multiply(valid, 100.0)), pa.int64()
+                    ).to_numpy(zero_copy_only=False)
+                )
+            elif kind == "ts":
+                vals = pc.cast(valid, pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+            else:  # str
+                vals = None
+            # stats row (pos = -1 marks it; one per column per block)
+            out_col.append(c)
+            out_key.append(0)
+            out_n.append(n)
+            out_null.append(nulls)
+            if vals is not None and len(vals):
+                out_min.append(int(vals.min()))
+                out_max.append(int(vals.max()))
+            else:
+                out_min.append(None)
+                out_max.append(None)
+            # distinct markers, block-deduped
+            if vals is not None:
+                keys = np.unique(vals)
+            else:
+                keys = np.unique(
+                    np.fromiter(
+                        (
+                            _md5_64(s) - (1 << 63)
+                            for s in valid.to_pylist()
+                        ),
+                        dtype=np.int64,
+                        count=len(valid),
+                    )
+                )
+            for k in keys:
+                out_col.append(c)
+                out_key.append(int(k))
+                out_n.append(None)
+                out_null.append(None)
+                out_min.append(None)
+                out_max.append(None)
+        return pa.table(
+            {
+                "column": pa.array(out_col, pa.string()),
+                "vkey": pa.array(out_key, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "nulls": pa.array(out_null, pa.int64()),
+                "mn": pa.array(out_min, pa.int64()),
+                "mx": pa.array(out_max, pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["n"].notna()]
+        dst = df[df["n"].isna()]
+        s = stats.groupby("column", sort=False).agg(
+            n_rows=("n", "sum"),
+            n_nulls=("nulls", "sum"),
+            min_i=("mn", "min"),
+            max_i=("mx", "max"),
+        )
+        d = (
+            dst.drop_duplicates(["column", "vkey"])
+            .groupby("column", sort=False)
+            .size()
+            .rename("n_distinct")
+        )
+        out = s.join(d, how="outer").reset_index()
+        return out
+
+    # shuffle keyed on (column, vkey): distinct markers of one value land
+    # together; stats rows (vkey=0) ride the same exchange. A second tiny
+    # column-keyed pass merges the per-partition partials.
+    part1 = hash_groupby(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["column", "vkey"],
+        merge,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", sort=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_i=("min_i", "min"),
+            max_i=("max_i", "max"),
+        )
+        g = g.reset_index()
+        for c in ("n_rows", "n_nulls", "n_distinct"):
+            g[c] = g[c].fillna(0).astype("int64")
+        return g
+
+    return hash_groupby(part1, ["column"], finish)
+
+
+def profile_events(sf_dir: str) -> "ray.data.Dataset":
+    """Driver query: profile every events column. Columns: ``(column,
+    n_rows, n_nulls, n_distinct, min_i, max_i)`` — min/max NULL for the
+    string columns."""
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    return profile_columns(
+        ds,
+        {
+            "event_id": "int",
+            "ts": "ts",
+            "user_id": "int",
+            "event_type": "str",
+            "value": "cents",
+            "props": "str",
+        },
+    )

@@ -127,3 +127,38 @@ def test_range_join_boundary_inclusive(ray_session, tmp_path):
     got = {(r["left_id"], r["right_id"])
            for r in events_range_join(str(tmp_path)).take_all()}
     assert got == {(1, 2), (1, 3)}
+
+
+def test_profile_columns_with_nulls(ray_session):
+    """Profiler vs pandas ground truth on a table WITH nulls (the driver
+    testdata has none, so the null path needs its own coverage)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from fonduer_ray.pipelines.relational import profile_columns
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None, 2, 5, None], pa.int64()),
+            "v": pa.array([1.25, None, 3.5, 1.25, -2.75, 0.0], pa.float64()),
+            "s": pa.array(["a", "b", None, "a", "c", "b"], pa.string()),
+        }
+    )
+    out = {
+        r["column"]: r
+        for r in profile_columns(
+            ray.data.from_arrow(t).repartition(3),
+            {"k": "int", "v": "cents", "s": "str"},
+        ).take_all()
+    }
+    assert (out["k"]["n_rows"], out["k"]["n_nulls"]) == (6, 2)
+    assert out["k"]["n_distinct"] == 3  # 1, 2, 5
+    assert (out["k"]["min_i"], out["k"]["max_i"]) == (1, 5)
+    assert (out["v"]["n_nulls"], out["v"]["n_distinct"]) == (1, 4)
+    assert (out["v"]["min_i"], out["v"]["max_i"]) == (-275, 350)
+    assert (out["s"]["n_nulls"], out["s"]["n_distinct"]) == (1, 3)
+    assert out["s"]["min_i"] is None and out["s"]["max_i"] is None
