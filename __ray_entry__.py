@@ -744,13 +744,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
-    # CORRECTNESS row come first (round-3 verdict item #1).  The engine-side
-    # oracle checker (scripts/check_oracle.py) still validates all of them
-    # locally regardless of order.
-    ordered = {k: v for k, v in q.items() if k not in _DRIVER_VERIFIED}
+    # CORRECTNESS row come first (round-3 verdict item #1), with the
+    # round-4 additions at the very front (they are the only ones with no
+    # row in ANY round). The engine-side oracle checker
+    # (scripts/check_oracle.py) still validates all of them locally
+    # regardless of order.
+    ordered = {k: q[k] for k in _NEW_IN_R4 if k in q}
+    ordered.update(
+        {
+            k: v
+            for k, v in q.items()
+            if k not in _DRIVER_VERIFIED and k not in _NEW_IN_R4
+        }
+    )
     ordered.update({k: v for k, v in q.items() if k in _DRIVER_VERIFIED})
     return ordered
 
+
+#: queries added in round 4 — no driver row exists in any prior round, so
+#: they sort ahead of the round-3 backlog in the 50-query driver window
+_NEW_IN_R4 = (
+    "gold_label_eval", "url_canonical_stats", "link_graph_stats",
+    "host_inlink_counts", "mp3_audio_stats", "gif_decode_stats",
+    "profile_events", "importance_weights", "graph_ppr",
+)
 
 #: query names with a green driver-issued CORRECTNESS row on record
 #: (CORRECTNESS_r03.json — all 50 rows green).  Names NOT in this set sort
