@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_stats": docops.url_canonical_stats,
         "link_graph_stats": docops.link_graph_stats,
         "host_inlink_counts": docops.host_inlink_counts,
+        "robots_filter_stats": docops.robots_filter_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -765,8 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #: they sort ahead of the round-3 backlog in the 50-query driver window
 _NEW_IN_R4 = (
     "gold_label_eval", "url_canonical_stats", "link_graph_stats",
-    "host_inlink_counts", "mp3_audio_stats", "gif_decode_stats",
-    "profile_events", "importance_weights", "graph_ppr",
+    "host_inlink_counts", "robots_filter_stats", "mp3_audio_stats",
+    "gif_decode_stats", "profile_events", "importance_weights", "graph_ppr",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -881,6 +882,19 @@ def oracle_sql() -> dict[str, str]:
                      || '.example.com' AS dst_host,
                    'anchor ' || CAST(tgt AS VARCHAR) AS anchor
             FROM links
+        """,
+        # robots fixture: hosts h%4==0 disallow /Docs/ wholesale; all
+        # hosts disallow /Docs/9* but the longer Allow /Docs/99* wins
+        "robots_filter_stats": """
+            SELECT doc_id,
+                   'www.src' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.com' AS host,
+                   CAST(CASE
+                     WHEN starts_with(CAST(doc_id AS VARCHAR), '99') THEN 1
+                     WHEN (doc_id % 20) % 4 = 0 THEN 0
+                     WHEN starts_with(CAST(doc_id AS VARCHAR), '9') THEN 0
+                     ELSE 1 END AS BIGINT) AS allowed
+            FROM documents
         """,
         "host_inlink_counts": """
             WITH links AS (

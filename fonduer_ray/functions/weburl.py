@@ -165,3 +165,143 @@ def extract_links(
         )
 
     return ds.map_batches(links, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- robots.txt
+
+
+def parse_robots(body: str, agent: str = "*") -> list[tuple[str, bool, "re.Pattern"]]:
+    """robots.txt -> the rule list applying to ``agent`` (RFC 9309): the
+    group whose ``User-agent`` line case-insensitively equals ``agent``
+    if present, else the ``*`` group. Each rule is ``(raw_path, allow,
+    compiled_regex)`` supporting the ``*`` wildcard and ``$`` end anchor.
+    Empty ``Disallow:`` lines (allow-all markers) are dropped."""
+    import re as _re
+
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    collecting_agents = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not collecting_agents:
+                current = []
+            collecting_agents = True
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, [])
+        elif field in ("allow", "disallow"):
+            collecting_agents = False
+            if not value:
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((value, field == "allow"))
+
+    rules = groups.get(agent.lower())
+    if rules is None:
+        rules = groups.get("*", [])
+
+    compiled = []
+    for path, allow in rules:
+        pat = "".join(
+            ".*" if ch == "*" else _re.escape(ch) for ch in path.rstrip("$")
+        )
+        if path.endswith("$"):
+            pat += "$"
+        compiled.append((path, allow, _re.compile(pat)))
+    return compiled
+
+
+def robots_allowed(rules, path: str) -> bool:
+    """RFC 9309 precedence: the matching rule with the longest raw path
+    wins; Allow beats Disallow on equal length; no match -> allowed."""
+    best_len = -1
+    best_allow = True
+    for raw, allow, rx in rules:
+        if rx.match(path) is None:
+            continue
+        ln = len(raw)
+        if ln > best_len or (ln == best_len and allow and not best_allow):
+            best_len, best_allow = ln, allow
+    return best_allow
+
+
+#: above this many robots hosts the compiled-rule map is no longer
+#: broadcast — pages hash-join the robots table on host instead
+ROBOTS_BROADCAST_HOST_LIMIT = 1_000_000
+
+
+def robots_filter(
+    ds: "ray.data.Dataset",
+    robots: "ray.data.Dataset",
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast_limit: int = ROBOTS_BROADCAST_HOST_LIMIT,
+) -> "ray.data.Dataset":
+    """Append ``allowed`` (int64 0/1) to ``ds`` by evaluating each row's
+    ``path`` against its host's robots.txt. ``robots`` has columns
+    ``(host, body)``; hosts absent from it allow everything.
+
+    Scale: the robots side is per-HOST (tiny next to pages). At or below
+    ``broadcast_limit`` hosts the compiled rule map ships once via
+    ``ray.put``; above it the raw bodies hash-join onto pages by host
+    and rules compile per batch (compilation is memoized per worker by
+    body hash)."""
+    n_hosts = robots.count()
+
+    if n_hosts <= broadcast_limit:
+        rules_by_host = {
+            h: parse_robots(b or "", agent)
+            for batch in robots.select_columns(["host", "body"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for h, b in zip(batch["host"].to_pylist(), batch["body"].to_pylist())
+        }
+        ref = ray.put(rules_by_host)
+
+        def mark(t: pa.Table) -> pa.Table:
+            from fonduer_ray.stages.util import get_broadcast
+
+            rbh = get_broadcast(ref)
+            flags = [
+                int(robots_allowed(rbh.get(h, ()), p))
+                for h, p in zip(
+                    t[host_col].to_pylist(), t[path_col].to_pylist()
+                )
+            ]
+            return t.append_column("allowed", pa.array(flags, pa.int64()))
+
+        return ds.map_batches(mark, batch_format="pyarrow")
+
+    from fonduer_ray.stages.util import join_partitions
+
+    joined = ds.join(
+        robots.select_columns(["host", "body"]),
+        "left_outer",
+        num_partitions=join_partitions(),
+        on=(host_col,),
+        right_on=("host",),
+    )
+    _cache: dict = {}
+
+    def mark_joined(t: pa.Table) -> pa.Table:
+        flags = []
+        for body, p in zip(t["body"].to_pylist(), t[path_col].to_pylist()):
+            if body is None:
+                flags.append(1)
+                continue
+            rules = _cache.get(body)
+            if rules is None:
+                rules = _cache[body] = parse_robots(body, agent)
+            flags.append(int(robots_allowed(rules, p)))
+        return t.drop_columns(["body"]).append_column(
+            "allowed", pa.array(flags, pa.int64())
+        )
+
+    return joined.map_batches(mark_joined, batch_format="pyarrow")

@@ -1378,3 +1378,44 @@ def gif_decode_stats(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_docs(sf_dir, ["doc_id"])
     return map_stage(ds, _GifStatsStage, {}, 64)
+
+
+def robots_filter_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, host, allowed) through the real robots.txt parser + RFC
+    9309 longest-match precedence (``functions/weburl.py``). Hosts whose
+    index is a multiple of 4 disallow ``/Docs/`` wholesale; every host
+    disallows ``/Docs/9*`` but re-allows ``/Docs/99*`` (the longer Allow
+    wins), and carries an unrelated ``badbot`` group that must NOT apply
+    to ``*`` — all closed-form for the oracle."""
+    from fonduer_ray.functions.weburl import robots_filter
+
+    ds = read_docs(sf_dir, ["doc_id"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "host": pa.array(
+                    [f"www.src{i % 20}.example.com" for i in ids],
+                    pa.string(),
+                ),
+                "path": pa.array([f"/Docs/{i}" for i in ids], pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+
+    bodies = []
+    for h in range(20):
+        rules = ["User-agent: badbot", "Disallow: /", "", "User-agent: *"]
+        if h % 4 == 0:
+            rules.append("Disallow: /Docs/")
+        rules += ["Disallow: /Docs/9", "Allow: /Docs/99"]
+        bodies.append(
+            {"host": f"www.src{h}.example.com", "body": "\n".join(rules)}
+        )
+    robots = ray.data.from_items(bodies)
+
+    out = robots_filter(pages, robots)
+    return out.select_columns(["doc_id", "host", "allowed"])

@@ -85,3 +85,56 @@ def test_extract_links_document_order_and_nesting(ray_session):
         (3, "/three", "tail"),
     ]
     assert all(r["src_url"] == "p1" for r in rows)
+
+
+def test_parse_robots_groups_and_precedence():
+    from fonduer_ray.functions.weburl import parse_robots, robots_allowed
+
+    body = """
+# crawl policy
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp*$
+Disallow:
+"""
+    rules = parse_robots(body, agent="*")
+    assert robots_allowed(rules, "/public/x")
+    assert not robots_allowed(rules, "/private/secret")
+    # longer Allow overrides the shorter Disallow
+    assert robots_allowed(rules, "/private/okay")
+    # wildcard + end anchor
+    assert not robots_allowed(rules, "/tmpfile")
+    # badbot group must not leak into *
+    assert robots_allowed(rules, "/anything")
+    bad = parse_robots(body, agent="BadBot")  # case-insensitive agent
+    assert not robots_allowed(bad, "/anything")
+    # agent with no group falls back to *
+    other = parse_robots(body, agent="goodbot")
+    assert not robots_allowed(other, "/private/secret")
+    # empty body allows everything
+    assert robots_allowed(parse_robots(""), "/x")
+
+
+def test_robots_filter_broadcast_vs_join_paths(ray_session):
+    from fonduer_ray.functions.weburl import robots_filter
+
+    pages = ray.data.from_items(
+        [
+            {"host": "a.com", "path": "/keep"},
+            {"host": "a.com", "path": "/blocked/x"},
+            {"host": "b.com", "path": "/blocked/x"},  # no robots -> allowed
+        ]
+    )
+    robots = ray.data.from_items(
+        [{"host": "a.com", "body": "User-agent: *\nDisallow: /blocked"}]
+    )
+    want = {("a.com", "/keep"): 1, ("a.com", "/blocked/x"): 0,
+            ("b.com", "/blocked/x"): 1}
+    for kw in ({}, {"broadcast_limit": 0}):
+        rows = robots_filter(pages, robots, **kw).take_all()
+        got = {(r["host"], r["path"]): r["allowed"] for r in rows}
+        assert got == want, kw
