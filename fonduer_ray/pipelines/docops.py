@@ -72,8 +72,32 @@ def htmlize(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+#: session-scoped materialized-view cache for the shared pipeline prefixes
+#: (parse -> mentions -> candidates): ~8 driver queries consume the same
+#: deterministic parsed corpus, and re-parsing it per query dominated the
+#: sweep. Keyed by (ray job id, sf_dir) so a cached Dataset can never
+#: outlive the Ray session whose object store holds its blocks.
+_PREFIX_CACHE: dict = {}
+
+
+def _cached(kind: str, sf_dir: str, build) -> "ray.data.Dataset":
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:  # no session yet — build uncached
+        return build()
+    key = (job, kind, sf_dir)
+    ds = _PREFIX_CACHE.get(key)
+    if ds is None:
+        ds = _PREFIX_CACHE[key] = build().materialize()
+    return ds
+
+
 def parsed_docs(sf_dir: str) -> "ray.data.Dataset":
-    return parse_webpages(htmlize(sf_dir), batch_size=128)
+    return _cached(
+        "parsed",
+        sf_dir,
+        lambda: parse_webpages(htmlize(sf_dir), batch_size=128),
+    )
 
 
 def parse_doc_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -219,7 +243,13 @@ def _relation_specs() -> list[RelationSpec]:
 
 
 def candidate_docs(sf_dir: str) -> "ray.data.Dataset":
-    return extract_candidates(mention_docs(sf_dir), _relation_specs(), batch_size=128)
+    return _cached(
+        "candidates",
+        sf_dir,
+        lambda: extract_candidates(
+            mention_docs(sf_dir), _relation_specs(), batch_size=128
+        ),
+    )
 
 
 def candidate_counts(sf_dir: str) -> "ray.data.Dataset":
