@@ -596,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_stats": docops.link_graph_stats,
         "host_inlink_counts": docops.host_inlink_counts,
         "robots_filter_stats": docops.robots_filter_stats,
+        "anchor_alias_stats": docops.anchor_alias_stats,
+        "redirect_resolution": docops.redirect_resolution_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -768,6 +770,7 @@ _NEW_IN_R4 = (
     "gold_label_eval", "url_canonical_stats", "link_graph_stats",
     "host_inlink_counts", "robots_filter_stats", "mp3_audio_stats",
     "gif_decode_stats", "profile_events", "importance_weights", "graph_ppr",
+    "anchor_alias_stats", "redirect_resolution",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -907,6 +910,58 @@ def oracle_sql() -> dict[str, str]:
                      || '.example.com' AS dst_host,
                    count(*) AS n_inlinks
             FROM links GROUP BY 1
+        """,
+        # alias-anchored linked-web fixture: link src -> tgt carries anchor
+        # name{(src+tgt)%3}; modal anchor per canonical target, ties
+        # bytewise-ascending
+        "anchor_alias_stats": """
+            WITH links AS (
+              SELECT d.doc_id,
+                     (7 * d.doc_id + k.k)
+                       % (SELECT count(*) FROM documents) AS tgt
+              FROM documents d, (VALUES (1),(2),(3)) k(k)
+              WHERE k.k <= 1 + d.doc_id % 3
+            ),
+            a AS (
+              SELECT 'https://www.src' || CAST(tgt % 20 AS VARCHAR)
+                       || '.example.com/Docs/' || CAST(tgt AS VARCHAR)
+                       AS canonical_url,
+                     'name' || CAST((doc_id + tgt) % 3 AS VARCHAR) AS anchor
+              FROM links
+            ),
+            c AS (
+              SELECT canonical_url, anchor, count(*) AS n
+              FROM a GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT canonical_url,
+                     CAST(SUM(n) AS BIGINT) AS n_mentions,
+                     CAST(COUNT(*) AS BIGINT) AS n_aliases
+              FROM c GROUP BY 1
+            ),
+            t AS (
+              SELECT canonical_url, anchor AS top_anchor,
+                     row_number() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY n DESC, anchor ASC
+                     ) AS rn
+              FROM c
+            )
+            SELECT s.canonical_url, s.n_mentions, s.n_aliases, t.top_anchor
+            FROM s JOIN t
+              ON s.canonical_url = t.canonical_url AND t.rn = 1
+        """,
+        # redirect-chain fixture: doc i (i%16 != 0) redirects to i-1, so
+        # every chain terminates at the multiple of 16 below its source
+        "redirect_resolution": """
+            SELECT 'https://r.example.com/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'https://r.example.com/'
+                     || CAST(doc_id - doc_id % 16 AS VARCHAR) AS final_url,
+                   CAST(doc_id % 16 AS BIGINT) AS n_hops,
+                   CAST(1 AS BIGINT) AS resolved
+            FROM documents
+            WHERE doc_id % 16 <> 0
         """,
         # silent CBR MPEG1-L3 fixture: 5 + id%7 frames of 1152 samples,
         # bitrate (96,112,128,160)[id%4], stereo when id is even

@@ -305,3 +305,300 @@ def robots_filter(
         )
 
     return joined.map_batches(mark_joined, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- anchor aliases
+
+
+def anchor_aliases(
+    links: "ray.data.Dataset",
+    target_col: str = "canonical_url",
+    anchor_col: str = "anchor",
+) -> "ray.data.Dataset":
+    """(target, n_mentions, n_aliases, top_anchor) over an extracted link
+    table — the KG entity-alias aggregate: the anchor texts pointing at
+    one canonical target are the web's names for that entity (the
+    Wikipedia-anchor alias-mining move; no reference analog — reference
+    never looks at links). ``top_anchor`` is the modal anchor, ties
+    broken bytewise-ascending.
+
+    Scale: anchors are whitespace-squeezed, then (target, anchor) counts
+    pre-aggregate INSIDE each block (the combiner), so only distinct
+    pairs per block ride the single target-keyed hash shuffle; the modal
+    pick runs vectorized per partition. Anchor text never shuffles more
+    than once per distinct (block, target, anchor)."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        anchors = [
+            " ".join((a or "").split()) for a in t[anchor_col].to_pylist()
+        ]
+        df = pd.DataFrame(
+            {"target": t[target_col].to_pylist(), "anchor": anchors}
+        )
+        df = df[df["anchor"] != ""]
+        g = (
+            df.groupby(["target", "anchor"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = links.map_batches(partial, batch_format="pyarrow")
+
+    def agg(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            df.groupby(["target", "anchor"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["target", "n", "anchor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.drop_duplicates("target", keep="first")[
+            ["target", "anchor"]
+        ].rename(columns={"anchor": "top_anchor"})
+        stats = (
+            g.groupby("target", sort=False)
+            .agg(n_mentions=("n", "sum"), n_aliases=("n", "size"))
+            .reset_index()
+        )
+        return stats.merge(top, on="target")
+
+    return hash_groupby(pairs, ["target"], agg)
+
+
+# ----------------------------------------------------- redirect resolution
+
+
+REDIRECT_BROADCAST_EDGE_LIMIT = 2_000_000
+
+
+def resolve_redirects(
+    redirects: "ray.data.Dataset",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 64,
+    broadcast_limit: int = REDIRECT_BROADCAST_EDGE_LIMIT,
+    n_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """(url, final_url, n_hops, resolved) — follow each source URL of a
+    redirect edge table (a functional graph: one outgoing edge per src)
+    to its terminal target. The URL-alias canonicalization step of web
+    KG construction: entity pages reached via 301-chains must collapse
+    to one node before linking.
+
+    Scale: at or below ``broadcast_limit`` edges the map resolves on ONE
+    bounded worker task (dict walk, memoized per terminal). Above it,
+    distributed POINTER DOUBLING: each round self-joins the live
+    (url -> next, hops) state on ``next = url``, squaring the distance
+    covered — ceil(log2 max_hops) rounds total, each one hash join, so
+    a 100-hop chain at 100 TB costs 7 shuffles, not 100. Rows whose
+    ``next`` has no outgoing edge are terminal and retire from the live
+    set immediately (a left-outer self-join marks them), so join input
+    shrinks every round. Cycles (and chains longer than ``max_hops``)
+    surface as ``resolved = 0`` with the last URL reached — pointer
+    doubling makes that URL deterministic (f^(2^k) of the source).
+    Both paths are equality-tested (tests/test_weburl2.py)."""
+    n_edges = redirects.count()
+
+    if n_edges <= broadcast_limit:
+        nxt: dict = {}
+        for batch in redirects.select_columns([src_col, dst_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            nxt.update(
+                zip(batch[src_col].to_pylist(), batch[dst_col].to_pylist())
+            )
+
+        @ray.remote
+        def walk(nxt: dict, max_hops: int) -> pa.Table:
+            urls, finals, hops_l, res = [], [], [], []
+            for src in nxt:
+                cur, hops = src, 0
+                while cur in nxt and hops < max_hops:
+                    cur = nxt[cur]
+                    hops += 1
+                urls.append(src)
+                finals.append(cur)
+                hops_l.append(hops)
+                res.append(int(cur not in nxt))
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "final_url": pa.array(finals, pa.string()),
+                    "n_hops": pa.array(hops_l, pa.int64()),
+                    "resolved": pa.array(res, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([walk.remote(nxt, max_hops)])
+
+    from fonduer_ray.stages.util import join_partitions
+
+    # each round is a full hash-shuffle whose aggregator-actor spin-up is
+    # the fixed cost (see join_partitions) — callers at cluster scale pass
+    # an explicit n_partitions
+    n_parts = n_partitions or join_partitions()
+
+    # state: (url, nxt, hops) for live rows; terminal rows peel off into
+    # `done` datasets as soon as their nxt leaves the edge-key set
+    state = redirects.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t[src_col].cast(pa.string()),
+                "nxt": t[dst_col].cast(pa.string()),
+                "hops": pa.array([1] * len(t), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # the full (src -> dst) hop-1 map is the loop-invariant join target:
+    # joining live state against it (not against the shrinking live set)
+    # keeps retired rows reachable as intermediate hops
+    base = state
+    done_parts: list = []
+    # +1: a row resolves via a left-outer MISS the round AFTER its pointer
+    # lands on the terminal, so coverage needs one detection round past
+    # the ceil(log2) doubling rounds
+    rounds = max(1, (max_hops - 1).bit_length()) + 1
+    span = 1  # max distance covered by `base` per application
+
+    for _ in range(rounds):
+        joined = state.join(
+            base.map_batches(
+                lambda t: pa.table(
+                    {
+                        "j_url": t["url"],
+                        "j_nxt": t["nxt"],
+                        "j_hops": t["hops"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "left_outer",
+            num_partitions=n_parts,
+            on=("nxt",),
+            right_on=("j_url",),
+        )
+
+        def split(t: pa.Table, _cap=max_hops) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # miss: nxt has no outgoing edge -> this row is RESOLVED at
+            # its current position. over: accumulated distance exceeds the
+            # cap without terminating (strict >, so a chain of exactly
+            # max_hops hops still resolves, matching the walk path) ->
+            # retire UNRESOLVED. hops along a real path never exceed the
+            # true chain length, so `over` can only fire for cycles or
+            # chains longer than the cap.
+            miss = pc.is_null(t["j_nxt"])
+            new_hops = pc.add(t["hops"], pc.fill_null(t["j_hops"], 0))
+            over = pc.and_(pc.invert(miss), pc.greater(new_hops, _cap))
+            terminal = pc.or_(miss, over)
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "nxt": pc.if_else(miss, t["nxt"], t["j_nxt"]),
+                    "hops": pc.if_else(miss, t["hops"], new_hops),
+                    "terminal": terminal.cast(pa.int8()),
+                    "resolved": miss.cast(pa.int8()),
+                }
+            )
+
+        stepped = joined.map_batches(split, batch_format="pyarrow").materialize()
+        done_parts.append(stepped.filter(expr="terminal == 1"))
+        # repartition: filter passes through zero-column empty blocks that
+        # crash the next round's join aggregator (see hash_groupby join_safe)
+        state = (
+            stepped.filter(expr="terminal == 0")
+            .drop_columns(["terminal", "resolved"])
+            .repartition(n_parts)
+            .materialize()
+        )
+        span *= 2
+        if state.count() == 0:
+            break
+        # double the base map as well so round k covers 2^k hops
+        if span < max_hops:
+            base = _double_map(base, n_parts)
+
+    # anything still live hit the round cap without terminating (cycle)
+    leftover = state.map_batches(
+        lambda t: t.append_column(
+            "terminal", pa.array([1] * len(t), pa.int8())
+        ).append_column("resolved", pa.array([0] * len(t), pa.int8())),
+        batch_format="pyarrow",
+    )
+    done_parts.append(leftover)
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # hops > cap can only happen on a non-pow2 cap where the last
+        # doubling overshoots; the walk path reports such rows unresolved
+        # at the cap, so mirror that (for unresolved rows only
+        # (url, resolved) are canonical — final_url/n_hops are
+        # path-dependent positions on the walk)
+        return pa.table(
+            {
+                "url": t["url"],
+                "final_url": t["nxt"],
+                "n_hops": t["hops"],
+                "resolved": pc.and_(
+                    t["resolved"].cast(pa.bool_()),
+                    pc.less_equal(t["hops"], max_hops),
+                ).cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _double_map(base: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+    """One pointer-doubling step on the (url -> nxt, hops) map itself:
+    url's pointer jumps to its pointer's pointer where one exists."""
+    joined = base.join(
+        base.map_batches(
+            lambda t: pa.table(
+                {"j_url": t["url"], "j_nxt": t["nxt"], "j_hops": t["hops"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "left_outer",
+        num_partitions=n_parts,
+        on=("nxt",),
+        right_on=("j_url",),
+    )
+
+    def step(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        miss = pc.is_null(t["j_nxt"])
+        return pa.table(
+            {
+                "url": t["url"],
+                "nxt": pc.if_else(miss, t["nxt"], t["j_nxt"]),
+                "hops": pc.if_else(
+                    miss,
+                    t["hops"],
+                    pc.add(t["hops"], pc.fill_null(t["j_hops"], 0)),
+                ),
+            }
+        )
+
+    # repartition: the join emits zero-column blocks for empty partitions
+    # and map_batches passes them through; this map feeds the NEXT round's
+    # join, so sanitize (see hash_groupby join_safe)
+    return (
+        joined.map_batches(step, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )

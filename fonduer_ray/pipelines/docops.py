@@ -1272,13 +1272,17 @@ def url_canonical_stats(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["doc_id", "host", "canonical_url"])
 
 
-def _linked_pages(sf_dir: str) -> "ray.data.Dataset":
+def _linked_pages(sf_dir: str, alias_anchors: bool = False) -> "ray.data.Dataset":
     """Deterministic linked-web fixture: doc i's page carries ``1 + i%3``
     anchors, link k (1-based) pointing at doc ``t = (7*i + k) % N`` via a
     deliberately messy absolute URL (uppercase host, default port,
     tracking param) whose canonical form is closed-form from ``t``
     (source of doc t is ``src{t % 20}`` in the driver testdata). N is the
-    documents row count (Parquet metadata — no scan)."""
+    documents row count (Parquet metadata — no scan).
+
+    ``alias_anchors``: anchor text becomes ``name{(i + t) % 3}`` — one of
+    three colliding alias strings per target, so alias aggregation has a
+    real mode to find (still closed-form for the oracle)."""
     ds = read_docs(sf_dir, ["doc_id"])
     n_docs = ds.count()
 
@@ -1288,9 +1292,14 @@ def _linked_pages(sf_dir: str) -> "ray.data.Dataset":
             anchors = []
             for k in range(1, 2 + doc_id % 3):
                 tgt = (7 * doc_id + k) % n_docs
+                text = (
+                    f"name{(doc_id + tgt) % 3}"
+                    if alias_anchors
+                    else f"anchor {tgt}"
+                )
                 anchors.append(
                     f'<a href="HTTPS://WWW.src{tgt % 20}.Example.COM:443'
-                    f'/Docs/{tgt}/?utm_source=feed">anchor {tgt}</a>'
+                    f'/Docs/{tgt}/?utm_source=feed">{text}</a>'
                 )
             urls.append(str(doc_id))
             htmls.append(
@@ -1350,6 +1359,66 @@ def host_inlink_counts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hash_groupby(links, ["dst_host"], agg)
+
+
+def anchor_alias_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(canonical_url, n_mentions, n_aliases, top_anchor) — the KG
+    entity-alias aggregate (``weburl.anchor_aliases``) over the
+    alias-anchored linked-web fixture: each in-link names its target
+    ``name{(src + tgt) % 3}``, so the modal anchor per canonical target
+    (ties bytewise-ascending) is closed-form for the oracle."""
+    from fonduer_ray.functions.weburl import (
+        anchor_aliases,
+        canonicalize_urls,
+        extract_links,
+    )
+
+    links = extract_links(_linked_pages(sf_dir, alias_anchors=True))
+    out = anchor_aliases(
+        canonicalize_urls(links, url_col="href"), target_col="canonical_url"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "canonical_url": t["target"],
+                "n_mentions": t["n_mentions"],
+                "n_aliases": t["n_aliases"],
+                "top_anchor": t["top_anchor"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def redirect_resolution_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(url, final_url, n_hops, resolved) through
+    ``weburl.resolve_redirects`` on its natural size guard (the fixture
+    sits far below the broadcast limit, so the bounded single-worker walk
+    runs — the same convention as pagerank/components): doc i (i%16 != 0)
+    redirects to i-1, so chains run to the multiple-of-16 terminal below —
+    final url and hop count are closed-form (``i - i%16``, ``i % 16``).
+    The distributed pointer-doubling path is forced (broadcast_limit=0)
+    and equality-tested against the walk in tests/test_weburl2.py."""
+    ds = read_docs(sf_dir, ["doc_id"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 16 != 0]
+        return pa.table(
+            {
+                "src_url": pa.array(
+                    [f"https://r.example.com/{i}" for i in ids], pa.string()
+                ),
+                "dst_url": pa.array(
+                    [f"https://r.example.com/{i - 1}" for i in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    from fonduer_ray.functions.weburl import resolve_redirects
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow")
+    return resolve_redirects(edges, max_hops=16)
 
 
 class _GifStatsStage:

@@ -1,0 +1,150 @@
+"""Anchor-alias aggregation and redirect resolution (functions/weburl.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from fonduer_ray.functions.weburl import anchor_aliases, resolve_redirects
+
+
+def _links(targets, anchors):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "canonical_url": pa.array(targets, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+    )
+
+
+def test_anchor_aliases_mode_ties_and_whitespace(ray_session):
+    ds = _links(
+        ["u1", "u1", "u1", "u1", "u2", "u2", "u3"],
+        ["  Apple  Inc ", "apple", "Apple Inc", "apple", "b", "a", ""],
+    )
+    rows = {r["target"]: r for r in anchor_aliases(ds).take_all()}
+    # u1: "Apple Inc" (squeezed) x2 vs "apple" x2 — bytewise tie-break
+    # picks "Apple Inc" ('A' < 'a')
+    assert rows["u1"]["n_mentions"] == 4
+    assert rows["u1"]["n_aliases"] == 2
+    assert rows["u1"]["top_anchor"] == "Apple Inc"
+    # u2: singleton counts, tie broken ascending
+    assert rows["u2"]["top_anchor"] == "a"
+    # u3: its only anchor is empty -> target dropped entirely
+    assert "u3" not in rows
+
+
+def test_anchor_aliases_matches_bruteforce(ray_session):
+    import collections
+
+    targets, anchors = [], []
+    for i in range(400):
+        targets.append(f"t{i % 23}")
+        anchors.append(f"name{(i * 7) % 5}")
+    counts: dict = collections.defaultdict(collections.Counter)
+    for t, a in zip(targets, anchors):
+        counts[t][a] += 1
+    rows = {r["target"]: r for r in anchor_aliases(_links(targets, anchors)).take_all()}
+    assert set(rows) == set(counts)
+    for t, c in counts.items():
+        assert rows[t]["n_mentions"] == sum(c.values())
+        assert rows[t]["n_aliases"] == len(c)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert rows[t]["top_anchor"] == best
+
+
+def _redirects(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([p[0] for p in pairs], pa.string()),
+                "dst_url": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _by_url(rows):
+    return {r["url"]: r for r in rows}
+
+
+def test_resolve_redirects_walk_chains_and_cycle(ray_session):
+    ds = _redirects(
+        [("1", "2"), ("2", "3"), ("3", "T"), ("c1", "c2"), ("c2", "c1")]
+    )
+    rows = _by_url(resolve_redirects(ds, max_hops=8).take_all())
+    assert rows["1"] == {"url": "1", "final_url": "T", "n_hops": 3, "resolved": 1}
+    assert rows["2"]["n_hops"] == 2 and rows["2"]["resolved"] == 1
+    assert rows["3"]["n_hops"] == 1
+    # 2-cycle: unresolved, stopped at the hop cap
+    assert rows["c1"]["resolved"] == 0
+    assert rows["c2"]["resolved"] == 0
+
+
+def test_resolve_redirects_paths_agree(ray_session):
+    """Forced pointer-doubling path == single-worker walk path, on a mix
+    of chain lengths (1..20 hops incl. > max_hops), a shared sink, and a
+    3-cycle. For unresolved rows only (url, resolved) are canonical."""
+    pairs = []
+    # chains: head h{L}_{i} -> ... -> sink "S" (length L)
+    for length in (1, 2, 3, 7, 15, 16, 20):
+        prev = f"h{length}_0"
+        for i in range(1, length):
+            cur = f"h{length}_{i}"
+            pairs.append((prev, cur))
+            prev = cur
+        pairs.append((prev, "S"))
+    pairs += [("x", "y"), ("y", "z"), ("z", "x")]  # 3-cycle
+    ds = _redirects(pairs)
+
+    walk = _by_url(resolve_redirects(ds, max_hops=16).take_all())
+    dist = _by_url(
+        resolve_redirects(
+            ds, max_hops=16, broadcast_limit=0, n_partitions=2
+        ).take_all()
+    )
+    assert set(walk) == set(dist)
+    for url, w in walk.items():
+        d = dist[url]
+        assert w["resolved"] == d["resolved"], url
+        if w["resolved"]:
+            assert (w["final_url"], w["n_hops"]) == (
+                d["final_url"],
+                d["n_hops"],
+            ), url
+    # closed-form spot checks: chain heads resolve in exactly L hops when
+    # L <= max_hops, and are unresolved beyond the cap
+    for length in (1, 2, 3, 7, 15, 16):
+        assert walk[f"h{length}_0"] == {
+            "url": f"h{length}_0",
+            "final_url": "S",
+            "n_hops": length,
+            "resolved": 1,
+        }
+    assert walk["h20_0"]["resolved"] == 0
+    assert dist["h20_0"]["resolved"] == 0
+
+
+def test_resolve_redirects_star_skew(ray_session):
+    """A hub everything redirects into (then one more hop) stays O(n):
+    every src resolves in <= 2 hops regardless of fan-in."""
+    n = 300
+    pairs = [(f"s{i}", "hub") for i in range(n)] + [("hub", "T")]
+    rows = resolve_redirects(
+        _redirects(pairs), max_hops=4, broadcast_limit=0, n_partitions=2
+    ).take_all()
+    by = _by_url(rows)
+    assert len(by) == n + 1
+    assert by["hub"]["n_hops"] == 1
+    assert all(
+        by[f"s{i}"] == {
+            "url": f"s{i}",
+            "final_url": "T",
+            "n_hops": 2,
+            "resolved": 1,
+        }
+        for i in range(n)
+    )
