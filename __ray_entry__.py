@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter_stats": docops.robots_filter_stats,
         "anchor_alias_stats": docops.anchor_alias_stats,
         "redirect_resolution": docops.redirect_resolution_stats,
+        "sitemap_parse_stats": docops.sitemap_parse_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -770,7 +771,7 @@ _NEW_IN_R4 = (
     "gold_label_eval", "url_canonical_stats", "link_graph_stats",
     "host_inlink_counts", "robots_filter_stats", "mp3_audio_stats",
     "gif_decode_stats", "profile_events", "importance_weights", "graph_ppr",
-    "anchor_alias_stats", "redirect_resolution",
+    "anchor_alias_stats", "redirect_resolution", "sitemap_parse_stats",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -950,6 +951,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.canonical_url, s.n_mentions, s.n_aliases, t.top_anchor
             FROM s JOIN t
               ON s.canonical_url = t.canonical_url AND t.rn = 1
+        """,
+        # sitemap fixture: doc i%10==0 is a <sitemapindex> of 1+i%2 child
+        # refs, else a <urlset> of 1+i%3 page entries; changefreq omitted
+        # when (i+k)%5==0 (null path), index entries carry no freq/priority
+        "sitemap_parse_stats": """
+            WITH e AS (
+              SELECT d.doc_id AS i, k.k AS k,
+                     CASE WHEN d.doc_id % 10 = 0 THEN 'sitemap'
+                          ELSE 'url' END AS kind
+              FROM documents d, (VALUES (1),(2),(3)) k(k)
+              WHERE (d.doc_id % 10 = 0 AND k.k <= 1 + d.doc_id % 2)
+                 OR (d.doc_id % 10 <> 0 AND k.k <= 1 + d.doc_id % 3)
+            )
+            SELECT 'https://www.src' || CAST(i % 20 AS VARCHAR)
+                     || '.example.com/sitemap.xml' AS sitemap_url,
+                   kind,
+                   CAST(k AS BIGINT) AS pos,
+                   CASE WHEN kind = 'sitemap'
+                        THEN 'https://www.src' || CAST(i % 20 AS VARCHAR)
+                          || '.example.com/sitemap' || CAST(i AS VARCHAR)
+                          || '_' || CAST(k AS VARCHAR) || '.xml'
+                        ELSE 'https://www.src' || CAST(i % 20 AS VARCHAR)
+                          || '.example.com/Docs/' || CAST(i AS VARCHAR)
+                          || '/p' || CAST(k AS VARCHAR)
+                   END AS loc,
+                   CASE WHEN kind = 'sitemap' THEN '2026-02-'
+                        ELSE '2026-01-' END
+                     || lpad(CAST(1 + (i + k) % 28 AS VARCHAR), 2, '0')
+                     AS lastmod,
+                   CASE WHEN kind = 'sitemap' OR (i + k) % 5 = 0 THEN NULL
+                        ELSE (CASE (i + k) % 4
+                              WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                              WHEN 2 THEN 'monthly' ELSE 'never' END)
+                   END AS changefreq,
+                   CASE WHEN kind = 'sitemap' THEN NULL
+                        ELSE '0.' || CAST((i + k) % 10 AS VARCHAR)
+                   END AS priority
+            FROM e
         """,
         # redirect-chain fixture: doc i (i%16 != 0) redirects to i-1, so
         # every chain terminates at the multiple of 16 below its source

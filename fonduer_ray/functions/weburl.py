@@ -307,6 +307,79 @@ def robots_filter(
     return joined.map_batches(mark_joined, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------- sitemaps
+
+
+def parse_sitemaps(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    xml_col: str = "xml",
+) -> "ray.data.Dataset":
+    """Sitemap documents (sitemaps.org protocol) -> one row per entry:
+    ``(sitemap_url, kind, pos, loc, lastmod, changefreq, priority)``.
+    ``kind`` is ``'url'`` for ``<urlset>`` page entries and ``'sitemap'``
+    for ``<sitemapindex>`` child references (the crawler recurses on
+    those); ``pos`` is the 1-based document-order position. Optional
+    fields absent from an entry come back null; field values are kept as
+    the VERBATIM sitemap strings (no date/float coercion — parse
+    fidelity, and callers cast downstream).
+
+    Completes the crawl-side trio with ``canonicalize_urls`` and
+    ``robots_filter``. Uses the same tolerant tree parser as the doc
+    pipeline (XML prolog dropped as a processing instruction), pure
+    ``map_batches`` — at scale this fuses into the fetch/read stage."""
+    from fonduer_ray.parser.htmltree import parse_html
+
+    def walk(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "sitemap_url": [],
+            "kind": [],
+            "pos": [],
+            "loc": [],
+            "lastmod": [],
+            "changefreq": [],
+            "priority": [],
+        }
+        for url, xml in zip(t[url_col].to_pylist(), t[xml_col].to_pylist()):
+            root = parse_html(xml or b"")
+            if root is None:
+                continue
+            pos = 0
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                stack.extend(reversed(node.children))
+                if node.tag not in ("url", "sitemap"):
+                    continue
+                fields = {
+                    ch.tag: (ch.text or "").strip() for ch in node.children
+                }
+                loc = fields.get("loc")
+                if not loc:
+                    continue  # loc is mandatory per the protocol
+                pos += 1
+                cols["sitemap_url"].append(url)
+                cols["kind"].append(node.tag)
+                cols["pos"].append(pos)
+                cols["loc"].append(loc)
+                cols["lastmod"].append(fields.get("lastmod") or None)
+                cols["changefreq"].append(fields.get("changefreq") or None)
+                cols["priority"].append(fields.get("priority") or None)
+        return pa.table(
+            {
+                "sitemap_url": pa.array(cols["sitemap_url"], pa.string()),
+                "kind": pa.array(cols["kind"], pa.string()),
+                "pos": pa.array(cols["pos"], pa.int64()),
+                "loc": pa.array(cols["loc"], pa.string()),
+                "lastmod": pa.array(cols["lastmod"], pa.string()),
+                "changefreq": pa.array(cols["changefreq"], pa.string()),
+                "priority": pa.array(cols["priority"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(walk, batch_format="pyarrow")
+
+
 # -------------------------------------------------------- anchor aliases
 
 

@@ -1390,6 +1390,61 @@ def anchor_alias_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def sitemap_parse_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(sitemap_url, kind, pos, loc, lastmod, changefreq, priority)
+    through the real sitemaps.org parser (``weburl.parse_sitemaps``).
+    Doc i with i%10 == 0 is a ``<sitemapindex>`` of ``1 + i%2`` child
+    sitemaps (no changefreq/priority); every other doc is a ``<urlset>``
+    of ``1 + i%3`` page entries where entry j carries
+    lastmod ``2026-01-(1+(i+j)%28)``, changefreq cycling
+    (daily, weekly, monthly, never) by ``(i+j)%4`` — OMITTED when
+    ``(i+j)%5 == 0`` (null-field path) — and priority ``0.((i+j)%10)``.
+    All closed-form for the oracle, including the nulls."""
+    from fonduer_ray.functions.weburl import parse_sitemaps
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    freqs = ("daily", "weekly", "monthly", "never")
+
+    def to_sitemaps(t: pa.Table) -> pa.Table:
+        urls, xmls = [], []
+        for i in t["doc_id"].to_pylist():
+            host = f"https://www.src{i % 20}.example.com"
+            entries = []
+            if i % 10 == 0:
+                for j in range(1, 2 + i % 2):
+                    entries.append(
+                        f"<sitemap><loc>{host}/sitemap{i}_{j}.xml</loc>"
+                        f"<lastmod>2026-02-{1 + (i + j) % 28:02d}</lastmod>"
+                        f"</sitemap>"
+                    )
+                body = f"<sitemapindex>{''.join(entries)}</sitemapindex>"
+            else:
+                for j in range(1, 2 + i % 3):
+                    freq = (
+                        ""
+                        if (i + j) % 5 == 0
+                        else f"<changefreq>{freqs[(i + j) % 4]}</changefreq>"
+                    )
+                    entries.append(
+                        f"<url><loc>{host}/Docs/{i}/p{j}</loc>"
+                        f"<lastmod>2026-01-{1 + (i + j) % 28:02d}</lastmod>"
+                        f"{freq}<priority>0.{(i + j) % 10}</priority></url>"
+                    )
+                body = f"<urlset>{''.join(entries)}</urlset>"
+            urls.append(f"{host}/sitemap.xml")
+            xmls.append(
+                ('<?xml version="1.0" encoding="UTF-8"?>' + body).encode()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "xml": pa.array(xmls, pa.binary()),
+            }
+        )
+
+    return parse_sitemaps(ds.map_batches(to_sitemaps, batch_format="pyarrow"))
+
+
 def redirect_resolution_stats(sf_dir: str) -> "ray.data.Dataset":
     """(url, final_url, n_hops, resolved) through
     ``weburl.resolve_redirects`` on its natural size guard (the fixture

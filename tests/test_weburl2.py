@@ -56,6 +56,50 @@ def test_anchor_aliases_matches_bruteforce(ray_session):
         assert rows[t]["top_anchor"] == best
 
 
+def test_parse_sitemaps_urlset_index_and_edge_cases(ray_session):
+    from fonduer_ray.functions.weburl import parse_sitemaps
+
+    urlset = (
+        b'<?xml version="1.0" encoding="UTF-8"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>  https://ex.com/a  </loc><lastmod>2026-01-02</lastmod>"
+        b"<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        b"<url><loc>https://ex.com/b</loc></url>"
+        b"<url><lastmod>2026-01-03</lastmod></url>"  # no loc -> dropped
+        b"</urlset>"
+    )
+    index = (
+        b"<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc>"
+        b"<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["m1", "m2"], pa.string()),
+                "xml": pa.array([urlset, index], pa.binary()),
+            }
+        )
+    )
+    rows = sorted(
+        parse_sitemaps(ds).take_all(),
+        key=lambda r: (r["sitemap_url"], r["pos"]),
+    )
+    assert [(r["sitemap_url"], r["kind"], r["pos"], r["loc"]) for r in rows] == [
+        ("m1", "url", 1, "https://ex.com/a"),
+        ("m1", "url", 2, "https://ex.com/b"),
+        ("m2", "sitemap", 1, "https://ex.com/s1.xml"),
+    ]
+    assert rows[0]["lastmod"] == "2026-01-02"
+    assert rows[0]["changefreq"] == "daily"
+    assert rows[0]["priority"] == "0.8"
+    # optional fields absent -> null
+    assert rows[1]["lastmod"] is None
+    assert rows[1]["changefreq"] is None
+    assert rows[1]["priority"] is None
+    assert rows[2]["lastmod"] == "2026-02-01"
+    assert rows[2]["priority"] is None
+
+
 def _redirects(pairs):
     return ray.data.from_arrow(
         pa.table(
