@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_alias_stats": docops.anchor_alias_stats,
         "redirect_resolution": docops.redirect_resolution_stats,
         "sitemap_parse_stats": docops.sitemap_parse_stats,
+        "charset_decode_stats": docops.charset_decode_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -772,6 +773,7 @@ _NEW_IN_R4 = (
     "host_inlink_counts", "robots_filter_stats", "mp3_audio_stats",
     "gif_decode_stats", "profile_events", "importance_weights", "graph_ppr",
     "anchor_alias_stats", "redirect_resolution", "sitemap_parse_stats",
+    "charset_decode_stats",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -989,6 +991,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '0.' || CAST((i + k) % 10 AS VARCHAR)
                    END AS priority
             FROM e
+        """,
+        # charset fixture: payload "Café n{i}" encoded by i%5 — BOM /
+        # BOM / meta-declared cp1252 / plain utf-8 / bare cp1252 fallback
+        "charset_decode_stats": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'utf-16-le'
+                     WHEN 2 THEN 'windows-1252'
+                     WHEN 3 THEN 'utf-8'
+                     ELSE 'windows-1252' END AS encoding,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'bom'
+                     WHEN 1 THEN 'bom'
+                     WHEN 2 THEN 'meta'
+                     WHEN 3 THEN 'utf8-valid'
+                     ELSE 'fallback' END AS method,
+                   COALESCE(CASE WHEN doc_id % 5 = 2
+                        THEN '<meta charset="windows-1252">' END, '')
+                     || 'Café n' || CAST(doc_id AS VARCHAR) AS text_decoded
+            FROM documents
         """,
         # redirect-chain fixture: doc i (i%16 != 0) redirects to i-1, so
         # every chain terminates at the multiple of 16 below its source

@@ -1445,6 +1445,47 @@ def sitemap_parse_stats(sf_dir: str) -> "ray.data.Dataset":
     return parse_sitemaps(ds.map_batches(to_sitemaps, batch_format="pyarrow"))
 
 
+def charset_decode_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, encoding, method, text_decoded) through the real HTML5
+    charset sniff (``functions/charset.py``). Doc i's payload is
+    ``Café n{i}`` (the é forces utf-8/cp1252 bytes apart) encoded by
+    ``i % 5``: 0 = UTF-8 with BOM, 1 = UTF-16LE with BOM, 2 =
+    windows-1252 declared by a ``<meta charset>`` prescan tag, 3 = plain
+    UTF-8 (validity detection), 4 = bare windows-1252 bytes (the
+    fallback path). Every branch's decoded text and detection method is
+    closed-form for the oracle."""
+    from fonduer_ray.functions.charset import decode_charsets
+
+    ds = read_docs(sf_dir, ["doc_id"])
+
+    def to_raw(t: pa.Table) -> pa.Table:
+        ids, raws = [], []
+        for i in t["doc_id"].to_pylist():
+            text = f"Café n{i}"
+            b = i % 5
+            if b == 0:
+                raw = b"\xef\xbb\xbf" + text.encode("utf-8")
+            elif b == 1:
+                raw = b"\xff\xfe" + text.encode("utf-16-le")
+            elif b == 2:
+                raw = f'<meta charset="windows-1252">{text}'.encode("cp1252")
+            elif b == 3:
+                raw = text.encode("utf-8")
+            else:
+                raw = text.encode("cp1252")
+            ids.append(i)
+            raws.append(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw": pa.array(raws, pa.binary()),
+            }
+        )
+
+    out = decode_charsets(ds.map_batches(to_raw, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "encoding", "method", "text_decoded"])
+
+
 def redirect_resolution_stats(sf_dir: str) -> "ray.data.Dataset":
     """(url, final_url, n_hops, resolved) through
     ``weburl.resolve_redirects`` on its natural size guard (the fixture
