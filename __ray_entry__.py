@@ -600,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolution": docops.redirect_resolution_stats,
         "sitemap_parse_stats": docops.sitemap_parse_stats,
         "charset_decode_stats": docops.charset_decode_stats,
+        "page_meta_stats": docops.page_meta_stats,
         "lf_label_counts": docops.lf_label_counts,
         "lf_marginals_by_doc": docops.lf_marginals_by_doc,
         "entity_support": docops.entity_support_counts,
@@ -773,7 +774,7 @@ _NEW_IN_R4 = (
     "host_inlink_counts", "robots_filter_stats", "mp3_audio_stats",
     "gif_decode_stats", "profile_events", "importance_weights", "graph_ppr",
     "anchor_alias_stats", "redirect_resolution", "sitemap_parse_stats",
-    "charset_decode_stats",
+    "charset_decode_stats", "page_meta_stats",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -1011,6 +1012,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CASE WHEN doc_id % 5 = 2
                         THEN '<meta charset="windows-1252">' END, '')
                      || 'Café n' || CAST(doc_id AS VARCHAR) AS text_decoded
+            FROM documents
+        """,
+        # page-head fixture: lang (en,de,fr)[i%3]; padded title squeezed,
+        # later duplicate ignored; messy canonical cleaned; description
+        # when i%4!=0, og:title when i%3==0, og:type when i%5==0
+        "page_meta_stats": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   'Title ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN doc_id % 4 <> 0
+                        THEN 'Desc ' || CAST(doc_id AS VARCHAR) END
+                     AS description,
+                   'https://www.src' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.com/Docs/' || CAST(doc_id AS VARCHAR)
+                     AS canonical,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'OG ' || CAST(doc_id AS VARCHAR) END
+                     AS og_title,
+                   CASE WHEN doc_id % 5 = 0 THEN 'article' END AS og_type,
+                   CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                        ELSE 'fr' END AS lang
             FROM documents
         """,
         # redirect-chain fixture: doc i (i%16 != 0) redirects to i-1, so

@@ -307,6 +307,90 @@ def robots_filter(
     return joined.map_batches(mark_joined, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- page metadata
+
+
+def extract_page_meta(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """HTML pages -> one row per page with the standard head metadata a
+    web-KG ingest keys on: ``(url, title, description, canonical,
+    og_title, og_type, lang)``. Missing fields come back null; title and
+    description are whitespace-squeezed. ``canonical`` is the
+    ``<link rel=canonical>`` href run through the URL canonicalizer (the
+    page's self-declared identity — the join key that merges syndicated
+    copies before dedup even runs). ``lang`` is the root ``<html lang>``
+    attribute, lowercased.
+
+    First occurrence wins per field (browser behavior). Same tolerant
+    tree parser as the doc pipeline; stateless ``map_batches``."""
+    from fonduer_ray.parser.htmltree import parse_html
+
+    def first_attr(node, name):
+        return next((v for k, v in node.attrs if k == name), None)
+
+    def meta(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "url": [],
+            "title": [],
+            "description": [],
+            "canonical": [],
+            "og_title": [],
+            "og_type": [],
+            "lang": [],
+        }
+        for url, html in zip(t[url_col].to_pylist(), t[html_col].to_pylist()):
+            root = parse_html(html or b"")
+            if root is None:
+                continue
+            out: dict[str, str | None] = dict.fromkeys(
+                ("title", "description", "canonical", "og_title",
+                 "og_type", "lang")
+            )
+            stack = [root]
+            while stack:
+                node = stack.pop()
+                stack.extend(reversed(node.children))
+                tag = node.tag
+                if tag == "html" and out["lang"] is None:
+                    lang = first_attr(node, "lang")
+                    if lang:
+                        out["lang"] = lang.strip().lower()
+                elif tag == "title" and out["title"] is None:
+                    out["title"] = " ".join(_subtree_text(node).split())
+                elif tag == "link":
+                    rel = (first_attr(node, "rel") or "").strip().lower()
+                    if rel == "canonical" and out["canonical"] is None:
+                        href = first_attr(node, "href")
+                        if href:
+                            out["canonical"] = canonicalize_url(href)
+                elif tag == "meta":
+                    content = first_attr(node, "content")
+                    if content is None:
+                        continue
+                    name = (first_attr(node, "name") or "").strip().lower()
+                    prop = (
+                        first_attr(node, "property") or ""
+                    ).strip().lower()
+                    if name == "description" and out["description"] is None:
+                        out["description"] = " ".join(content.split())
+                    elif prop == "og:title" and out["og_title"] is None:
+                        out["og_title"] = content
+                    elif prop == "og:type" and out["og_type"] is None:
+                        out["og_type"] = content
+            cols["url"].append(url)
+            for k in ("title", "description", "canonical", "og_title",
+                      "og_type", "lang"):
+                cols[k].append(out[k])
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in cols.items()}
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- sitemaps
 
 

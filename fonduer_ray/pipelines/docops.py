@@ -1445,6 +1445,51 @@ def sitemap_parse_stats(sf_dir: str) -> "ray.data.Dataset":
     return parse_sitemaps(ds.map_batches(to_sitemaps, batch_format="pyarrow"))
 
 
+def page_meta_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(url, title, description, canonical, og_title, og_type, lang)
+    through the real head-metadata extractor (``weburl.extract_page_meta``).
+    Doc i declares lang (en, de, fr)[i%3], a whitespace-padded title
+    (squeeze check) plus a DUPLICATE title (first-wins check), a messy
+    canonical link the URL canonicalizer must clean, a description when
+    ``i%4 != 0``, og:title when ``i%3 == 0``, og:type 'article' when
+    ``i%5 == 0`` — every field and every null closed-form."""
+    from fonduer_ray.functions.weburl import extract_page_meta
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    langs = ("en", "de", "fr")
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            head = [f"<title> Title   {i} </title>"]
+            if i % 4 != 0:
+                head.append(f'<meta name="Description" content="Desc  {i}">')
+            if i % 3 == 0:
+                head.append(f'<meta property="og:title" content="OG {i}">')
+            if i % 5 == 0:
+                head.append('<meta property="og:type" content="article">')
+            head.append(
+                f'<link rel="Canonical" href="HTTPS://WWW.src{i % 20}'
+                f'.Example.COM:443/Docs/{i}/?utm_source=x">'
+            )
+            head.append("<title>late duplicate ignored</title>")
+            html = (
+                f'<html lang="{langs[i % 3].upper()}"><head>'
+                + "".join(head)
+                + f"</head><body><p>page {i}</p></body></html>"
+            )
+            urls.append(str(i))
+            htmls.append(html.encode())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return extract_page_meta(ds.map_batches(to_pages, batch_format="pyarrow"))
+
+
 def charset_decode_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, encoding, method, text_decoded) through the real HTML5
     charset sniff (``functions/charset.py``). Doc i's payload is

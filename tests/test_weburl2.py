@@ -56,6 +56,43 @@ def test_anchor_aliases_matches_bruteforce(ray_session):
         assert rows[t]["top_anchor"] == best
 
 
+def test_extract_page_meta_first_wins_squeeze_and_nulls(ray_session):
+    from fonduer_ray.functions.weburl import extract_page_meta
+
+    html = (
+        b'<html LANG="EN-us"><head>'
+        b"<title> A  \n B </title><title>second</title>"
+        b'<meta name="DESCRIPTION" content="d  1">'
+        b'<meta property="og:title" content="OT">'
+        b'<link rel="canonical" href="HTTPS://Ex.COM:443/p/?utm_source=x">'
+        b'<link rel="stylesheet" href="/css">'
+        b"</head><body>x</body></html>"
+    )
+    bare = b"<html><body>no head</body></html>"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["p1", "p2"], pa.string()),
+                "html": pa.array([html, bare], pa.binary()),
+            }
+        )
+    )
+    rows = {r["url"]: r for r in extract_page_meta(ds).take_all()}
+    r = rows["p1"]
+    assert r["title"] == "A B"  # squeezed, first wins
+    assert r["description"] == "d 1"  # case-insensitive name, squeezed
+    assert r["og_title"] == "OT"
+    assert r["og_type"] is None
+    assert r["canonical"] == "https://ex.com/p"  # canonicalized
+    assert r["lang"] == "en-us"
+    r2 = rows["p2"]
+    assert all(
+        r2[k] is None
+        for k in ("title", "description", "canonical", "og_title",
+                  "og_type", "lang")
+    )
+
+
 def test_parse_sitemaps_urlset_index_and_edge_cases(ray_session):
     from fonduer_ray.functions.weburl import parse_sitemaps
 
