@@ -501,7 +501,15 @@ def anchor_aliases(
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: an empty block would otherwise infer null-typed
+        # string columns and poison the downstream shuffle
+        return pa.table(
+            {
+                "target": pa.array(g["target"], pa.string()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
 
     pairs = links.map_batches(partial, batch_format="pyarrow")
 
