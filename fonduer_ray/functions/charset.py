@@ -65,9 +65,13 @@ _LABEL_ALIASES = {
     "gb2312": "gbk",  # WHATWG maps gb2312 to gbk
     "big5": "big5",
     "euc-kr": "euc_kr",
-    "utf-16": "utf-16-le",  # spec: utf-16 label means LE without BOM
-    "utf-16le": "utf-16-le",
-    "utf-16be": "utf-16-be",
+    # WHATWG prescan: a meta-declared utf-16 label is treated as UTF-8 —
+    # an ASCII-readable <meta> tag cannot occur inside a real UTF-16
+    # document, so trusting the label would strict-decode an ASCII/UTF-8
+    # page into mojibake. BOM-based UTF-16 detection (above) is unaffected.
+    "utf-16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
 }
 
 

@@ -162,12 +162,16 @@ def gif_parse(data: bytes) -> dict:
             break
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("truncated GIF (extension sub-blocks)")
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 >= len(data):
+            raise ValueError("truncated GIF (image descriptor)")
         left, top = _u16(data, pos + 1), _u16(data, pos + 3)
         w, h = _u16(data, pos + 5), _u16(data, pos + 7)
         ipacked = data[pos + 9]
@@ -179,10 +183,12 @@ def gif_parse(data: bytes) -> dict:
         mcs = data[pos]
         pos += 1
         lzw = bytearray()
-        while data[pos] != 0:
+        while pos < len(data) and data[pos] != 0:
             ln = data[pos]
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(data):
+            raise ValueError("truncated GIF (image data sub-blocks)")
         pos += 1
         frames.append((left, top, w, h, mcs, bytes(lzw)))
     if palette is None:

@@ -487,7 +487,9 @@ def importance_weights(
     counter rides the same shuffle — no second pass over the corpus);
     scoring broadcasts the weight map under ``broadcast_limit`` or
     explodes to per-(doc, token) tf rows and hash-joins above it, both
-    paths bit-identical."""
+    paths bit-identical — including zero-token documents, which emit
+    ``(doc_id, 0, 0)`` on both paths (the join path unions them back in,
+    since they produce no tf rows to join)."""
     import pandas as pd
 
     from fonduer_ray.stages.util import hash_groupby, join_partitions
@@ -595,4 +597,25 @@ def importance_weights(
             {"doc_id": "int64", "n_tokens": "int64", "importance": "int64"}
         )
 
-    return hash_groupby(joined, ["doc_id"], per_doc)
+    # zero-token docs produce no tf rows, so the inner join would drop
+    # them; union their (doc_id, 0, 0) rows back so both paths agree
+    def zero_token_docs(batch: pa.Table) -> pa.Table:
+        ids = [
+            doc_id
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+            if not (text or "").split()
+        ]
+        zeros = pa.array([0] * len(ids), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": zeros,
+                "importance": zeros,
+            }
+        )
+
+    return hash_groupby(joined, ["doc_id"], per_doc).union(
+        src.map_batches(zero_token_docs, batch_format="pyarrow")
+    )

@@ -85,6 +85,12 @@ def _cached(kind: str, sf_dir: str, build) -> "ray.data.Dataset":
         job = ray.get_runtime_context().get_job_id()
     except Exception:  # no session yet — build uncached
         return build()
+    # evict entries from prior Ray jobs: their Datasets point at object-store
+    # blocks that died with that session, and a long-lived driver process
+    # would otherwise accumulate dead handles across sessions
+    stale = [k for k in _PREFIX_CACHE if k[0] != job]
+    for k in stale:
+        del _PREFIX_CACHE[k]
     key = (job, kind, sf_dir)
     ds = _PREFIX_CACHE.get(key)
     if ds is None:
@@ -437,6 +443,14 @@ _MATERIALIZED: dict = {}
 
 
 def _cached_ds(key: tuple, build) -> "ray.data.Dataset":
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        return build()
+    stale = [k for k in _MATERIALIZED if k[0] != job]
+    for k in stale:
+        del _MATERIALIZED[k]
+    key = (job, *key)
     ds = _MATERIALIZED.get(key)
     if ds is None:
         ds = build().materialize()

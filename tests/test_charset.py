@@ -67,15 +67,16 @@ def test_decode_undefined_cp1252_bytes_pass_through():
     assert text == "a\x81bé"
 
 
-def test_decode_lying_meta_degrades_to_fallback():
-    # meta says utf-16-be but the ODD-length body cannot decode as such;
-    # (an even-length ascii body would "succeed" as CJK mojibake — the
-    # spec-faithful cost of trusting the declared charset)
-    raw = b"<meta charset=utf-16be>x!"
-    assert len(raw) % 2 == 1
-    text, enc, method = decode_bytes(raw)
-    assert enc == "windows-1252" and method == "fallback"
-    assert text == "<meta charset=utf-16be>x!"
+def test_meta_declared_utf16_treated_as_utf8():
+    # WHATWG prescan: an ASCII-readable <meta> tag cannot occur inside a
+    # real UTF-16 document, so a meta-declared utf-16 label maps to UTF-8
+    # instead of strict-decoding an ASCII page into mojibake. An odd
+    # length would make the lie detectable; the EVEN-length case is the
+    # one the remap protects.
+    for raw in (b"<meta charset=utf-16be>x!", b"<meta charset=utf-16>ab!!"):
+        text, enc, method = decode_bytes(raw)
+        assert (enc, method) == ("utf-8", "meta")
+        assert text == raw.decode("ascii")
 
 
 def test_decode_charsets_dataset(ray_session):

@@ -80,3 +80,20 @@ def test_image_decode_dispatches_gif():
     back, mode = image_decode(data)
     assert mode == "RGB"
     assert (back == img).all()
+
+
+def test_gif_parse_truncated_raises_valueerror():
+    # truncation anywhere in the stream must surface as the documented
+    # ValueError contract (image_decode's error side channel), never as
+    # an IndexError from an unguarded data[pos]
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    img = pal[np.array([[0, 1], [1, 0]])]
+    data = gif_encode([img, img])  # 2 frames -> includes a NETSCAPE ext
+    from fonduer_ray.functions.gif import gif_parse
+
+    for cut in range(14, len(data)):
+        truncated = data[:cut]
+        try:
+            gif_parse(truncated)
+        except ValueError:
+            pass  # the contract

@@ -127,6 +127,8 @@ def test_importance_weights_paths_match_brute(ray_session):
         (1, "a b b d", "en"),
         (2, "a c c d", "fr"),
         (3, "e e e e", "fr"),
+        (4, "", "en"),  # zero-token doc: both paths must emit (4, 0, 0)
+        (5, "   ", "fr"),  # whitespace-only is zero tokens too
     ]
     ds = ray.data.from_items(
         [{"doc_id": d, "text": t, "lang": lg} for d, t, lg in docs]
@@ -144,6 +146,9 @@ def test_importance_weights_paths_match_brute(ray_session):
         out = importance_weights(ds, **kw).take_all()
         got = {r["doc_id"]: (r["n_tokens"], r["importance"]) for r in out}
         assert got == want, f"{kw}"
+    assert want[4] == (0, 0) and want[5] == (0, 0)
     # target-language docs must rank above off-target on mean importance
-    mean = {d: want[d][1] / want[d][0] for d, _, _ in docs}
+    mean = {
+        d: want[d][1] / want[d][0] for d, text, _ in docs if text.split()
+    }
     assert min(mean[0], mean[1]) > max(mean[2], mean[3])
