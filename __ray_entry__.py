@@ -296,6 +296,168 @@ def _feats_cte_sql() -> str:
 
 _ORACLE_FEATS_CTE = _feats_cte_sql()
 
+
+def _e2e_weak_sql(n_iter: int = 3) -> str:
+    """Closed-form oracle for the composed weak-supervision e2e gate
+    (``docops.e2e_weak_supervision``): the Dawid-Skene EM loop unrolls into
+    ``n_iter`` CTE pairs over the 8-row LF-vote-pattern histogram (all
+    candidates sharing a vote pattern share a posterior, so the E-step is
+    exact on the histogram), then the log-odds fit/score replays the
+    ``logreg_scores`` oracle restricted to split 0 / split 1, and the
+    entity confusion reduces to three counts. Must mirror
+    ``stages/label_model.py`` (posterior term order, clamping) and
+    ``stages/train_stage.py`` (sorted-key list_reduce) exactly."""
+
+    def q_cte(name: str, prev: str) -> str:
+        def side(one: bool) -> str:
+            base = "ln(pr.p)" if one else "ln(1.0 - pr.p)"
+            terms = []
+            for col, a in (("va", "pr.aa"), ("vs", "pr.asf"), ("vf", "pr.af")):
+                pos, neg = (f"ln({a})", f"ln(1.0 - {a})")
+                if not one:
+                    pos, neg = neg, pos
+                terms.append(
+                    f"+ CASE WHEN h.{col} = 2 THEN {pos}"
+                    f" WHEN h.{col} = 1 THEN {neg} ELSE 0.0 END"
+                )
+            return base + " ".join(terms)
+
+        return f"""
+        {name} AS (
+          SELECT va, vs, vf, c,
+                 exp(log1 - m) / (exp(log1 - m) + exp(log0 - m)) AS q
+          FROM (
+            SELECT *, GREATEST(log1, log0) AS m FROM (
+              SELECT h.va, h.vs, h.vf, h.c,
+                     {side(True)} AS log1,
+                     {side(False)} AS log0
+              FROM hist h, {prev} pr
+            )
+          )
+        )"""
+
+    def m_cte(name: str, qn: str) -> str:
+        def alpha(col: str) -> str:
+            return (
+                f"LEAST(GREATEST(COALESCE("
+                f"sum(CASE WHEN {col} <> 0 THEN"
+                f" (CASE WHEN {col} = 2 THEN q ELSE 1.0 - q END) * c END)"
+                f" / sum(CASE WHEN {col} <> 0 THEN c END),"
+                f" 0.7), 0.001), 0.999)"
+            )
+
+        return f"""
+        {name} AS (
+          SELECT LEAST(GREATEST(sum(q * c) / sum(c), 0.001), 0.999) AS p,
+                 {alpha('va')} AS aa,
+                 {alpha('vs')} AS asf,
+                 {alpha('vf')} AS af
+          FROM {qn}
+        )"""
+
+    em = "".join(
+        q_cte(f"q{k}", f"p{k - 1}") + "," + m_cte(f"p{k}", f"q{k}") + ","
+        for k in range(1, n_iter + 1)
+    )
+    return f"""
+        {_ORACLE_FEATS_CTE},
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN u < 0.8 THEN 0 WHEN u < 0.9 THEN 1 ELSE 2 END
+                   AS split
+          FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                     AS UBIGINT) / 18446744073709551616.0 AS u
+            FROM documents
+          )
+        ),
+        votes AS (
+          -- e2e LF trio encodings (docops._e2e_lfs, sparse: 0 abstain,
+          -- 1 negative vote, 2 positive): near / order / gap2
+          SELECT c.doc_id, c.ai, c.bi,
+                 CASE WHEN abs(c.ai - c.bi) <= 1 THEN 2
+                      WHEN abs(c.ai - c.bi) >= 3 THEN 1 ELSE 0 END AS va,
+                 CASE WHEN c.ai < c.bi THEN 2 ELSE 1 END AS vs,
+                 CASE WHEN abs(c.ai - c.bi) = 2 THEN 1 ELSE 0 END AS vf
+          FROM cand c JOIN splits sp ON sp.doc_id = c.doc_id AND sp.split = 0
+        ),
+        hist AS (
+          SELECT va, vs, vf, CAST(count(*) AS DOUBLE) AS c
+          FROM votes GROUP BY va, vs, vf
+        ),
+        p0 AS (SELECT 0.5 AS p, 0.7 AS aa, 0.7 AS asf, 0.7 AS af),
+        {em}
+        {q_cte('qf', f'p{n_iter}')},
+        yl AS (
+          SELECT v.doc_id, v.ai, v.bi,
+                 CASE WHEN f.q > 0.5 THEN 1 ELSE 0 END AS y
+          FROM votes v
+          JOIN qf f ON f.va = v.va AND f.vs = v.vs AND f.vf = v.vf
+        ),
+        dfeats0 AS (
+          SELECT DISTINCT f.doc_id, f.ai, f.bi, f.key
+          FROM feats f JOIN splits sp ON sp.doc_id = f.doc_id AND sp.split = 0
+        ),
+        dfeats1 AS (
+          SELECT DISTINCT f.doc_id, f.ai, f.bi, f.key
+          FROM feats f JOIN splits sp ON sp.doc_id = f.doc_id AND sp.split = 1
+        ),
+        counts AS (
+          SELECT key, sum(y) AS n1k, sum(1 - y) AS n0k
+          FROM dfeats0 JOIN yl USING (doc_id, ai, bi)
+          GROUP BY key
+        ),
+        tot AS (SELECT sum(y) AS n1, sum(1 - y) AS n0 FROM yl),
+        w AS (
+          SELECT key,
+                 ln((n1k + 1.0)/(n1 + 2.0)) - ln((n0k + 1.0)/(n0 + 2.0)) AS wt
+          FROM counts, tot
+        ),
+        zc AS (
+          SELECT d.doc_id, d.ai, d.bi,
+                 list_reduce(
+                   list_prepend(ln((tot.n1 + 1.0)/(tot.n0 + 1.0)),
+                                list(COALESCE(w.wt, 0.0) ORDER BY d.key)),
+                   (acc, x) -> acc + x
+                 ) AS z
+          FROM dfeats1 d LEFT JOIN w ON d.key = w.key, tot
+          GROUP BY d.doc_id, d.ai, d.bi, tot.n1, tot.n0
+        ),
+        pents AS (
+          SELECT DISTINCT z.doc_id, ta.w AS subj, tb.w AS obj
+          FROM zc z
+          JOIN pos0 ta ON ta.doc_id = z.doc_id AND ta.i = z.ai
+          JOIN pos0 tb ON tb.doc_id = z.doc_id AND tb.i = z.bi
+          WHERE 1.0/(1.0 + exp(-z.z)) > 0.5
+        ),
+        gents AS (
+          SELECT DISTINCT a.doc_id, a.w AS subj, b.w AS obj
+          FROM toks a
+          JOIN toks b ON a.doc_id = b.doc_id
+          JOIN splits sp ON sp.doc_id = a.doc_id
+          WHERE sp.split = 1
+            AND CAST(floor((a.i-1)/10) AS BIGINT)
+                = CAST(floor((b.i-1)/10) AS BIGINT)
+            AND abs(a.i - b.i) <= 5
+            AND a.w IN {SUBJ_IN} AND b.w IN {OBJ_IN}
+            AND CAST(('0x' || substring(md5(
+                  CAST(a.doc_id AS VARCHAR) || ':' || a.w || ':' || b.w
+                ), 1, 16)) AS UBIGINT) % 2 = 0
+        )
+        SELECT n_pred, n_gold, n_tp,
+               CAST(CASE WHEN n_pred + n_gold = 0 THEN 0
+                         ELSE (200 * n_tp) // (n_pred + n_gold)
+                    END AS BIGINT) AS f1_cents
+        FROM (
+          SELECT CAST((SELECT count(*) FROM pents) AS BIGINT) AS n_pred,
+                 CAST((SELECT count(*) FROM gents) AS BIGINT) AS n_gold,
+                 CAST((SELECT count(*) FROM pents p JOIN gents g
+                       ON p.doc_id = g.doc_id AND p.subj = g.subj
+                      AND p.obj = g.obj) AS BIGINT) AS n_tp
+        )
+    """
+
 #: shared by triples_kg (direct pipeline) and triples_kg_spec (declarative
 #: pipeline spec) — identical semantics, identical oracle
 _ORACLE_TRIPLES = f"""
@@ -592,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples_kg_incremental": docops.triples_incremental,
         "warc_roundtrip_stats": docops.warc_roundtrip_stats,
         "gold_label_eval": docops.gold_label_eval,
+        "e2e_weak_f1": docops.e2e_weak_supervision,
         "url_canonical_stats": docops.url_canonical_stats,
         "link_graph_stats": docops.link_graph_stats,
         "host_inlink_counts": docops.host_inlink_counts,
@@ -847,6 +1010,7 @@ _PART_COOCCUR_EDGES_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     from fonduer_ray.functions import graph as _graph
+    from fonduer_ray.pipelines.docops import E2E_LM_ITERS
 
     stop_list = (
         "('the','a','an','and','or','of','to','in','on','for','with','at','by',"
@@ -2369,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o, (VALUES (1),(10),(25),(50),(75),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
         """,
+        "e2e_weak_f1": _e2e_weak_sql(E2E_LM_ITERS),
         "gold_label_eval": f"""
             WITH toks AS (
               SELECT doc_id,

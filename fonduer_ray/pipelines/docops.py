@@ -1206,6 +1206,183 @@ def gold_label_eval(sf_dir: str) -> "ray.data.Dataset":
     return entity_confusion(labeled, gold)
 
 
+#: EM iterations for the e2e weak-supervision gate — small enough that the
+#: DuckDB oracle can unroll the loop in closed form, large enough that the
+#: LF accuracies genuinely move off their 0.7 init (the fit IS exercised)
+E2E_LM_ITERS = 3
+
+
+# -- e2e-gate LF trio: unlike _docops_lfs (whose votes are nearly all
+# positive, collapsing EM to a single class and the discriminative fit to
+# the majority shortcut), these three cast REAL negative votes (y=0 ->
+# sparse 1), so the Dawid-Skene latent splits into two populated classes
+# and the log-odds fit has both counts to learn from.
+
+def _lf_e2e_near(view) -> int | None:
+    """+1 adjacent, -vote at max throttler distance, abstain between."""
+    d = abs(view[0].get_word_start_index() - view[1].get_word_start_index())
+    return 1 if d <= 1 else (0 if d >= WINDOW else None)
+
+
+def _lf_e2e_order(view) -> int:
+    """+1 when subj precedes obj, else a -vote; never abstains."""
+    return (
+        1
+        if view[0].get_word_start_index() < view[1].get_word_start_index()
+        else 0
+    )
+
+
+def _lf_e2e_gap2(view) -> int | None:
+    """-vote at distance exactly 2, abstain otherwise."""
+    d = abs(view[0].get_word_start_index() - view[1].get_word_start_index())
+    return 0 if d == 2 else None
+
+
+def _e2e_lfs():
+    return [
+        ("lf_e2e_near", _lf_e2e_near),
+        ("lf_e2e_order", _lf_e2e_order),
+        ("lf_e2e_gap2", _lf_e2e_gap2),
+    ]
+
+
+def _split_of_docs(ds: "ray.data.Dataset", split: int) -> "ray.data.Dataset":
+    """Keep rows whose ``doc_id`` hashes into the given train/dev/test
+    split under the candidate stage's ``doc_split`` assignment."""
+    from fonduer_ray.stages.candidate_stage import doc_split
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [doc_split(str(d)) == split for d in t["doc_id"].to_pylist()]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def e2e_weak_supervision(sf_dir: str) -> pa.Table:
+    """The reference's e2e weak-supervision CI gate composed as ONE
+    pipeline (``tests/e2e/test_e2e.py:271-425`` +
+    ``tests/shared/hardware_utils.py:71-131``): LFs label the split-0
+    (train) candidates, a Dawid-Skene :class:`LabelModel` fits
+    ``E2E_LM_ITERS`` EM rounds over the sparse votes, its posteriors
+    threshold into training labels, a closed-form log-odds discriminative
+    model fits on the split-0 features, scores the HELD-OUT split-1 (dev)
+    candidates, and the kept (score > 0.5) predictions evaluate
+    entity-level against the synthetic gold table on split-1 docs.
+
+    Returns one global row ``(n_pred, n_gold, n_tp, f1_cents)`` with
+    ``f1_cents = (200 * tp) // (n_pred + n_gold)`` in exact integer
+    arithmetic. Every stage is the production one: the labeler, the EM
+    label model (driver holds only the (n_lfs+1)-row sufficient
+    statistics), the guarded broadcast-vs-join log-odds fit/score, the
+    guarded membership join, and the union-sum entity confusion."""
+    from fonduer_ray.stages.gold import attach_gold_labels, entity_confusion
+    from fonduer_ray.stages.label_model import LabelModel
+    from fonduer_ray.stages.label_stage import label
+    from fonduer_ray.stages.train_stage import fit_log_odds, score_log_odds
+    from fonduer_ray.stages.util import hash_groupby
+
+    cand = _cached_ds(("cand", sf_dir), lambda: candidate_docs(sf_dir))
+    lf_names = [n for n, _ in _e2e_lfs()]
+
+    # -- generative step: EM over the split-0 LF votes ----------------------
+    train_lab = label(cand, _e2e_lfs(), batch_size=128).filter(
+        expr="split == 0"
+    )
+    lm = LabelModel(n_iter=E2E_LM_ITERS).fit(train_lab, lf_names)
+
+    def to_y(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "candidate_stable_id": t["candidate_stable_id"],
+                "y": pa.array(
+                    [1 if p > 0.5 else 0 for p in t["prob"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    y_ds = lm.predict_proba(train_lab).map_batches(to_y, batch_format="pyarrow")
+
+    # -- discriminative step: fit on split 0, score held-out split 1 --------
+    feats = _cached_feats(sf_dir)
+    weights, bias = fit_log_odds(feats.filter(expr="split == 0"), y_ds)
+    scored = score_log_odds(feats.filter(expr="split == 1"), weights, bias)
+    kept = scored.filter(expr="score > 0.5").select_columns(
+        ["candidate_stable_id"]
+    )
+
+    # -- predicted entity set on the dev split -------------------------------
+    meta_rows = candidates_table(cand).filter(expr="split == 1")
+
+    def prep(t: pa.Table) -> pa.Table:
+        docs, subjs, objs, cids = [], [], [], []
+        for doc_name, cid, texts in zip(
+            t["doc_name"].to_pylist(),
+            t["stable_id"].to_pylist(),
+            t["arg_texts"].to_pylist(),
+        ):
+            docs.append(int(doc_name))
+            cids.append(cid)
+            subjs.append(texts[0])
+            objs.append(texts[1])
+        return pa.table(
+            {
+                "candidate_stable_id": pa.array(cids, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "subj": pa.array(subjs, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            }
+        )
+
+    meta = meta_rows.map_batches(prep, batch_format="pyarrow")
+    # guarded membership semi-join (broadcast set vs hash join) marks which
+    # dev candidates the trained scorer kept
+    marked = attach_gold_labels(
+        meta, kept, ["candidate_stable_id"], normalize=False
+    )
+
+    def keep_pred(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["gold"], 1)).select(
+            ["doc_id", "subj", "obj"]
+        )
+
+    import pandas as pd
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    pred = hash_groupby(
+        marked.map_batches(keep_pred, batch_format="pyarrow"),
+        ["doc_id", "subj", "obj"],
+        distinct,
+    )
+
+    # -- entity-level confusion vs gold on split-1 docs ----------------------
+    gold = _split_of_docs(_gold_entities(sf_dir), 1)
+    labeled = attach_gold_labels(pred, gold, ["doc_id", "subj", "obj"])
+    conf = entity_confusion(labeled, gold)
+    sums = conf.sum(["n_pred", "n_gold", "n_tp"]) or {}
+    n_pred = int(sums.get("sum(n_pred)", 0) or 0)
+    n_gold = int(sums.get("sum(n_gold)", 0) or 0)
+    n_tp = int(sums.get("sum(n_tp)", 0) or 0)
+    denom = n_pred + n_gold
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "n_tp": pa.array([n_tp], pa.int64()),
+            "f1_cents": pa.array(
+                [(200 * n_tp) // denom if denom else 0], pa.int64()
+            ),
+        }
+    )
+
+
 class _Mp3StatsStage:
     """Deterministic MP3 fixture -> real frame-header walk -> closed-form
     stats. Each doc_id derives a silent CBR MPEG1-L3 stream: ``5 + id%7``
