@@ -834,6 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "inverted_index": lambda sf: search.inverted_index(_docs(sf)),
         "line_dedup": lambda sf: dedup.line_dedup(_docs(sf)),
+        # Lee-et-al-2022-style exact substring dedup (sliding k-gram
+        # coverage, all-but-the-min-doc occurrence removed)
+        "span_dedup": lambda sf: dedup.span_dedup(_docs(sf), k=8),
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "token_counts_bpe": lambda sf: textstats.token_counts(_docs(sf)),
         "lang_id": lambda sf: textstats.lang_id(_docs(sf)),
@@ -1904,6 +1907,36 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN md5(line) NOT IN (SELECT d FROM dup)
                             THEN line END, ' ' ORDER BY li), '')) AS kept_md5
             FROM lines GROUP BY doc_id
+        """,
+        "span_dedup": """
+            WITH raw AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ), dtoks AS (
+              SELECT doc_id, string_split(text,' ') AS ws,
+                     len(string_split(text,' ')) AS n
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gram
+              FROM dtoks, LATERAL (SELECT unnest(range(1, n - 8 + 2)) AS pos)
+            ), dup AS (
+              SELECT gram, min(doc_id) AS keeper FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+              SELECT DISTINCT g.doc_id, g.pos + o.o AS i
+              FROM grams g
+              JOIN dup d ON g.gram = d.gram AND g.doc_id <> d.keeper
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+            )
+            SELECT r.doc_id, count(*) AS n_tokens,
+                   CAST(count(c.i) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN c.i IS NULL THEN r.w END, ' '
+                       ORDER BY r.i), '')) AS kept_md5
+            FROM raw r
+            LEFT JOIN cov c ON c.doc_id = r.doc_id AND c.i = r.i
+            GROUP BY r.doc_id
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -1170,6 +1170,245 @@ def line_dedup(
     return hash_groupby(joined, ["doc_id"], reassemble)
 
 
+#: above this many duplicated k-grams the keeper map no longer broadcasts;
+#: removal runs through the exploded-gram join path
+SPAN_DUP_BROADCAST_LIMIT = 5_000_000
+
+
+def span_dedup(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    min_docs: int = 2,
+    broadcast_limit: int = SPAN_DUP_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr, the
+    suffix-array "remove any >=k-token span repeated verbatim" pass,
+    cross-document form): every SLIDING k-token window (stride 1 — unlike
+    :func:`line_dedup`'s disjoint lines, so repeats at any alignment are
+    caught) that occurs in at least ``min_docs`` distinct documents is a
+    duplicated span; all tokens covered by any occurrence of a duplicated
+    span are removed from every document EXCEPT the minimum-doc_id holder
+    of that span ("all but one occurrence" survives, deterministically).
+    Maximal duplicated regions fall out as unions of overlapping duplicated
+    k-gram occurrences — the same coverage a suffix array yields, computed
+    with data-parallel shuffles instead of a global index.
+
+    Output per non-empty document: ``(doc_id, n_tokens, n_removed,
+    kept_md5)`` where ``kept_md5`` hashes the space-joined surviving tokens
+    — a full value check of the rewritten text without shipping it.
+
+    Scale design: pass 1 ships per-block DISTINCT (gram-md5, doc) pairs
+    into one digest-keyed ``hash_groupby`` that emits (digest, keeper =
+    min doc) for grams spanning >= ``min_docs`` docs — shuffle bytes are
+    O(tokens), the ExactSubstr floor. Pass 2 is size-guarded: at or below
+    ``broadcast_limit`` duplicated grams the {digest: keeper} map ships
+    once via ``ray.put`` and removal is a pure map over the corpus; above
+    it, docs explode to gram-occurrence rows, inner-join the dup table on
+    the digest, collapse to covered (doc, token-index) ranges, and one
+    doc-keyed ``hash_groupby`` rebuilds the kept text — nothing
+    driver-sized on either path."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import join_partitions
+
+    src = ds.select_columns(["doc_id", "text"])
+
+    def _grams(toks: list[str]) -> list[str]:
+        return [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, int]] = set()
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            for g in set(_grams(toks)):
+                seen.add((g, doc_id))
+        return pa.table(
+            {
+                "digest": pa.array([p[0] for p in seen], pa.string()),
+                "doc_id": pa.array([p[1] for p in seen], pa.int64()),
+            }
+        )
+
+    def dup_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digest", sort=False)["doc_id"]
+        out = g.agg(n_docs="nunique", keeper="min").reset_index()
+        out = out[out["n_docs"] >= min_docs].drop(columns=["n_docs"])
+        return out.astype({"keeper": "int64"}, copy=False).reset_index(
+            drop=True
+        )
+
+    dups = hash_groupby(
+        src.map_batches(pair_partial, batch_format="pyarrow"),
+        ["digest"],
+        dup_agg,
+        join_safe=True,  # may feed the over-limit join below
+    ).materialize()
+
+    if dups.count() <= broadcast_limit:
+        keeper_ref = ray.put(
+            {
+                d: kp
+                for b in dups.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for d, kp in zip(
+                    b["digest"].to_pylist(), b["keeper"].to_pylist()
+                )
+            }
+        )
+
+        def remove(batch: pa.Table) -> pa.Table:
+            keepers = get_broadcast(keeper_ref)
+            doc_ids, n_tokens, n_removed, kept_md5 = [], [], [], []
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                covered = bytearray(len(toks))
+                for pos, g in enumerate(_grams(toks)):
+                    kp = keepers.get(g)
+                    if kp is not None and kp != doc_id:
+                        covered[pos : pos + k] = b"\x01" * k
+                kept = [w for w, c in zip(toks, covered) if not c]
+                doc_ids.append(doc_id)
+                n_tokens.append(len(toks))
+                n_removed.append(len(toks) - len(kept))
+                kept_md5.append(
+                    hashlib.md5(" ".join(kept).encode()).hexdigest()
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_tokens": pa.array(n_tokens, pa.int64()),
+                    "n_removed": pa.array(n_removed, pa.int64()),
+                    "kept_md5": pa.array(kept_md5, pa.string()),
+                }
+            )
+
+        return src.map_batches(remove, batch_format="pyarrow")
+
+    # join path: gram occurrences join the dup table, covered positions
+    # reduce per doc, and the token stream reassembles inside the doc's
+    # hash partition
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        doc_ids, poss, digests = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            for pos, g in enumerate(_grams(toks)):
+                doc_ids.append(doc_id)
+                poss.append(pos)
+                digests.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    hits = src.map_batches(explode_grams, batch_format="pyarrow").join(
+        dups,
+        "inner",
+        num_partitions=join_partitions(),
+        on=("digest",),
+    )
+
+    def covered_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs = [], []
+        for doc_id, pp, kp in zip(
+            batch["doc_id"].to_pylist(),
+            batch["pos"].to_pylist(),
+            batch["keeper"].to_pylist(),
+        ):
+            if kp == doc_id:
+                continue
+            for off in range(k):
+                doc_ids.append(doc_id)
+                idxs.append(pp + off)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "i": pa.array(idxs, pa.int64()),
+            }
+        )
+
+    def cov_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    covered = hash_groupby(
+        hits.map_batches(covered_rows, batch_format="pyarrow"),
+        ["doc_id", "i"],
+        cov_agg,
+        join_safe=True,
+    )
+
+    def explode_toks(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, words = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for i, w in enumerate((text or "").split()):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                words.append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "i": pa.array(idxs, pa.int64()),
+                "w": pa.array(words, pa.string()),
+            }
+        )
+
+    def mark_cov(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "i": batch["i"],
+                "cov": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    joined = src.map_batches(explode_toks, batch_format="pyarrow").join(
+        covered.map_batches(mark_cov, batch_format="pyarrow"),
+        "left_outer",
+        num_partitions=join_partitions(),
+        on=("doc_id", "i"),
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "i"], ignore_index=True)
+        is_cov = df["cov"].notna()
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            kept = g.loc[~is_cov[g.index], "w"]
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_tokens": len(g),
+                    "n_removed": int(is_cov[g.index].sum()),
+                    "kept_md5": hashlib.md5(
+                        " ".join(kept).encode()
+                    ).hexdigest(),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64"}
+        )
+
+    return hash_groupby(joined, ["doc_id"], reassemble)
+
+
 def dedup_keep_survivors(
     ds: "ray.data.Dataset",
     pairs: "ray.data.Dataset | pa.Table",

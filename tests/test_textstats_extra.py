@@ -119,6 +119,54 @@ def test_line_dedup_paths_match_brute(docs_ds):
     assert want[3][1] == 0  # unique doc untouched
 
 
+def brute_span_dedup(k=4, min_docs=2):
+    toks_of = {d: t.split() for d, t in DOCS}
+    owners = {}
+    for d, toks in toks_of.items():
+        for i in range(len(toks) - k + 1):
+            owners.setdefault(tuple(toks[i : i + k]), set()).add(d)
+    keeper = {g: min(ds_) for g, ds_ in owners.items() if len(ds_) >= min_docs}
+    out = {}
+    for d, toks in toks_of.items():
+        if not toks:
+            continue
+        cov = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            kp = keeper.get(tuple(toks[i : i + k]))
+            if kp is not None and kp != d:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [w for w, c in zip(toks, cov) if not c]
+        out[d] = (
+            len(toks),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_span_dedup_paths_match_brute(docs_ds):
+    from fonduer_ray.functions.dedup import span_dedup
+
+    want = brute_span_dedup()
+    for limit in (None, 0):
+        kw = {} if limit is None else {"broadcast_limit": 0}
+        out = span_dedup(docs_ds, k=4, **kw).take_all()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_md5"])
+            for r in out
+        }
+        assert got == want, f"broadcast_limit={limit}"
+    # all-but-one semantics: doc 0 (min holder) keeps its text, the full
+    # duplicate doc 2 loses everything, doc 1 loses only the shared prefix
+    assert want[0][1] == 0
+    assert want[2][1] == 20
+    assert want[1][1] == 10
+    # doc 3's repeats are intra-doc only (cross-doc dedup leaves them) and
+    # doc 4 is shorter than k
+    assert want[3][1] == 0 and want[4][1] == 0
+
+
 def test_importance_weights_paths_match_brute(ray_session):
     from fonduer_ray.functions.textstats import importance_weights
 
