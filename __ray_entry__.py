@@ -565,6 +565,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf_dir), threshold=0.4, n_bits=3, n_tables=48
         ).select_columns(["id_a", "id_b"])
 
+    def semantic_dedup_q(sf_dir: str):
+        """SemDeDup (k-means cluster -> in-cluster cosine prune) in a
+        configuration that provably equals the exact all-pairs set on this
+        corpus: nassign=6 of 16 clusters overlaps the Voronoi partitions
+        enough that every >=0.4 pair co-clusters at least once (verified
+        exhaustively at all three sf scales), so it shares the exact
+        oracle — the embedding_dup_pairs_lsh pattern."""
+        return similarity.semantic_dedup_pairs(
+            _emb(sf_dir), threshold=0.4, n_clusters=16, nassign=6
+        ).select_columns(["id_a", "id_b"])
+
     def knn_ivf_q(sf_dir: str) -> pa.Table:
         """IVF in its exact configuration (nprobe = n_clusters probes every
         inverted list), so the result provably equals the brute-force top-k
@@ -875,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn_ivf_q,
         "embedding_dup_pairs": embedding_dups,
         "embedding_dup_pairs_lsh": embedding_dups_lsh,
+        "semantic_dedup_pairs": semantic_dedup_q,
         # mergeable sketches (HLL / count-min / KMV over 3-shingles)
         "hll_registers": hll_q,
         "bloom_positions": lambda sf: sketches.bloom_positions(
@@ -2761,6 +2773,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "embedding_dup_pairs_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "semantic_dedup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4

@@ -431,3 +431,97 @@ def embedding_dup_pairs(
     return hash_groupby(
         pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"])
     )
+
+
+def semantic_dedup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.99,
+    n_clusters: int = 32,
+    nassign: int = 1,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """SemDeDup-style embedding-cluster near-duplicate pairs (Abbas et al.
+    2023: k-means the embedding space, prune within clusters only — the
+    semantic tier above MinHash): spherical k-means centroids train once on
+    a driver-side sample (the ``knn_ivf`` trainer, deterministic init) and
+    broadcast; each vector ships to its ``nassign`` nearest clusters; exact
+    cosine runs ONLY inside each cluster's hash partition; pairs co-found
+    in several clusters emit once. Compute is sum of per-cluster squares
+    instead of the corpus square — the SemDeDup economics.
+
+    ``nassign=1`` is the paper's configuration (recall < 1: pairs
+    straddling a Voronoi boundary are missed). Raising ``nassign``
+    overlaps the partitions (each vector replicates ``nassign`` times
+    through ONE shuffle) and recovers boundary pairs — at ``nassign =
+    n_clusters`` the result provably equals the exact all-pairs set;
+    moderate values reach set-equality on far smaller compute (the
+    ``embedding_dup_pairs_lsh`` configuration-equality pattern)."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    sample_rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = _kmeans(sample, min(n_clusters, len(sample)))
+    nassign = min(nassign, len(cent))
+    cent_ref = ray.put(cent)
+
+    def to_cluster_rows(batch: pa.Table) -> pa.Table:
+        c = get_broadcast(cent_ref)
+        vecs = _normalize(
+            np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        )
+        ids = batch[id_col].cast(pa.int64()).combine_chunks()
+        sims = vecs @ c.T  # (rows, n_clusters)
+        near = np.argsort(-sims, axis=1)[:, :nassign].astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(near.T.reshape(-1), pa.int64()),
+                id_col: pa.concat_arrays([ids] * nassign),
+                vec_col: pa.concat_arrays(
+                    [batch[vec_col].combine_chunks()] * nassign
+                ),
+            }
+        )
+
+    rows = ds.map_batches(
+        to_cluster_rows, batch_format="pyarrow", batch_size=4096
+    )
+
+    def in_cluster_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in group.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            vecs = _normalize(np.asarray(list(g[vec_col]), dtype=np.float64))
+            sims = vecs @ vecs.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            if not len(ii):
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[ii], ids[jj]),
+                        "id_b": np.maximum(ids[ii], ids[jj]),
+                        "sim": sims[ii, jj],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = hash_groupby(rows, ["cluster"], in_cluster_pairs)
+    # a pair co-assigned to several clusters appears once
+    return hash_groupby(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"])
+    )

@@ -259,3 +259,64 @@ def test_duplicate_ngram_coverage_vs_bruteforce(ray_session, doc_ds):
         assert out[d]["dup_coverage"] == pytest.approx(
             len(covered) / n if n else 0.0
         )
+
+
+def _brute_pairs(ds, threshold):
+    rows = ds.take_all()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+    out = set()
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                s = vecs[a] @ vecs[b] / (
+                    np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+                )
+                if s >= threshold:
+                    out.add((a, b))
+    return out
+
+
+def test_semantic_dedup_full_assign_equals_bruteforce(ray_session, vec_ds):
+    """nassign == n_clusters replicates every vector into every cluster, so
+    every pair co-clusters and the SemDeDup result is provably the exact
+    all-pairs set (the configuration-equality pattern the driver query
+    relies on at a lower nassign)."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            vec_ds, threshold=0.3, n_clusters=4, nassign=4
+        ).take_all()
+    }
+    assert got == _brute_pairs(vec_ds, 0.3) and got
+
+
+def test_semantic_dedup_single_assign_subset_no_false_positives(
+    ray_session, vec_ds
+):
+    """The paper's nassign=1 configuration may miss Voronoi-boundary pairs
+    (recall < 1) but the in-cluster similarity is exact cosine, so every
+    emitted pair really clears the threshold — zero false positives."""
+    brute = _brute_pairs(vec_ds, 0.3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            vec_ds, threshold=0.3, n_clusters=4, nassign=1
+        ).take_all()
+    }
+    assert got <= brute and got
+
+
+def test_semantic_dedup_deterministic(ray_session, vec_ds):
+    a = sorted(
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            vec_ds, threshold=0.3, n_clusters=4, nassign=2
+        ).take_all()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            vec_ds, threshold=0.3, n_clusters=4, nassign=2
+        ).take_all()
+    )
+    assert a == b and a
