@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hocr_visual_stats": docops.hocr_visual_stats,
         "jpeg_decode_stats": docops.jpeg_decode_stats,
         "mp3_audio_stats": docops.mp3_audio_stats,
+        "video_container_stats": docops.video_container_stats,
         "gif_decode_stats": docops.gif_decode_stats,
         "video_frame_stats": docops.video_frame_stats,
         "pdf_visual_stats": docops.pdf_visual_stats,
@@ -1256,6 +1257,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 112
                         WHEN 2 THEN 128 ELSE 160 END AS BIGINT)
                      AS bitrate_kbps
+            FROM documents
+        """,
+        # ISO-BMFF fixture: movie timescale 1000, duration 1000*(2+id%5)
+        # ticks, avc1 track 320+(id%4)*16 x 240+(id%3)*16 px with
+        # 30*(2+id%5) stsz samples, mp4a track present when id%3 != 0
+        "video_container_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+                     AS n_tracks,
+                   CAST(1000 AS BIGINT) AS timescale,
+                   CAST(1000 * (2 + doc_id % 5) AS BIGINT) AS duration_ms,
+                   CAST(320 + (doc_id % 4) * 16 AS BIGINT) AS width,
+                   CAST(240 + (doc_id % 3) * 16 AS BIGINT) AS height,
+                   'avc1' AS video_codec,
+                   CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'mp4a' END
+                     AS audio_codec,
+                   CAST(30 * (2 + doc_id % 5) AS BIGINT) AS n_video_samples
             FROM documents
         """,
         # animated-GIF fixture: 2 + id%2 frames; first frame splits into

@@ -6,7 +6,10 @@ LZW incl. animation), PCM WAV audio (``functions/codecs.py``) and
 MJPEG-AVI video (``functions/avi.py`` — RIFF container + per-frame JPEG),
 and MP3 frame-header metadata (``functions/mp3.py`` — duration/bitrate/
 sample-rate/channels from the header walk; PCM synthesis stays out).
-Inter-frame video codecs (H.264 etc.) remain stubbed: those land on the
+MP4/ISO-BMFF container metadata (``functions/mp4.py`` — duration, track
+codecs, dimensions, sample counts from the box walk) does the same for
+inter-frame video. The frame DECODE of inter-frame codecs (H.264 etc.)
+remains stubbed: those land on the
 per-row ``error`` side channel (or raise at construction where the whole
 stage is unusable) unless ``fake=True`` supplies the deterministic
 stand-in used by the plumbing tests. In a container with the real

@@ -1437,6 +1437,73 @@ def mp3_audio_stats(sf_dir: str) -> "ray.data.Dataset":
     return map_stage(ds, _Mp3StatsStage, {}, 64)
 
 
+class _Mp4StatsStage:
+    """Deterministic MP4 fixture -> real ISO-BMFF box walk -> closed-form
+    stats. Each doc_id derives a structurally valid container
+    (``functions/mp4.py``): movie timescale 1000 with duration
+    ``1000 * (2 + id%5)`` ticks, an avc1 video track of
+    ``320 + (id%4)*16 x 240 + (id%3)*16`` px carrying ``30 * (2 + id%5)``
+    samples (stsz), and an mp4a audio track present when ``id % 3 != 0``.
+    All output fields are integers/strings the oracle knows in closed
+    form. Encode + parse both run inside the stage (one pass, no payload
+    shuffle); FrameSample keeps H.264 frame DECODE honestly stubbed —
+    this walk extracts only what the box tree publishes."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from fonduer_ray.functions.mp4 import mp4_encode_stub, mp4_parse
+
+        ids, ntr, ts, dur, w, h, vc, ac, nvs = (
+            [], [], [], [], [], [], [], [], [],
+        )
+        for doc_id in t["doc_id"].to_pylist():
+            data = mp4_encode_stub(
+                duration_ts=1000 * (2 + doc_id % 5),
+                timescale=1000,
+                width=320 + (doc_id % 4) * 16,
+                height=240 + (doc_id % 3) * 16,
+                n_video_samples=30 * (2 + doc_id % 5),
+                with_audio=doc_id % 3 != 0,
+            )
+            meta = mp4_parse(data)
+            video = next(
+                tr for tr in meta["tracks"] if tr["handler"] == "vide"
+            )
+            audio = [tr for tr in meta["tracks"] if tr["handler"] == "soun"]
+            ids.append(doc_id)
+            ntr.append(meta["n_tracks"])
+            ts.append(meta["timescale"])
+            dur.append(meta["duration_ts"])
+            w.append(video["width"])
+            h.append(video["height"])
+            vc.append(video["codec"])
+            ac.append(audio[0]["codec"] if audio else "")
+            nvs.append(video["n_samples"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tracks": pa.array(ntr, pa.int64()),
+                "timescale": pa.array(ts, pa.int64()),
+                "duration_ms": pa.array(dur, pa.int64()),
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "video_codec": pa.array(vc, pa.string()),
+                "audio_codec": pa.array(ac, pa.string()),
+                "n_video_samples": pa.array(nvs, pa.int64()),
+            }
+        )
+
+
+def video_container_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tracks, timescale, duration_ms, width, height,
+    video_codec, audio_codec, n_video_samples) through the real MP4
+    encode -> box-walk path (``functions/mp4.py``), oracle-checked in
+    closed form against the doc_id-derived fixture parameters."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return map_stage(ds, _Mp4StatsStage, {}, 64)
+
+
 def url_canonical_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, host, canonical_url) through the real URL canonicalizer
     (``functions/weburl.py``). Each doc derives a deliberately messy URL
