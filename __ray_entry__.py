@@ -503,7 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         training,
         webclean,
     )
-    from fonduer_ray.pipelines import docops, relational
+    from fonduer_ray.pipelines import docops, relational, tpch_extra
 
     import pyarrow as pa
     import ray.data
@@ -833,6 +833,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": relational.orders_cube,
         "nation_balance_full_join": relational.nation_balance_full_join,
         "lineitem_cov_stats": relational.lineitem_cov_stats,
+        # the remaining TPC-H decision-support shapes (pipelines/tpch_extra)
+        "customer_order_distribution": tpch_extra.customer_order_distribution,
+        "promo_revenue": tpch_extra.promo_revenue,
+        "top_supplier": tpch_extra.top_supplier,
+        "small_qty_revenue": tpch_extra.small_qty_revenue,
+        "large_volume_customers": tpch_extra.large_volume_customers,
+        "disjunctive_revenue": tpch_extra.disjunctive_revenue,
+        "min_balance_supplier": tpch_extra.min_balance_supplier,
+        "volume_shipping": tpch_extra.volume_shipping,
+        "national_market_share": tpch_extra.national_market_share,
+        "significant_parts": tpch_extra.significant_parts,
+        "waiting_suppliers": tpch_extra.waiting_suppliers,
+        "sales_opportunity": tpch_extra.sales_opportunity,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
@@ -954,6 +967,18 @@ _NEW_IN_R5 = (
     "span_dedup",
     "semantic_dedup_pairs",
     "video_container_stats",
+    "customer_order_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "min_balance_supplier",
+    "volume_shipping",
+    "national_market_share",
+    "significant_parts",
+    "waiting_suppliers",
+    "sales_opportunity",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -1750,6 +1775,181 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(round(l_extendedprice*100) AS BIGINT))
                         AS DOUBLE)/100.0 AS sum_qty_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "customer_order_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "promo_revenue": """
+            SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     ELSE 0 END)
+                   / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                   AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate <  TIMESTAMP '1995-10-01'
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(rev_c4 AS DOUBLE)/10000.0 AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = supplier.s_suppkey
+            WHERE rev_c4 = (SELECT max(rev_c4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "small_qty_revenue": """
+            WITH bl AS (
+              SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'),
+            agg AS (
+              SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS n
+              FROM bl GROUP BY 1)
+            SELECT CAST(COALESCE(sum(price_cents), 0) AS DOUBLE)/100.0/7.0
+                   AS avg_yearly
+            FROM bl JOIN agg USING (l_partkey)
+            WHERE 5*qty*n < sum_qty
+        """,
+        "large_volume_customers": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200)
+            SELECT c_name, CAST(o_custkey AS BIGINT) AS c_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderdate, o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM q JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(COALESCE(sum(
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))), 0)
+                   AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+        """,
+        "min_balance_supplier": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ranked AS (
+              SELECT l_partkey, l_suppkey, s_acctbal, s_name,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY s_acctbal, l_suppkey) AS rn
+              FROM pairs
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_size <= 10)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name
+            FROM ranked WHERE rn = 1 ORDER BY l_partkey
+        """,
+        "volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS DOUBLE)/10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND ((ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_13')
+                OR (ns.n_name = 'NATION_13' AND nc.n_name = 'NATION_12'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "national_market_share": """
+            WITH base AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4,
+                     s_nationkey
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              JOIN region ON nc.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN rev_c4
+                                 ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
+            FROM base JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "significant_parts": """
+            WITH pp AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                     AS rev_c4
+              FROM lineitem GROUP BY 1)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(rev_c4 AS DOUBLE)/10000.0 AS part_revenue
+            FROM pp
+            WHERE 2*rev_c4*(SELECT count(*) FROM pp)
+                  > 3*(SELECT sum(rev_c4) FROM pp)
+            ORDER BY part_revenue DESC, l_partkey
+        """,
+        "waiting_suppliers": """
+            WITH pair AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+              FROM lineitem GROUP BY 1, 2),
+            ostats AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(r) AS n_ret
+              FROM pair GROUP BY 1)
+            SELECT s_name, count(*) AS numwait
+            FROM pair JOIN ostats USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = 1 AND n_supp > 1 AND n_ret = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "sales_opportunity": """
+            WITH pos AS (
+              SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM customer WHERE round(c_acctbal*100) > 0)
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                        AS DOUBLE)/100.0 AS total_acctbal
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "token_stats": """
             SELECT doc_id,

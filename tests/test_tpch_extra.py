@@ -1,0 +1,253 @@
+"""tpch_extra pipelines vs their DuckDB oracles on an ADVERSARIAL fixture.
+
+The sf* sweeps (scripts/check_oracle.py) already verify these queries on the
+driver tables; this file re-runs the exact Ray-query / oracle-SQL pair over a
+hand-built star schema engineered for the edge cases the uniform synthetic
+data never hits: a revenue TIE at Q15's max, an acctbal TIE at Q2's argmin,
+a non-empty Q13 zero bucket, every Q21 exists/not-exists case (sole supplier,
+sole returner, double returner, R+N lines of one supplier in one order), and
+exact boundary hits for the strict integer inequalities of Q17 and Q22.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entry
+
+QUERIES = [
+    "customer_order_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "min_balance_supplier",
+    "volume_shipping",
+    "national_market_share",
+    "significant_parts",
+    "waiting_suppliers",
+    "sales_opportunity",
+]
+
+TS = lambda s: np.datetime64(s, "us")  # noqa: E731
+
+
+@pytest.fixture(scope="module")
+def star_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("tpch_star")
+
+    region = pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}
+    )
+    # NATION_12 / NATION_13 are the volume_shipping defaults; 5 & 6 sit in
+    # ASIA for national_market_share (target NATION_5).
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [5, 6, 12, 13],
+            "n_name": ["NATION_5", "NATION_6", "NATION_12", "NATION_13"],
+            "n_regionkey": [0, 0, 1, 1],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5, 6],
+            "c_name": [f"Cust{i}" for i in range(1, 7)],
+            "c_nationkey": [5, 6, 12, 13, 5, 6],
+            # mean positive balance = (100+200+300)/3 = 200.00:
+            #  cust4 = 200.00 exactly -> Q22 strict '>' must EXCLUDE it
+            #  cust5 = 300.00, no recent orders -> the one Q22 hit
+            #  cust6 negative balance, never counted in the mean
+            "c_acctbal": [100.0, 200.0, 200.0, 200.0, 300.0, -50.0],
+            "c_mktsegment": ["BUILDING", "AUTO", "BUILDING", "AUTO", "HOUSE", "AUTO"],
+        }
+    )
+    # acctbal TIE between suppliers 21 and 22 -> Q2 argmin must take the
+    # lower suppkey; supplier 24 never ships anything.
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [21, 22, 23, 24],
+            "s_name": ["SuppA", "SuppB", "SuppC", "SuppIdle"],
+            "s_nationkey": [5, 6, 12, 13],
+            "s_acctbal": [50.0, 50.0, 10.0, 999.0],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": [101, 102, 103, 104],
+            "p_name": ["pa", "pb", "pc", "pd"],
+            "p_brand": ["Brand#12", "Brand#23", "Brand#34", "Brand#23"],
+            "p_type": ["PROMO", "ECONOMY", "PROMO", "STANDARD"],
+            "p_size": [3, 8, 20, 5],
+            "p_retailprice": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1001, 1002, 1003, 1004, 1005, 1006, 1007],
+            "o_custkey": [1, 2, 3, 4, 1, 2, 3],
+            "o_orderstatus": ["F", "O", "F", "O", "F", "O", "F"],
+            # 1003/1007 price TIE -> large_volume tiebreak by o_orderkey
+            "o_totalprice": [500.0, 600.0, 600.0, 700.0, 800.0, 900.0, 600.0],
+            # cust1/cust2 have a post-1999 order (Q22 'recent'); 3 & 4 don't
+            "o_orderdate": [
+                TS("1995-02-01"), TS("1995-06-01"), TS("1996-03-01"),
+                TS("1995-09-10"), TS("1999-05-01"), TS("2000-01-01"),
+                TS("1997-07-01"),
+            ],
+            "o_orderpriority": ["1-URGENT"] * 7,
+        }
+    )
+
+    def li(ok, pk, sk, ln, qty, price, disc, rf, ship):
+        return {
+            "l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+            "l_linenumber": ln, "l_quantity": float(qty),
+            "l_extendedprice": float(price), "l_discount": float(disc),
+            "l_tax": 0.0, "l_returnflag": rf, "l_linestatus": "F",
+            "l_shipdate": TS(ship),
+        }
+
+    lineitem = pd.DataFrame(
+        [
+            # -- Q21 cases --------------------------------------------------
+            # order 1001: single supplier with R -> NOT counted (n_supp==1)
+            li(1001, 101, 21, 1, 10, 100.0, 0.0, "R", "1995-03-01"),
+            # order 1002: two suppliers, only 22 returns -> 22 counted; the
+            # returning supplier ALSO has an N line in the same order (r=max)
+            li(1002, 102, 22, 1, 4, 200.0, 0.10, "R", "1995-09-15"),
+            li(1002, 102, 22, 2, 2, 50.0, 0.0, "N", "1995-09-20"),
+            li(1002, 101, 21, 3, 2, 80.0, 0.0, "N", "1995-09-05"),
+            # order 1003: two suppliers BOTH return -> neither counted
+            li(1003, 103, 21, 1, 25, 300.0, 0.0, "R", "1996-06-01"),
+            li(1003, 103, 23, 2, 30, 400.0, 0.05, "R", "1996-06-15"),
+            # -- Q15 tie: 21 and 22 both earn exactly 111.00 in 1996-Q1 -----
+            li(1004, 104, 21, 1, 1, 111.0, 0.0, "N", "1996-01-10"),
+            li(1004, 104, 22, 2, 1, 111.0, 0.0, "N", "1996-03-31"),
+            # -- Q17: Brand#23 parts 102 & 104 ------------------------------
+            # part 102 qtys: [4, 2, 1, 14] -> sum 21, n 4; strict test:
+            #   qty 1 -> 5*1*4=20 < 21 qualifies; qty 2 -> 40 NOT; the
+            #   boundary 5*q*n == sum is covered by part 104 (q=2, sum 20, n 2)
+            li(1005, 102, 23, 1, 1, 60.0, 0.0, "N", "1997-01-01"),
+            li(1005, 102, 23, 2, 14, 70.0, 0.0, "N", "1997-02-01"),
+            # part 104 qtys: [2, 18] -> sum 20, n 2; 5*2*2 == 20 -> EXCLUDED
+            li(1005, 104, 23, 3, 2, 90.0, 0.0, "N", "1997-03-01"),
+            li(1006, 104, 23, 1, 18, 95.0, 0.0, "N", "1997-04-01"),
+            # -- Q19 branch hits: (Brand#12, size 3, qty 5) and a miss ------
+            li(1006, 101, 23, 2, 5, 120.0, 0.20, "N", "1997-05-01"),
+            li(1006, 103, 22, 3, 25, 130.0, 0.0, "N", "1997-06-01"),
+            # -- volume_shipping: cust3 (NATION_12) buys from 23 (NATION_12)
+            # is same-nation -> excluded; cross 12<->13 pair:
+            li(1003, 101, 24, 3, 1, 45.0, 0.0, "N", "1995-07-01"),  # s13->c12
+            # -- Q18: order 1007 totals 240 qty (> 200) -> the one hit.
+            # Only non-Brand#23 parts (101/103) so Q17's boundary sums hold.
+            li(1007, 101, 21, 1, 50, 10.0, 0.0, "N", "1997-07-10"),
+            li(1007, 103, 22, 2, 50, 10.0, 0.0, "N", "1997-07-11"),
+            li(1007, 101, 23, 3, 50, 10.0, 0.0, "N", "1997-07-12"),
+            li(1007, 103, 21, 4, 50, 10.0, 0.0, "N", "1997-07-13"),
+            li(1007, 101, 22, 5, 40, 10.0, 0.0, "N", "1997-07-14"),
+        ]
+    )
+
+    for name, df in [
+        ("region", region), ("nation", nation), ("customer", customer),
+        ("supplier", supplier), ("part", part), ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(out / f"{name}.parquet"),
+        )
+    return str(out)
+
+
+def _duck(star_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{star_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_matches_oracle_on_adversarial_star(name, star_dir, ray_session):
+    ray_res = entry.queries()[name](star_dir)
+    ray_df = ray_res.to_pandas() if hasattr(ray_res, "to_pandas") else ray_res
+    want = _duck(star_dir, entry.oracle_sql()[name])
+    got, want = _norm(pd.DataFrame(ray_df)), _norm(want)
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (name, got, want)
+    for c in got.columns:
+        if got[c].dtype.kind == "f" or want[c].dtype.kind == "f":
+            assert np.allclose(
+                got[c].astype(float), want[c].astype(float), rtol=0, atol=1e-9
+            ), (name, c, got, want)
+        else:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (
+                name, c, got, want,
+            )
+
+
+def test_q15_tie_surfaces_both_suppliers(star_dir, ray_session):
+    from fonduer_ray.pipelines.tpch_extra import top_supplier
+
+    df = top_supplier(star_dir).to_pandas()
+    assert sorted(df["s_suppkey"].tolist()) == [21, 22]
+    assert (df["total_revenue"] == 111.0).all()
+
+
+def test_q2_argmin_tie_takes_lower_suppkey(star_dir, ray_session):
+    from fonduer_ray.pipelines.tpch_extra import min_balance_supplier
+
+    df = min_balance_supplier(star_dir, max_size=30).to_pandas()
+    row = df[df["l_partkey"] == 103].iloc[0]
+    # suppliers 21 and 23 both shipped part 103; 23 has the lower balance
+    assert row["s_suppkey"] == 23
+    # part 102: only supplier 22/23 shipped it (22 in order 1002, 23 in 1005)
+    row2 = df[df["l_partkey"] == 102].iloc[0]
+    assert row2["s_acctbal"] == min(
+        50.0, 10.0
+    )  # SuppC (10.0) beats SuppB despite higher key
+
+
+def test_q13_zero_bucket(star_dir, ray_session):
+    from fonduer_ray.pipelines.tpch_extra import customer_order_distribution
+
+    df = customer_order_distribution(star_dir).to_pandas()
+    # customers 5 and 6 placed no orders
+    assert int(df.loc[df["c_count"] == 0, "custdist"].iloc[0]) == 2
+
+
+def test_q21_cases(star_dir, ray_session):
+    from fonduer_ray.pipelines.tpch_extra import waiting_suppliers
+
+    df = waiting_suppliers(star_dir).to_pandas()
+    # only SuppB (order 1002: multi-supplier, sole returner) qualifies;
+    # 1001 is single-supplier, 1003 has two returners
+    assert df["s_name"].tolist() == ["SuppB"]
+    assert df["numwait"].tolist() == [1]
+
+
+def test_q22_boundary_excluded_and_recency(star_dir, ray_session):
+    from fonduer_ray.pipelines.tpch_extra import sales_opportunity
+
+    df = sales_opportunity(star_dir).to_pandas()
+    # mean positive balance is exactly 200.00: custs 2-4 sit AT the mean
+    # (strict > excludes), cust5 (300, HOUSE, no recent orders) qualifies
+    assert df["c_mktsegment"].tolist() == ["HOUSE"]
+    assert df["n_cust"].tolist() == [1]
+    assert df["total_acctbal"].tolist() == [300.0]
