@@ -849,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
+        "pmi_collocations": lambda sf: textstats.pmi_collocations(_docs(sf)),
         "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
         "profile_events": relational.profile_events,
         "importance_weights": lambda sf: textstats.importance_weights(
@@ -979,6 +980,7 @@ _NEW_IN_R5 = (
     "significant_parts",
     "waiting_suppliers",
     "sales_opportunity",
+    "pmi_collocations",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -2035,6 +2037,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 50
+        """,
+        "pmi_collocations": """
+            WITH toks AS (SELECT string_split(text,' ') AS t FROM documents),
+            unic AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+            n AS (SELECT sum(c) AS n FROM unic),
+            big AS (
+              SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n_xy
+              FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+                    FROM toks)
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT w1, w2, n_xy,
+                   CAST(n_xy * n.n * n.n // (u1.c * u2.c) AS BIGINT) AS score
+            FROM big, n
+            JOIN unic u1 ON w1 = u1.w
+            JOIN unic u2 ON w2 = u2.w
+            ORDER BY score DESC, w1, w2 LIMIT 50
         """,
         "profile_events": """
             SELECT 'event_id' AS "column", count(*) AS n_rows,

@@ -619,3 +619,111 @@ def importance_weights(
     return hash_groupby(joined, ["doc_id"], per_doc).union(
         src.map_batches(zero_token_docs, batch_format="pyarrow")
     )
+
+
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    min_count: int = 5,
+    broadcast_limit: int = VOCAB_FREQ_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990; the word2vec phrase
+    pass uses the same count ratio).
+
+    Ranking is by the EXACT INTEGER surrogate ``score = (n_xy * N * N) //
+    (n_x * n_y)`` — monotone in PMI ``log(p(x,y)/(p(x)p(y)))`` for the
+    shared corpus constants, so top-k by score equals top-k by PMI while
+    staying bit-identical to a SQL oracle (no float log whose last ulp
+    differs between libm builds). All quantities positive, so Arrow's
+    truncated and DuckDB's floor division agree. Columns: ``(w1, w2, n_xy,
+    score)``, ties broken by (w1, w2).
+
+    Scale design: unigram and bigram counters both shrink per block before
+    their one token-keyed / pair-keyed ``hash_groupby``; the min-count
+    floor prunes the pair table right after its exact sum (Zipf tail —
+    most of the table) so only head pairs reach the two count lookups,
+    which ride the guarded broadcast-vs-``Dataset.join`` switch. The
+    integer products stay under int64 for corpora to ~10^9 tokens with
+    head-pair counts to ~10^4; past that, rescale N (ranking is invariant
+    to a shared constant)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for t in (text or "").split():
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    # materialized: consumed three times (N sum + two guarded lookups)
+    unic = hash_groupby(
+        src.map_batches(uni_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)["c"].sum().reset_index(),
+        join_safe=True,
+    ).materialize()
+    n_total = unic.sum("c")
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            for i in range(len(toks) - 1):
+                pair = (toks[i], toks[i + 1])
+                counts[pair] = counts.get(pair, 0) + 1
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in counts], pa.string()),
+                "w2": pa.array([p[1] for p in counts], pa.string()),
+                "n_xy": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def pair_sum_floor(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["w1", "w2"], sort=False)["n_xy"].sum().reset_index()
+        return out[out["n_xy"] >= min_count]
+
+    big = hash_groupby(
+        src.map_batches(big_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        pair_sum_floor,
+        join_safe=True,
+    )
+    def c_to_c1(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [n if n != "c" else "c1" for n in t.column_names]
+        )
+
+    big = attach_lookup(big, unic, "w1", "token", "c", broadcast_limit)
+    big = big.map_batches(c_to_c1, batch_format="pyarrow")
+    big = attach_lookup(big, unic, "w2", "token", "c", broadcast_limit)
+
+    def score(t: pa.Table) -> pa.Table:
+        num = pc.multiply(pc.multiply(t["n_xy"], n_total), n_total)
+        den = pc.multiply(t["c1"], t["c"])
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n_xy": t["n_xy"],
+                "score": pc.divide(num, den),
+            }
+        )
+
+    return (
+        big.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
