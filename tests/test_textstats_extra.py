@@ -200,3 +200,39 @@ def test_importance_weights_paths_match_brute(ray_session):
         d: want[d][1] / want[d][0] for d, text, _ in docs if text.split()
     }
     assert min(mean[0], mean[1]) > max(mean[2], mean[3])
+
+
+def test_pmi_collocations_matches_brute(docs_ds):
+    from fonduer_ray.functions.textstats import pmi_collocations
+
+    got = [
+        (r["w1"], r["w2"], r["n_xy"], r["score"])
+        for r in pmi_collocations(docs_ds, k=10, min_count=2).take_all()
+    ]
+    uni = Counter(t for _, text in DOCS for t in text.split())
+    N = sum(uni.values())
+    big = Counter(
+        (toks[i], toks[i + 1])
+        for _, text in DOCS
+        for toks in [text.split()]
+        for i in range(len(toks) - 1)
+    )
+    want = [
+        (w1, w2, n, (n * N * N) // (uni[w1] * uni[w2]))
+        for (w1, w2), n in big.items()
+        if n >= 2
+    ]
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:10]
+    # the integer surrogate must rank identically to float PMI
+    import math
+
+    float_rank = sorted(
+        ((w1, w2) for (w1, w2), n in big.items() if n >= 2),
+        key=lambda p: (
+            -math.log(big[p] * N * N / (uni[p[0]] * uni[p[1]])),
+            p[0],
+            p[1],
+        ),
+    )
+    assert [(w1, w2) for w1, w2, _, _ in want[:10]] == float_rank[:10]
