@@ -850,6 +850,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
         "pmi_collocations": lambda sf: textstats.pmi_collocations(_docs(sf)),
+        # SymSpell deletion-blocked Levenshtein-1 similarity join over the
+        # customer-name column (fuzzy-key entity resolution primitive)
+        "edit1_name_pairs": lambda sf: dedup.edit1_pairs(
+            _sized(sf, "customer", ["c_custkey", "c_name"]), col="c_name"
+        ),
         "lm_unigram_score": lambda sf: textstats.lm_unigram_score(_docs(sf)),
         "profile_events": relational.profile_events,
         "importance_weights": lambda sf: textstats.importance_weights(
@@ -981,6 +986,7 @@ _NEW_IN_R5 = (
     "waiting_suppliers",
     "sales_opportunity",
     "pmi_collocations",
+    "edit1_name_pairs",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -2055,6 +2061,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN unic u1 ON w1 = u1.w
             JOIN unic u2 ON w2 = u2.w
             ORDER BY score DESC, w1, w2 LIMIT 50
+        """,
+        "edit1_name_pairs": """
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM customer a JOIN customer b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY name_a, name_b
         """,
         "profile_events": """
             SELECT 'event_id' AS "column", count(*) AS n_rows,

@@ -1439,3 +1439,100 @@ def dedup_keep_survivors(
         return out.astype({"doc_id": "int64", "cluster_size": "int64"})
 
     return hash_groupby(clusters, ["cluster_id"], survivors)
+
+
+def _lev_eq1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) == 1 (linear two-pointer; no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1 or a == b:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # |b| = |a| + 1: one insertion bridges them iff skipping one char of b
+    # aligns the rest
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_pairs(
+    ds: "ray.data.Dataset", col: str = "name"
+) -> "ray.data.Dataset":
+    """All unordered pairs of DISTINCT ``col`` values at Levenshtein
+    distance exactly 1 — the fuzzy-key join entity resolution starts from
+    (name variants, typos, OCR single-char errors).
+
+    SymSpell-style deletion blocking (Garbe 2012): every value generates
+    its identity key plus one key per single-character deletion; two values
+    at distance 1 ALWAYS share a key (substitution -> same-position
+    deletions collide; insertion/deletion -> identity meets deletion), and
+    any key collision bounds the distance at 2, so an exact O(len) verify
+    inside the bucket finishes the job. No all-pairs product anywhere:
+    one key-hashed shuffle of (key, value) pairs (~(len+1) rows per value),
+    per-bucket pair generation over same-key groups (buckets are
+    near-duplicate neighborhoods, i.e. tiny), one pair-keyed distinct, and
+    the verify is a stateless map. Columns: ``(name_a, name_b)`` with
+    ``name_a < name_b``, sorted."""
+    import pandas as pd
+
+    distinct = hash_groupby(
+        ds.select_columns([col]),
+        [col],
+        lambda df: df.drop_duplicates([col]),
+    )
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        keys, vals = [], []
+        for v in t[col].to_pylist():
+            keys.append(v)
+            vals.append(v)
+            for i in range(len(v)):
+                keys.append(v[:i] + v[i + 1:])
+                vals.append(v)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.string()),
+                "v": pa.array(vals, pa.string()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in df.groupby("k", sort=False):
+            vs = sorted(set(grp["v"]))
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    a_out.append(vs[i])
+                    b_out.append(vs[j])
+        return pd.DataFrame({"name_a": a_out, "name_b": b_out})
+
+    cand = hash_groupby(
+        distinct.map_batches(explode_keys, batch_format="pyarrow"),
+        ["k"],
+        bucket_pairs,
+    )
+    uniq = hash_groupby(
+        cand,
+        ["name_a", "name_b"],
+        lambda df: df.drop_duplicates(["name_a", "name_b"]),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                _lev_eq1(a, b)
+                for a, b in zip(
+                    t["name_a"].to_pylist(), t["name_b"].to_pylist()
+                )
+            ],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+    return (
+        uniq.map_batches(verify, batch_format="pyarrow")
+        .sort(["name_a", "name_b"])
+    )

@@ -320,3 +320,51 @@ def test_semantic_dedup_deterministic(ray_session, vec_ds):
         ).take_all()
     )
     assert a == b and a
+
+
+def test_edit1_pairs_matches_brute(ray_session):
+    """SymSpell deletion blocking vs brute-force Levenshtein over strings
+    engineered for every edit kind: substitution, insertion at each end,
+    deletion, a transposition (distance 2 — must NOT pair), duplicate
+    input rows, and an empty string (distance 1 to single chars)."""
+    import ray.data
+
+    from fonduer_ray.functions.dedup import _lev_eq1, edit1_pairs
+
+    names = [
+        "cat", "cut",            # substitution
+        "cats", "scat",          # insertion at tail/head vs cat
+        "ca",                    # deletion of cat's tail
+        "act",                   # transposition of cat -> distance 2
+        "", "a",                 # empty vs single char
+        "dog", "dog",            # duplicate rows collapse
+        "dogg", "doog",
+    ]
+    ds = ray.data.from_items([{"name": n} for n in names])
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in edit1_pairs(ds, col="name").take_all()
+    }
+
+    def lev(a, b):  # full DP for the brute check
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uniq = sorted(set(names))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if lev(a, b) == 1
+    }
+    assert got == want
+    # the fast verifier agrees with DP on every pair (incl. distance >= 2)
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            assert _lev_eq1(a, b) == (lev(a, b) == 1), (a, b)
