@@ -834,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_full_join": relational.nation_balance_full_join,
         "lineitem_cov_stats": relational.lineitem_cov_stats,
         # the remaining TPC-H decision-support shapes (pipelines/tpch_extra)
+        "fk_integrity_audit": relational.fk_integrity_audit,
         "customer_order_distribution": tpch_extra.customer_order_distribution,
         "promo_revenue": tpch_extra.promo_revenue,
         "top_supplier": tpch_extra.top_supplier,
@@ -925,6 +926,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_exact": lambda sf: sketches.exact_percentiles(
             _sized(sf, "events", ["value"])
         ),
+        "events_trimmed_stats": lambda sf: sketches.grouped_trimmed_stats(
+            _sized(sf, "events", ["event_type", "value"]), "event_type"
+        ),
         "grouped_percentiles": lambda sf: sketches.grouped_percentiles(
             _sized(sf, "events", ["event_type", "value"]),
             "event_type",
@@ -987,6 +991,8 @@ _NEW_IN_R5 = (
     "sales_opportunity",
     "pmi_collocations",
     "edit1_name_pairs",
+    "events_trimmed_stats",
+    "fk_integrity_audit",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -1783,6 +1789,38 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(round(l_extendedprice*100) AS BIGINT))
                         AS DOUBLE)/100.0 AS sum_qty_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "fk_integrity_audit": """
+            SELECT fk, n_rows, n_orphans FROM (
+              SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_orphans
+              FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part', count(*),
+                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier', count(*),
+                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+              UNION ALL
+              SELECT 'orders.o_custkey->customer', count(*),
+                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation', count(*),
+                     CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM customer LEFT JOIN nation n ON c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'supplier.s_nationkey->nation', count(*),
+                     CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM supplier LEFT JOIN nation n ON s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'nation.n_regionkey->region', count(*),
+                     CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+            ) ORDER BY fk
         """,
         "customer_order_distribution": """
             WITH per_cust AS (
@@ -2926,6 +2964,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct*n+99)//100)
+        """,
+        "events_trimmed_stats": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), o AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n FROM s
+            ), b AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = GREATEST(1, (10*n+99)//100)
+                              THEN cents END) AS lo,
+                     max(CASE WHEN rn = GREATEST(1, (90*n+99)//100)
+                              THEN cents END) AS hi
+              FROM o GROUP BY event_type)
+            SELECT s.event_type, count(*) AS n_kept,
+                   CAST(sum(s.cents) AS DOUBLE)/100.0 AS sum_kept,
+                   CAST(sum(s.cents) AS DOUBLE)/count(*)/100.0
+                     AS trimmed_mean
+            FROM s JOIN b ON s.event_type = b.event_type
+            WHERE s.cents >= b.lo AND s.cents <= b.hi
+            GROUP BY s.event_type ORDER BY s.event_type
         """,
         "dedup_keep_survivors": """
             WITH RECURSIVE t AS (

@@ -876,3 +876,95 @@ def heavy_hitters(
         return t.filter(pc.greater_equal(t["n"], threshold))
 
     return exact.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_trimmed_stats(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    val_col: str = "value",
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> "ray.data.Dataset":
+    """Robust (trimmed) per-group aggregate: count / sum / mean of values
+    inside the group's [p``lo_pct``, p``hi_pct``] band — the
+    outlier-resistant mean every latency/quality dashboard wants next to
+    the raw one.
+
+    The band edges come from :func:`grouped_percentiles` (the exact
+    distributed rank walk, same ``rn = max(1, ceil(pct*n/100))``
+    convention), so this costs the percentile passes plus ONE more
+    filtered-aggregate scan. The per-(group, pct) edge table is bounded
+    by 2x|groups| (GROUP_TARGET_LIMIT guards the percentile walk) and
+    broadcasts once. Sums stay integer cents; the mean divides two exact
+    ints. Columns: ``(group_col, n_kept, sum_kept, trimmed_mean)``."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from fonduer_ray.stages.util import get_broadcast, hash_groupby
+
+    edges = grouped_percentiles(ds, group_col, val_col, pcts=(lo_pct, hi_pct))
+    band: dict = {}
+    for r in edges.take_all():  # <= 2 x |groups| rows (guarded upstream)
+        g = r[group_col]
+        cents = int(round(r["value"] * 100))
+        lo, hi = band.get(g, (None, None))
+        if int(r["pct"]) == lo_pct:
+            band[g] = (cents, hi)
+        else:
+            band[g] = (lo, cents)
+    band_ref = ray.put(band)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = get_broadcast(band_ref)
+        cents = pc.cast(pc.round(pc.multiply(t[val_col], 100.0)), pa.int64())
+        groups = t[group_col].to_pylist()
+        cl = cents.to_pylist()
+        keep_g, keep_c = [], []
+        for g, c in zip(groups, cl):
+            lo, hi = b[g]
+            if lo <= c <= hi:
+                keep_g.append(g)
+                keep_c.append(c)
+        df = pd.DataFrame({"g": keep_g, "c": keep_c})
+        out = (
+            df.groupby("g", sort=False)["c"]
+            .agg(["size", "sum"])
+            .reset_index()
+            .rename(columns={"size": "n_kept", "sum": "sum_c"})
+        )
+        return pa.table(
+            {
+                "g": pa.array(out["g"], pa.string()),
+                "n_kept": pa.array(out["n_kept"], pa.int64()),
+                "sum_c": pa.array(out["sum_c"], pa.int64()),
+            }
+        )
+
+    agg = hash_groupby(
+        ds.select_columns([group_col, val_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["g"],
+        lambda df: df.groupby("g", sort=False)
+        .agg(n_kept=("n_kept", "sum"), sum_c=("sum_c", "sum"))
+        .reset_index(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sums = t["sum_c"].to_pylist()
+        ns = t["n_kept"].to_pylist()
+        return pa.table(
+            {
+                group_col: t["g"],
+                "n_kept": t["n_kept"],
+                "sum_kept": pa.array([s / 100.0 for s in sums], pa.float64()),
+                "trimmed_mean": pa.array(
+                    [(s / n) / 100.0 for s, n in zip(sums, ns)], pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(group_col)

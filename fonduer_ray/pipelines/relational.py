@@ -1914,3 +1914,88 @@ def profile_events(sf_dir: str) -> "ray.data.Dataset":
             "props": "str",
         },
     )
+
+
+#: foreign-key edges of the star schema: (label, child table, child key,
+#: parent table, parent key) — the audit below checks every one
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_audit(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> "ray.data.Dataset":
+    """Referential-integrity audit over every FK edge of the star schema:
+    per edge, the child row count and the count of orphans (child keys
+    with no parent row) — the first data-quality report any warehouse
+    ingest runs.
+
+    Per edge the parent KEY SET builds from a per-block ``unique`` combine
+    + hash-partition distinct and broadcasts once (``ray.put``) for a
+    streaming NOT-IN count over the child — the anti-join count without
+    shuffling the child (guard: a parent beyond ``broadcast_limit``
+    flips to the hash-partition anti-join of ``_apply_canonical``, as
+    ``customers_without_orders`` documents). Each child table is scanned
+    once PER EDGE it participates in, keeping edges independent and
+    resumable. Columns: ``(fk, n_rows, n_orphans)`` sorted by fk."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    rows: list[dict] = []
+    for label, child, ckey, parent, pkey in FK_EDGES:
+        parent_ds = _read(sf_dir, parent, [pkey])
+
+        def block_distinct(t: pa.Table, _k=pkey) -> pa.Table:
+            return pa.table({_k: pc.unique(t[_k])})
+
+        distinct = hash_groupby(
+            parent_ds.map_batches(block_distinct, batch_format="pyarrow"),
+            [pkey],
+            lambda df, _k=pkey: df.drop_duplicates([_k]),
+        )
+        keys: set = set()
+        for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            keys.update(int(k) for k in b[pkey].to_pylist())
+        keys_ref = ray.put(keys)
+
+        def count_partial(t: pa.Table, _k=ckey, _ref=keys_ref) -> pa.Table:
+            have = get_broadcast(_ref)
+            vals = t[_k].to_pylist()
+            orphans = sum(1 for v in vals if int(v) not in have)
+            return pa.table(
+                {
+                    "n_rows": pa.array([len(vals)], pa.int64()),
+                    "n_orphans": pa.array([orphans], pa.int64()),
+                }
+            )
+
+        parts = (
+            _read(sf_dir, child, [ckey])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .take_all()
+        )  # <= one row per block
+        rows.append(
+            {
+                "fk": label,
+                "n_rows": sum(r["n_rows"] for r in parts),
+                "n_orphans": sum(r["n_orphans"] for r in parts),
+            }
+        )
+    rows.sort(key=lambda r: r["fk"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array([r["fk"] for r in rows], pa.string()),
+                "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+                "n_orphans": pa.array(
+                    [r["n_orphans"] for r in rows], pa.int64()
+                ),
+            }
+        )
+    )

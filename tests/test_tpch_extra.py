@@ -251,3 +251,67 @@ def test_q22_boundary_excluded_and_recency(star_dir, ray_session):
     assert df["c_mktsegment"].tolist() == ["HOUSE"]
     assert df["n_cust"].tolist() == [1]
     assert df["total_acctbal"].tolist() == [300.0]
+
+
+def test_fk_audit_counts_injected_orphans(star_dir, tmp_path, ray_session):
+    """Copy the star fixture, inject one orphan lineitem (bogus order key)
+    and one orphan customer nation, and check the audit counts exactly."""
+    import shutil
+
+    from fonduer_ray.pipelines.relational import fk_integrity_audit
+
+    d = str(tmp_path / "star_orphans")
+    shutil.copytree(star_dir, d)
+    li = pq.read_table(f"{d}/lineitem.parquet").to_pandas()
+    bad = li.iloc[[0]].copy()
+    bad["l_orderkey"] = 999_999  # no such order
+    li = pd.concat([li, bad], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   f"{d}/lineitem.parquet")
+    cu = pq.read_table(f"{d}/customer.parquet").to_pandas()
+    cu.loc[cu.index[-1], "c_nationkey"] = 77  # no such nation
+    pq.write_table(pa.Table.from_pandas(cu, preserve_index=False),
+                   f"{d}/customer.parquet")
+
+    df = fk_integrity_audit(d).to_pandas().set_index("fk")
+    assert df.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert df.loc["lineitem.l_orderkey->orders", "n_rows"] == len(li)
+    assert df.loc["customer.c_nationkey->nation", "n_orphans"] == 1
+    # untouched edges stay clean (the orphan lineitem still has real
+    # part/supplier keys)
+    assert df.loc["lineitem.l_partkey->part", "n_orphans"] == 0
+    assert df.loc["orders.o_custkey->customer", "n_orphans"] == 0
+
+
+def test_grouped_trimmed_stats_matches_brute(ray_session):
+    import numpy as np
+    import ray.data
+
+    from fonduer_ray.functions.sketches import grouped_trimmed_stats
+
+    rng = np.random.RandomState(11)
+    rows = [
+        {"event_type": t, "value": round(float(v), 2)}
+        for t in ("a", "b")
+        for v in rng.uniform(0, 100, 237)
+    ]
+    # a group small enough that p10 == p90 == the only value
+    rows += [{"event_type": "tiny", "value": 5.0}]
+    got = (
+        grouped_trimmed_stats(ray.data.from_items(rows), "event_type")
+        .to_pandas()
+        .set_index("event_type")
+    )
+    import math
+
+    for t in ("a", "b", "tiny"):
+        cents = sorted(
+            int(round(r["value"] * 100)) for r in rows if r["event_type"] == t
+        )
+        n = len(cents)
+        lo = cents[max(1, math.ceil(10 * n / 100)) - 1]
+        hi = cents[max(1, math.ceil(90 * n / 100)) - 1]
+        kept = [c for c in cents if lo <= c <= hi]
+        assert got.loc[t, "n_kept"] == len(kept)
+        assert got.loc[t, "sum_kept"] == sum(kept) / 100.0
+        assert got.loc[t, "trimmed_mean"] == (sum(kept) / len(kept)) / 100.0
