@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cov_stats": relational.lineitem_cov_stats,
         # the remaining TPC-H decision-support shapes (pipelines/tpch_extra)
         "fk_integrity_audit": relational.fk_integrity_audit,
+        "session_duration_stats": relational.session_duration_stats,
         "customer_order_distribution": tpch_extra.customer_order_distribution,
         "promo_revenue": tpch_extra.promo_revenue,
         "top_supplier": tpch_extra.top_supplier,
@@ -993,6 +994,7 @@ _NEW_IN_R5 = (
     "edit1_name_pairs",
     "events_trimmed_stats",
     "fk_integrity_audit",
+    "session_duration_stats",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -2964,6 +2966,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE)/100.0 AS value
             FROM o, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct*n+99)//100)
+        """,
+        "session_duration_stats": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), d AS (
+              SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                       AS dur_s
+              FROM m GROUP BY user_id, sid
+            ), r AS (
+              SELECT dur_s, row_number() OVER (ORDER BY dur_s) AS rn,
+                     count(*) OVER () AS n FROM d
+            )
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(dur_s AS DOUBLE) AS duration_s
+            FROM r, (VALUES (50),(90),(99)) p(pct)
+            WHERE rn = GREATEST(1, (pct * n + 99) // 100)
         """,
         "events_trimmed_stats": """
             WITH s AS (

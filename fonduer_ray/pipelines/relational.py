@@ -1999,3 +1999,43 @@ def fk_integrity_audit(
             }
         )
     )
+
+
+def session_duration_stats(
+    sf_dir: str, gap_minutes: int = 30, pcts: tuple = (50, 90, 99)
+) -> "ray.data.Dataset":
+    """Composition query: sessionize (the ``user_sessions`` 30-minute-gap
+    rule), then EXACT percentiles of session duration — the p50/p90/p99
+    session-length report.
+
+    Durations are whole seconds via integer-microsecond floor division
+    (event timestamps carry sub-second microseconds; float epoch seconds
+    would truncate differently across engines). Sessionization is a
+    per-user grouped sort inside one hash partition (never a global
+    sort); the duration column then rides the two-pass exact percentile
+    walk (:func:`fonduer_ray.functions.sketches.exact_percentiles`, rank
+    ``rn = max(1, ceil(pct*n/100))``). Columns: ``(pct, duration_s)``."""
+    from fonduer_ray.functions.sketches import exact_percentiles
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            us = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            if len(us) == 0:
+                continue
+            breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
+            for seg in np.split(us, breaks):
+                out.append((seg[-1] - seg[0]) // 1_000_000)
+        return pd.DataFrame({"duration_s": np.asarray(out, dtype=np.float64)})
+
+    durs = hash_groupby(ds, ["user_id"], durations)
+    res = exact_percentiles(durs, val_col="duration_s", pcts=pcts)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"pct": t["pct"], "duration_s": t["value"]})
+
+    return res.map_batches(rename, batch_format="pyarrow")

@@ -112,3 +112,60 @@ def test_funnel_counts_match_pandas(sf_dir, events_df):
     m = dict(zip(got.converted, got.n_users))
     assert m.get(1, 0) == conv
     assert m.get(0, 0) == len(su) - conv
+
+
+def test_session_duration_stats_matches_brute(tmp_path, ray_session):
+    """Sessionize-then-percentile composition: brute-forced on events with
+    sub-second timestamps, a tie at a session boundary, and single-event
+    (zero-duration) sessions."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.pipelines.relational import session_duration_stats
+
+    base = np.datetime64("2024-01-01T00:00:00.500000", "us")
+    rows = []
+    eid = 0
+    rng = np.random.RandomState(3)
+    for user in range(1, 6):
+        t = base
+        for _ in range(rng.randint(5, 40)):
+            eid += 1
+            rows.append({"event_id": eid, "ts": t, "user_id": user,
+                         "event_type": "x", "value": 0.0, "props": ""})
+            # mix sub-gap and super-gap jumps, with microsecond fractions
+            step = int(rng.choice([7, 61, 1799, 1801, 7200]) * 1e6) + int(
+                rng.randint(0, 1_000_000)
+            )
+            t = t + np.timedelta64(step, "us")
+    # duplicate-timestamp pair (diff 0 stays in-session)
+    for _ in range(2):
+        eid += 1
+        rows.append({"event_id": eid, "ts": base, "user_id": 9,
+                     "event_type": "x", "value": 0.0, "props": ""})
+    df = pd.DataFrame(rows)
+    d = tmp_path / "sess"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+
+    got = {
+        int(r["pct"]): r["duration_s"]
+        for r in session_duration_stats(str(d)).take_all()
+    }
+
+    durs = []
+    for _, g in df.groupby("user_id"):
+        us = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        breaks = np.flatnonzero(np.diff(us) > 30 * 60 * 1_000_000) + 1
+        for seg in np.split(us, breaks):
+            durs.append((seg[-1] - seg[0]) // 1_000_000)
+    durs.sort()
+    n = len(durs)
+    for pct in (50, 90, 99):
+        want = float(durs[max(1, math.ceil(pct * n / 100)) - 1])
+        assert got[pct] == want, (pct, got, durs)
