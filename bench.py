@@ -346,10 +346,9 @@ def run_scaling_inline() -> dict:
             },
             "median_eff": round(eff_primary, 3),
             "note": (
-                "32-way parse saturates this box's DRAM bandwidth "
-                "(bare-multiprocessing control hits the same ceiling; "
-                "see BASELINE.md) — a 4N-node cluster adds 4x memory "
-                "controllers, which the (4,16) pair emulates"
+                "32-way hits this box's DRAM ceiling (bare-mp control "
+                "matches; see BASELINE.md) — (4,16) emulates a cluster's "
+                "per-node memory controllers"
             ),
         },
         # ambient context: this shared box's OTHER tenants push loadavg
@@ -382,6 +381,40 @@ def run_scaling_clean() -> dict:
         best = dict(best)
         best["attempts_median_eff"] = [a["median_eff"] for a in attempts]
     return best
+
+
+#: the driver keeps only the LAST ~2000 bytes of bench stdout and parses a
+#: JSON line out of it — rounds 3 and 4 lost machine-readable metrics
+#: (``parsed: null`` in BENCH_r03/r04.json) because the per-query timing
+#: map outgrew that window. The printed line therefore stays under this
+#: budget: full detail goes to BENCH_FULL.json next to this script, and the
+#: stdout line carries the headline metrics plus a slowest-N query summary,
+#: dropping fields in a fixed order if the line would still overflow.
+STDOUT_LINE_BUDGET = int(os.environ.get("GRAFT_BENCH_LINE_BUDGET", "1900"))
+
+
+def _compact_line(payload: dict) -> str:
+    """Serialize ``payload`` to one JSON line within STDOUT_LINE_BUDGET,
+    shedding the least-critical fields first (never the headline value,
+    kg_headline.docs_per_sec, or scaling.median_eff)."""
+    shed_order = [
+        ("scaling", "pair_dram_limited"),
+        ("kg_headline", "ambient_wait_1m"),
+        ("scaling", "ambient_wait_1m"),
+        ("queries", None),
+        ("training_headline", None),
+    ]
+    payload = json.loads(json.dumps(payload))  # deep copy
+    line = json.dumps(payload, separators=(",", ":"))
+    for parent, child in shed_order:
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+        if child is None:
+            payload.pop(parent, None)
+        elif isinstance(payload.get(parent), dict):
+            payload[parent].pop(child, None)
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -419,23 +452,36 @@ def main() -> None:
     training = run_training_headline(NUM_CPUS)
     queries = run_queries(SF_DIR)
     total = kg["seconds"] + time.time() - t0
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_seconds",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "kg_headline": kg,
-                "training_headline": {
-                    k: round(v, 2) for k, v in training.items()
-                },
-                "scaling": scaling,
-            }
-        )
+    full = {
+        "metric": "e2e_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_headline": kg,
+        "training_headline": {k: round(v, 2) for k, v in training.items()},
+        "scaling": scaling,
+    }
+    # full artifact (every per-query timing) lives next to this script; the
+    # stdout line must fit the driver's 2000-byte tail window
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    n_slow = int(os.environ.get("GRAFT_BENCH_SLOWEST_N", "8"))
+    slowest = dict(
+        sorted(queries.items(), key=lambda kv: kv[1], reverse=True)[:n_slow]
+    )
+    compact = dict(full)
+    compact["queries"] = {
+        "n_queries": len(queries),
+        "sweep_sec": round(sum(queries.values()), 1),
+        **slowest,
+    }
+    compact["detail_file"] = "BENCH_FULL.json"
+    print(_compact_line(compact))
     ray.shutdown()
 
 
