@@ -950,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph_components_q,
         "graph_triangles": graph_triangles_q,
         "graph_khop": graph_khop_q,
+        "graph_hits": lambda sf: graph.hits(graph.purchase_edges(sf), iters=3),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -995,6 +996,7 @@ _NEW_IN_R5 = (
     "events_trimmed_stats",
     "fk_integrity_audit",
     "session_duration_stats",
+    "graph_hits",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -3262,6 +3264,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i ON i.node = n.node
         """,
         "graph_pagerank": _graph.pagerank_oracle_sql(_PURCHASE_EDGES_SQL, iters=5),
+        "graph_hits": _graph.hits_oracle_sql(_PURCHASE_EDGES_SQL, iters=3),
         "graph_ppr": _graph.ppr_oracle_sql(
             _PURCHASE_EDGES_SQL,
             "node % 50 = 0 AND node < 1000000",

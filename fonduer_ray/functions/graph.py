@@ -598,6 +598,231 @@ def pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+# ------------------------------------------------------------------ HITS
+
+
+#: fixed-point scale for integer HITS: hub/authority mass per node stays
+#: near this magnitude after each sum-normalization, so per-node raw sums
+#: are bounded by max_degree * 2 * HITS_SCALE — far below 2**63 even for
+#: 10**6-degree hubs
+HITS_SCALE = 10**9
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
+) -> "ray.data.Dataset":
+    """Fixed-point integer HITS (Kleinberg 1999): ``iters`` synchronous
+    hub/authority iterations over directed (src, dst) edges. Returns
+    (node, hub, authority) for every node in the edge set.
+
+    Exact integer semantics (the DuckDB oracle — :func:`hits_oracle_sql`
+    — replays them verbatim):
+
+    - h0(u)    = scale
+    - a_raw(v) = sum of h(u) over in-edges (u, v)
+    - a(v)     = a_raw(v) // max(1, (sum_v a_raw(v)) // scale)
+    - h_raw(u) = sum of a(v) over out-edges (u, v)
+    - h(u)     = h_raw(u) // max(1, (sum_u h_raw(u)) // scale)
+
+    The divisor-form normalization (divide by ``S // scale`` rather than
+    multiply by ``scale / S``) keeps every intermediate below
+    ``max_degree * 2 * scale`` — no int64 overflow at any graph size —
+    while staying a pure integer function of the sums, so any reduction
+    order produces identical results.
+
+    Distribution mirrors :func:`pagerank`: edges materialize once
+    (loop-invariant big side). Below ``broadcast_limit`` nodes the two
+    node-sized vectors live on the driver and each half-iteration is one
+    streaming edge pass emitting per-block sparse partial sums. Above the
+    limit, state ships to edges via the size-guarded ``attach_lookup``,
+    sums reduce through ONE ``hash_groupby`` per half-iteration (zero
+    rows for sum-less nodes restored by unioning the node table), and
+    each normalizer is a scalar ``Dataset.sum``. No reference analog
+    (fonduer stops at the triple table); standard public algorithm."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    edges = edges.materialize()
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [t["src"].cast(pa.int64()), t["dst"].cast(pa.int64())]
+        )
+        return pa.table({"node": both.combine_chunks()})
+
+    nodes_ds = _distinct(
+        edges.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n = nodes_ds.count()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.int64()),
+            "authority": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return ray.data.from_arrow(empty)
+
+    if n <= broadcast_limit:
+        nodes = np.sort(
+            nodes_ds.to_pandas()["node"].to_numpy(dtype=np.int64)
+        )
+        h = np.full(n, scale, dtype=np.int64)
+        a = np.zeros(n, dtype=np.int64)
+
+        def half_pass(state: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+            """One edge pass: sum state[from] into raw[to], then normalize."""
+            bcast = ray.put((nodes, state))
+
+            def edge_partial(t: pa.Table, _b=bcast, _f=from_col, _t=to_col) -> pa.Table:
+                nds, st = get_broadcast(_b)
+                src = t[_f].to_numpy()
+                dst = t[_t].to_numpy()
+                vals = st[np.searchsorted(nds, src)]
+                di = np.searchsorted(nds, dst)
+                uniq, inv = np.unique(di, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, vals)
+                return pa.table(
+                    {"idx": pa.array(uniq, pa.int64()),
+                     "s": pa.array(sums, pa.int64())}
+                )
+
+            raw = np.zeros(n, dtype=np.int64)
+            for batch in edges.map_batches(
+                edge_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                np.add.at(raw, batch["idx"].to_numpy(), batch["s"].to_numpy())
+            div = max(1, int(raw.sum()) // scale)
+            return raw // div
+
+        for _ in range(iters):
+            a = half_pass(h, "src", "dst")
+            h = half_pass(a, "dst", "src")
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "hub": pa.array(h),
+                      "authority": pa.array(a)})
+        )
+
+    # --- join path: node-sized state never lands on the driver ----------
+    def init_state(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "v", pa.array(np.full(len(t), scale, dtype=np.int64))
+        )
+
+    def sum_into(state: "ray.data.Dataset", from_col: str, to_col: str):
+        """state (node, v) -> raw sums keyed by the ``to_col`` endpoint,
+        zero-filled over the full node set, normalized by S // scale."""
+        carried = attach_lookup(edges, state, from_col, "node", "v")
+        inc_rows = carried.map_batches(
+            lambda t, _t=to_col: pa.table(
+                {
+                    "node": t[_t].cast(pa.int64()).combine_chunks(),
+                    "v": t["v"].cast(pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        zero_rows = nodes_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()).combine_chunks(),
+                    "v": pa.array(np.zeros(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def reduce_sum(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)["v"].sum().reset_index()
+            return g.astype({"node": "int64", "v": "int64"})
+
+        raw = hash_groupby(
+            inc_rows.union(zero_rows), ["node"], reduce_sum
+        ).materialize()
+        div = max(1, int(raw.sum("v") or 0) // scale)
+
+        def norm(t: pa.Table, _d=div) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "v": pc.cast(pc.divide(t["v"], _d), pa.int64()),
+                }
+            )
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    h_ds = nodes_ds.map_batches(init_state, batch_format="pyarrow").materialize()
+    a_ds = None
+    for _ in range(iters):
+        a_ds = sum_into(h_ds, "src", "dst")
+        h_ds = sum_into(a_ds, "dst", "src")
+
+    both = attach_lookup(
+        h_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "hub": t["v"]}),
+            batch_format="pyarrow",
+        ),
+        a_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "authority": t["v"]}),
+            batch_format="pyarrow",
+        ),
+        "node",
+        "node",
+        "authority",
+        broadcast_limit=0,  # both sides node-sized: always hash-partition
+    )
+    return both.select_columns(["node", "hub", "authority"])
+
+
+def hits_oracle_sql(
+    edges_cte: str, iters: int = 3, scale: int = HITS_SCALE
+) -> str:
+    """Unrolled DuckDB re-derivation of :func:`hits` — identical integer
+    arithmetic, one pair of CTEs per iteration. ``edges_cte`` must select
+    distinct (src, dst)."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        prev_h = f"h{i - 1}"
+        parts.append(
+            f"ar{i} AS (SELECT n.node, COALESCE(agg.s, 0) AS v"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst AS node, sum(p.v) AS s"
+            f"   FROM e JOIN {prev_h} p ON p.node = e.src"
+            f"   GROUP BY e.dst) agg ON agg.node = n.node),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, CAST(v // GREATEST(1,"
+            f" (SELECT sum(v) FROM ar{i}) // {scale}) AS BIGINT) AS v"
+            f" FROM ar{i}),"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT n.node, COALESCE(agg.s, 0) AS v"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.src AS node, sum(p.v) AS s"
+            f"   FROM e JOIN a{i} p ON p.node = e.dst"
+            f"   GROUP BY e.src) agg ON agg.node = n.node),"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, CAST(v // GREATEST(1,"
+            f" (SELECT sum(v) FROM hr{i}) // {scale}) AS BIGINT) AS v"
+            f" FROM hr{i})" + ("," if i < iters else "")
+        )
+    parts.append(
+        f"SELECT h.node, h.v AS hub, a.v AS authority"
+        f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )
+    return "\n".join(parts)
+
+
 # ------------------------------------------------------------------ triangles
 
 

@@ -275,3 +275,50 @@ def test_personalized_pagerank_empty_source_set(directed):
         _edges_ds(directed), source_pred=lambda a: a < -1, iters=2
     ).take_all()
     assert out == []
+
+
+def _hits_reference(pairs, iters, scale=G.HITS_SCALE):
+    """Single-threaded replay of the exact integer HITS semantics."""
+    nodes = sorted({n for e in pairs for n in e})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in pairs:
+            a_raw[v] += h[u]
+        d = max(1, sum(a_raw.values()) // scale)
+        a = {v: a_raw[v] // d for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for u, v in pairs:
+            h_raw[u] += a[v]
+        d = max(1, sum(h_raw.values()) // scale)
+        h = {v: h_raw[v] // d for v in nodes}
+    return h, a
+
+
+def test_hits_matches_integer_reference(directed):
+    got = G.hits(_edges_ds(directed), iters=3).to_pandas()
+    want_h, want_a = _hits_reference(directed, iters=3)
+    assert dict(zip(got["node"], got["hub"])) == want_h
+    assert dict(zip(got["node"], got["authority"])) == want_a
+
+
+def test_hits_paths_bit_identical(directed):
+    """Driver-numpy fast path == all-Dataset scale path (broadcast_limit=0
+    forces the attach_lookup/hash_groupby path), bit for bit."""
+    fast = G.hits(_edges_ds(directed), iters=2).to_pandas()
+    slow = G.hits(_edges_ds(directed), iters=2, broadcast_limit=0).to_pandas()
+    fm = {r.node: (r.hub, r.authority) for r in fast.itertuples()}
+    sm = {r.node: (r.hub, r.authority) for r in slow.itertuples()}
+    assert fm == sm
+
+
+def test_hits_bipartite_roles():
+    """On a pure bipartite graph, left nodes get zero authority and right
+    nodes zero hub score; the biggest in-degree node is the top authority."""
+    pairs = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 12)]
+    got = G.hits(_edges_ds(pairs), iters=3).to_pandas()
+    m = {r.node: (r.hub, r.authority) for r in got.itertuples()}
+    assert all(m[n][1] == 0 for n in (1, 2, 3))
+    assert all(m[n][0] == 0 for n in (10, 11, 12))
+    assert max((m[n][1], n) for n in (10, 11, 12))[1] == 10
