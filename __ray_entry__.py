@@ -836,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the remaining TPC-H decision-support shapes (pipelines/tpch_extra)
         "fk_integrity_audit": relational.fk_integrity_audit,
         "session_duration_stats": relational.session_duration_stats,
+        "value_cume_dist": relational.value_cume_dist,
+        "max_concurrent_sessions": relational.max_concurrent_sessions,
         "customer_order_distribution": tpch_extra.customer_order_distribution,
         "promo_revenue": tpch_extra.promo_revenue,
         "top_supplier": tpch_extra.top_supplier,
@@ -997,6 +999,8 @@ _NEW_IN_R5 = (
     "fk_integrity_audit",
     "session_duration_stats",
     "graph_hits",
+    "value_cume_dist",
+    "max_concurrent_sessions",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -2994,6 +2998,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dur_s AS DOUBLE) AS duration_s
             FROM r, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "value_cume_dist": """
+            WITH v AS (
+              SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), g AS (SELECT cents, count(*) AS n FROM v GROUP BY cents)
+            SELECT cents, n,
+                   CAST(sum(n) OVER (ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_le,
+                   CAST(sum(n) OVER (ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS n_lt
+            FROM g
+        """,
+        "max_concurrent_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), s AS (
+              SELECT epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+              FROM m GROUP BY user_id, sid
+            ), d AS (
+              SELECT st AS ts_us, 1 AS dl FROM s
+              UNION ALL SELECT en + 1, -1 FROM s
+            ), g AS (SELECT ts_us, sum(dl) AS dl FROM d GROUP BY ts_us),
+            c AS (
+              SELECT ts_us, sum(dl) OVER (ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS conc FROM g
+            )
+            SELECT CAST(conc AS BIGINT) AS max_concurrent,
+                   CAST(ts_us AS BIGINT) AS at_epoch_us
+            FROM c ORDER BY conc DESC, ts_us LIMIT 1
         """,
         "events_trimmed_stats": """
             WITH s AS (

@@ -2039,3 +2039,122 @@ def session_duration_stats(
         return pa.table({"pct": t["pct"], "duration_s": t["value"]})
 
     return res.map_batches(rename, batch_format="pyarrow")
+
+
+def value_cume_dist(sf_dir: str) -> "ray.data.Dataset":
+    """Cumulative distribution of the event value column at distinct-value
+    grain: for every distinct integer-cents value, the row count ``n``
+    plus the global ranks ``n_le`` (rows <= value) and ``n_lt`` (rows <
+    value) — exactly the numerators of SQL ``cume_dist()`` /
+    ``percent_rank()`` for every row carrying that value, kept as exact
+    integers so the oracle comparison is bitwise.
+
+    Distribution: ONE hash shuffle collapses rows to distinct values
+    (``hash_groupby`` count), then the two-pass distributed scan
+    (:func:`fonduer_ray.stages.util.ordered_prefix_sum`) turns the sorted
+    value counts into global prefix sums — per-block partials only;
+    driver state is O(#blocks), never O(distinct values)."""
+    from fonduer_ray.stages.util import hash_groupby, ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                              pa.int64())}
+        )
+
+    def count_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cents", sort=False).size().rename("n").reset_index()
+        return g.astype({"cents": "int64", "n": "int64"})
+
+    counts = hash_groupby(
+        ds.map_batches(to_cents, batch_format="pyarrow"), ["cents"], count_agg
+    )
+    scanned = ordered_prefix_sum(counts, "cents", ["n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": t["cents"],
+                "n": t["n"],
+                "n_le": t["n_cum"],
+                "n_lt": pc.subtract(t["n_cum"], t["n"]),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def max_concurrent_sessions(
+    sf_dir: str, gap_minutes: int = 30
+) -> "ray.data.Dataset":
+    """Peak session concurrency: sessionize every user's event stream (the
+    ``user_sessions`` 30-minute-gap rule), then find the maximum number of
+    sessions simultaneously active (inclusive [start, end] intervals) and
+    the earliest microsecond timestamp where that peak holds.
+
+    The interval-stabbing sweep: each session emits (+1 at start_us,
+    -1 at end_us + 1) deltas, deltas collapse to one row per timestamp
+    (hash shuffle), and the running concurrency is the distributed
+    prefix scan over sorted timestamps. The final max reduces per block
+    first (one (max, argmin-ts) pair per block reaches the driver).
+    Returns one row ``(max_concurrent, at_epoch_us)``."""
+    from fonduer_ray.stages.util import hash_groupby, ordered_prefix_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        ts_out, dl_out = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            us = np.sort(
+                g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            if len(us) == 0:
+                continue
+            breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
+            for seg in np.split(us, breaks):
+                ts_out.extend((int(seg[0]), int(seg[-1]) + 1))
+                dl_out.extend((1, -1))
+        return pd.DataFrame(
+            {"ts_us": np.asarray(ts_out, dtype=np.int64),
+             "dl": np.asarray(dl_out, dtype=np.int64)}
+        )
+
+    raw = hash_groupby(ds, ["user_id"], deltas)
+
+    def sum_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ts_us", sort=False)["dl"].sum().reset_index()
+        return g.astype({"ts_us": "int64", "dl": "int64"})
+
+    merged = hash_groupby(raw, ["ts_us"], sum_agg)
+    scanned = ordered_prefix_sum(merged, "ts_us", ["dl"])
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"conc": pa.array([], pa.int64()),
+                 "ts_us": pa.array([], pa.int64())}
+            )
+        conc = t["dl_cum"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        i = int(np.argmax(conc))  # rows sorted by ts -> first max wins
+        return pa.table(
+            {"conc": pa.array([int(conc[i])], pa.int64()),
+             "ts_us": pa.array([int(ts[i])], pa.int64())}
+        )
+
+    best = (-1, -1)
+    for b in scanned.map_batches(
+        block_max, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c, t in zip(b["conc"].to_pylist(), b["ts_us"].to_pylist()):
+            if c > best[0] or (c == best[0] and t < best[1]):
+                best = (c, t)
+    return ray.data.from_arrow(
+        pa.table(
+            {"max_concurrent": pa.array([best[0]], pa.int64()),
+             "at_epoch_us": pa.array([best[1]], pa.int64())}
+        )
+    )

@@ -200,3 +200,78 @@ def read_blocks_for(
         cpus = int(ray.cluster_resources().get("CPU", 4))
     return max(1, min((rows + rows_per_block - 1) // rows_per_block,
                       cap_factor * cpus))
+
+
+def ordered_prefix_sum(ds, order_col: str, val_cols: list[str]):
+    """Global inclusive prefix sums of ``val_cols`` in ascending
+    ``order_col`` order — the classic two-pass distributed scan.
+
+    PRECONDITION: ``order_col`` values are UNIQUE (aggregate to one row
+    per key first); duplicate keys could split across block boundaries
+    where the per-block offset lookup (keyed by each block's first key)
+    would collide.
+
+    One range shuffle (``Dataset.sort``), then pass 1 reduces each block
+    to one partial-sum row (driver state = O(#blocks), never O(rows)),
+    the driver turns those into exclusive block offsets, and pass 2 adds
+    a vectorized local cumsum + the block's offset. Appends
+    ``{col}_cum`` int64 columns; input columns pass through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cum_names = [f"{c}_cum" for c in val_cols]
+    base = ds.sort(order_col).materialize()
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"_key": pa.array([], pa.int64()),
+                 **{c: pa.array([], pa.int64()) for c in val_cols}}
+            )
+        return pa.table(
+            {
+                "_key": pa.array([t[order_col][0].as_py()], pa.int64()),
+                **{
+                    c: pa.array(
+                        [int(pc.sum(t[c]).as_py() or 0)], pa.int64()
+                    )
+                    for c in val_cols
+                },
+            }
+        )
+
+    partials = []
+    for b in base.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        partials.extend(
+            zip(b["_key"].to_pylist(),
+                *(b[c].to_pylist() for c in val_cols))
+        )
+    partials.sort()
+    offsets: dict[int, tuple] = {}
+    acc = [0] * len(val_cols)
+    for row in partials:
+        offsets[row[0]] = tuple(acc)
+        for i, v in enumerate(row[1:]):
+            acc[i] += v
+    off_ref = ray.put(offsets)
+
+    def add_cum(t: pa.Table) -> pa.Table:
+        import pyarrow as pa  # noqa: re-import for worker scope
+
+        out = t
+        if len(t) == 0:
+            for name in cum_names:
+                out = out.append_column(name, pa.array([], pa.int64()))
+            return out
+        off = get_broadcast(off_ref)[t[order_col][0].as_py()]
+        for c, name, o in zip(val_cols, cum_names, off):
+            vals = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = out.append_column(
+                name, pa.array(np.cumsum(vals) + o, pa.int64())
+            )
+        return out
+
+    return base.map_batches(add_cum, batch_format="pyarrow", batch_size=None)
