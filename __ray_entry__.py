@@ -838,6 +838,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": relational.session_duration_stats,
         "value_cume_dist": relational.value_cume_dist,
         "max_concurrent_sessions": relational.max_concurrent_sessions,
+        "part_skyline": relational.part_skyline,
+        "customers_without_orders_bloom": relational.customers_without_orders_bloom,
+        "frequent_part_pairs": relational.frequent_part_pairs,
+        "nation_ols_slope": relational.nation_ols_slope,
         "customer_order_distribution": tpch_extra.customer_order_distribution,
         "promo_revenue": tpch_extra.promo_revenue,
         "top_supplier": tpch_extra.top_supplier,
@@ -1001,6 +1005,10 @@ _NEW_IN_R5 = (
     "graph_hits",
     "value_cume_dist",
     "max_concurrent_sessions",
+    "part_skyline",
+    "customers_without_orders_bloom",
+    "frequent_part_pairs",
+    "nation_ols_slope",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -2998,6 +3006,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dur_s AS DOUBLE) AS duration_s
             FROM r, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "part_skyline": """
+            SELECT a.p_partkey,
+                   CAST(round(a.p_retailprice*100) AS BIGINT) AS price_cents,
+                   CAST(a.p_size AS BIGINT) AS p_size
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE round(b.p_retailprice*100) <= round(a.p_retailprice*100)
+                AND b.p_size >= a.p_size
+                AND (round(b.p_retailprice*100) < round(a.p_retailprice*100)
+                     OR b.p_size > a.p_size)
+            )
+        """,
+        "customers_without_orders_bloom": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate <  DATE '1996-01-01'
+            )
+        """,
+        "frequent_part_pairs": """
+            WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT x.l_partkey AS a, y.l_partkey AS b,
+                   count(*) AS support
+            FROM bk x JOIN bk y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "nation_ols_slope": """
+            WITH pts AS (
+              SELECT s_nationkey,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_extendedprice*100) AS BIGINT) AS y
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            )
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_pts,
+                   CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS BIGINT)
+                     AS slope_num,
+                   CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS BIGINT)
+                     AS slope_den
+            FROM pts JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "value_cume_dist": """
             WITH v AS (

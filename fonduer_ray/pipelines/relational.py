@@ -2158,3 +2158,272 @@ def max_concurrent_sessions(
              "at_epoch_us": pa.array([best[1]], pa.int64())}
         )
     )
+
+
+def part_skyline(sf_dir: str) -> "ray.data.Dataset":
+    """Pareto frontier (skyline) of the part table: minimize retail price,
+    maximize size. A part survives iff no other part has price <= AND
+    size >= with at least one strict — the classic block-nested-loop
+    skyline made distributed.
+
+    Two-phase exactness: each block reduces to its LOCAL skyline with a
+    vectorized sort-scan (a global survivor must survive every subset
+    containing it, so the global skyline is a subset of the union of
+    block skylines), then the candidate union — bounded by
+    blocks x per-block frontier size, tiny next to the input — collapses
+    to one block for the identical final scan. Equal (price, size)
+    tuples never dominate each other, so duplicates all survive.
+    Columns: ``(p_partkey, price_cents, p_size)``."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"p_partkey": pa.array([], pa.int64()),
+                 "price_cents": pa.array([], pa.int64()),
+                 "p_size": pa.array([], pa.int64())}
+            )
+        key = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.round(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-size, price))  # price asc, size desc
+        p, s, k = price[order], size[order], key[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        # per-price max size = size of the group's first row (sorted desc)
+        gmax = np.repeat(s[first], np.diff(np.flatnonzero(
+            np.append(first, True))))
+        # exclusive running max over strictly-cheaper price groups
+        group_maxes = s[first]
+        excl = np.empty(len(group_maxes), dtype=np.int64)
+        excl[0] = np.iinfo(np.int64).min
+        np.maximum.accumulate(group_maxes[:-1], out=excl[1:])
+        excl_row = np.repeat(excl, np.diff(np.flatnonzero(
+            np.append(first, True))))
+        keep = (s == gmax) & (gmax > excl_row)
+        return pa.table(
+            {"p_partkey": pa.array(k[keep]),
+             "price_cents": pa.array(p[keep]),
+             "p_size": pa.array(s[keep])}
+        )
+
+    candidates = ds.map_batches(local_skyline, batch_format="pyarrow")
+
+    def final_skyline(t: pa.Table) -> pa.Table:
+        wrapped = pa.table(
+            {"p_partkey": t["p_partkey"],
+             "p_size": t["p_size"],
+             "p_retailprice": pc.divide(
+                 pc.cast(t["price_cents"], pa.float64()), 100.0
+             )}
+        )
+        return local_skyline(wrapped)
+
+    # candidate union is frontier-sized: one block, one final exact scan
+    return candidates.repartition(1).map_batches(
+        final_skyline, batch_format="pyarrow", batch_size=None
+    )
+
+
+def customers_without_orders_bloom(
+    sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4
+) -> "ray.data.Dataset":
+    """Bloom-accelerated exact anti-join: customers with no 1995 order
+    (the ``customers_without_orders`` result set, recomputed through a
+    different scale shape): the probe side ships a FIXED-SIZE bitmap
+    (m_bits/8 bytes, independent of key count) instead of the distinct
+    key set, so the broadcast never outgrows a worker heap. Bloom
+    negatives are definite non-members (emitted directly); the
+    false-positive tail — a small fraction at reasonable m/n — gets an
+    exact verification against the distinct key set. At web scale, swap
+    the verification's key-set broadcast for the hash-partition join;
+    the bloom prune shrinks that join's left side by the true-negative
+    rate. Columns: ``(c_custkey, c_name)``."""
+    from fonduer_ray.functions.dedup import _md5_64
+    from fonduer_ray.stages.util import hash_groupby
+
+    def in_1995(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(ts, pa.scalar(np.datetime64("1995-01-01", "us"))),
+            pc.less(ts, pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return pa.table({"o_custkey": t.filter(mask)["o_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        in_1995, batch_format="pyarrow"
+    )
+
+    def block_bits(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        for x in set(t["o_custkey"].to_pylist()):
+            for r in range(k_hashes):
+                pos = _md5_64(f"{r}:{x}") % m_bits
+                words[pos >> 6] |= np.uint64(1 << (pos & 63))
+        return pa.table({"word": pa.array(words)})
+
+    # bitmap = bitwise-OR of per-block partials: fixed m_bits/64 words per
+    # block regardless of row count; driver merge is O(blocks * words)
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for b in orders.map_batches(
+        block_bits, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        w = b["word"].to_numpy(zero_copy_only=False)
+        for i in range(0, len(w), m_bits // 64):
+            bits |= w[i:i + m_bits // 64]
+    bits_ref = ray.put(bits)
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = get_broadcast(bits_ref)
+        maybe = []
+        for x in t["c_custkey"].to_pylist():
+            hit = True
+            for r in range(k_hashes):
+                pos = _md5_64(f"{r}:{x}") % m_bits
+                if not (int(bm[pos >> 6]) >> (pos & 63)) & 1:
+                    hit = False
+                    break
+            maybe.append(hit)
+        return t.append_column("_maybe", pa.array(maybe, pa.bool_()))
+
+    probed = customers.map_batches(probe, batch_format="pyarrow").materialize()
+    negatives = probed.filter(expr="_maybe == False").drop_columns(["_maybe"])
+
+    # exact verification of the (small) bloom-positive tail
+    distinct = hash_groupby(
+        orders.map_batches(
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"],
+        lambda df: df.drop_duplicates(["o_custkey"]),
+    )
+    keys = set()
+    for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def verify(t: pa.Table) -> pa.Table:
+        have = get_broadcast(keys_ref)
+        mask = pa.array(
+            [k not in have for k in t["c_custkey"].to_pylist()], pa.bool_()
+        )
+        return t.filter(mask)
+
+    fp_survivors = (
+        probed.filter(expr="_maybe == True")
+        .drop_columns(["_maybe"])
+        .map_batches(verify, batch_format="pyarrow")
+    )
+    return negatives.union(fp_survivors)
+
+
+def frequent_part_pairs(sf_dir: str, min_support: int = 2) -> "ray.data.Dataset":
+    """Market-basket frequent pairs: part pairs appearing together in at
+    least ``min_support`` orders. The a-priori counting core: baskets
+    hash-partition by order key, pairs generate inside each partition
+    (bounded by per-basket size squared, never a global cross product),
+    and supports reduce through one pair-keyed shuffle.
+    Columns: ``(a, b, support)`` with ``a < b``."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    items = ds.map_batches(block_distinct, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        out_a, out_b = [], []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            ps = np.unique(g["l_partkey"].to_numpy())
+            if len(ps) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ps), k=1)
+            out_a.append(ps[ia])
+            out_b.append(ps[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).astype({"a": "int64", "b": "int64"})
+
+    pair_rows = hash_groupby(items, ["l_orderkey"], pairs)
+
+    def support(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).size().rename("support")
+        g = g[g >= min_support].reset_index()
+        return g.astype({"a": "int64", "b": "int64", "support": "int64"})
+
+    return hash_groupby(pair_rows, ["a", "b"], support)
+
+
+def nation_ols_slope(sf_dir: str) -> "ray.data.Dataset":
+    """Per-nation OLS sufficient statistics for price-on-quantity
+    regression, kept as EXACT integers: ``slope = slope_num / slope_den``
+    with ``slope_num = n*sum(xy) - sum(x)*sum(y)`` and ``slope_den =
+    n*sum(xx) - sum(x)^2`` (x = quantity, y = price cents). Same
+    mergeable-moments discipline as :func:`lineitem_cov_stats` — only
+    sums and counts cross the shuffle; the division happens wherever the
+    consumer wants its precision. One guarded supplier->nation lookup
+    plus one 25-group aggregate. Columns: ``(n_name, n_pts, slope_num,
+    slope_den)``."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    with_nat = attach_lookup(li, supp, "l_suppkey", "s_suppkey", "s_nationkey")
+    with_name = attach_lookup(
+        with_nat, nat, "s_nationkey", "n_nationkey", "n_name"
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+            }
+        )
+
+    agg = (
+        with_name.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_pts"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_pts"], pa.int64())
+        sx, sy = t["sx"], t["sy"]
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_pts": n,
+                "slope_num": pc.subtract(
+                    pc.multiply(n, t["sxy"]), pc.multiply(sx, sy)
+                ),
+                "slope_den": pc.subtract(
+                    pc.multiply(n, t["sxx"]), pc.multiply(sx, sx)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

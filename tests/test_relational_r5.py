@@ -1,0 +1,146 @@
+"""Round-5 relational additions: skyline, bloom anti-join, frequent
+pairs, grouped OLS sufficient statistics — brute-force cross-checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_part_skyline_brute(ray_session):
+    from fonduer_ray.pipelines.relational import part_skyline
+
+    got = part_skyline(SF).to_pandas().sort_values(
+        "p_partkey", ignore_index=True
+    )
+    t = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    ).to_pandas()
+    price = np.round(t["p_retailprice"].to_numpy() * 100).astype(np.int64)
+    size = t["p_size"].to_numpy().astype(np.int64)
+    keep = []
+    for i in range(len(t)):
+        dominated = (
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        ).any()
+        if not dominated:
+            keep.append(i)
+    want = pd.DataFrame(
+        {
+            "p_partkey": t["p_partkey"].to_numpy()[keep],
+            "price_cents": price[keep],
+            "p_size": size[keep],
+        }
+    ).sort_values("p_partkey", ignore_index=True).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_part_skyline_ties_survive(ray_session, tmp_path):
+    """Equal (price, size) tuples never dominate each other: all
+    duplicates must survive; a strictly-worse point must not."""
+    import ray.data
+
+    from fonduer_ray.pipelines.relational import part_skyline
+
+    df = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_size": [10, 10, 10, 5],
+            "p_retailprice": [1.0, 1.0, 2.0, 1.0],
+        }
+    )
+    d = tmp_path / "sky"
+    d.mkdir()
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(df), str(d / "part.parquet"))
+    got = part_skyline(str(d)).to_pandas()
+    assert sorted(got["p_partkey"].tolist()) == [1, 2]
+
+
+@pytest.mark.parametrize("m_bits", [1 << 20, 64])
+def test_bloom_anti_join_exact(ray_session, m_bits):
+    """Result is EXACT regardless of filter size: m_bits=64 forces nearly
+    every probe through the false-positive verification path."""
+    from fonduer_ray.pipelines.relational import (
+        customers_without_orders_bloom,
+    )
+
+    got = sorted(
+        customers_without_orders_bloom(SF, m_bits=m_bits)
+        .to_pandas()["c_custkey"]
+        .tolist()
+    )
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).to_pandas()
+    in95 = orders[
+        (orders["o_orderdate"] >= np.datetime64("1995-01-01"))
+        & (orders["o_orderdate"] < np.datetime64("1996-01-01"))
+    ]["o_custkey"]
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+    want = sorted(set(cust["c_custkey"].to_pylist()) - set(in95.tolist()))
+    assert got == want
+
+
+def test_frequent_part_pairs_brute(ray_session):
+    from fonduer_ray.pipelines.relational import frequent_part_pairs
+
+    got = frequent_part_pairs(SF, min_support=2).to_pandas()
+    got_map = {(r.a, r.b): r.support for r in got.itertuples()}
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    from collections import Counter
+    from itertools import combinations
+
+    c: Counter = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+            c[(a, b)] += 1
+    want = {k: v for k, v in c.items() if v >= 2}
+    assert got_map == want
+
+
+def test_nation_ols_slope_brute(ray_session):
+    from fonduer_ray.pipelines.relational import nation_ols_slope
+
+    got = nation_ols_slope(SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    supp = pq.read_table(
+        f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    df = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    df["x"] = df["l_quantity"].astype(np.int64)
+    df["y"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+    for row in got.itertuples():
+        g = df[df["n_name"] == row.n_name]
+        n = len(g)
+        sx, sy = int(g["x"].sum()), int(g["y"].sum())
+        sxy = int((g["x"] * g["y"]).sum())
+        sxx = int((g["x"] * g["x"]).sum())
+        assert row.n_pts == n
+        assert row.slope_num == n * sxy - sx * sy
+        assert row.slope_den == n * sxx - sx * sx
+        # the ratio matches numpy's float OLS slope
+        if row.slope_den:
+            np.testing.assert_allclose(
+                row.slope_num / row.slope_den,
+                np.polyfit(g["x"], g["y"], 1)[0],
+                rtol=1e-9,
+            )
+    assert len(got) == df["n_name"].nunique()
