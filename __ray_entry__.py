@@ -838,6 +838,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": relational.session_duration_stats,
         "value_cume_dist": relational.value_cume_dist,
         "max_concurrent_sessions": relational.max_concurrent_sessions,
+        "grouped_mad": lambda sf: sketches.grouped_mad(
+            _sized(sf, "events", ["event_type", "value"]), "event_type"
+        ),
+        "equi_depth_histogram": lambda sf: sketches.equi_depth_histogram(
+            _sized(sf, "events", ["value"]), k=10
+        ),
+        "phrase_match_counts": lambda sf: search.phrase_match_counts(
+            _sized(sf, "documents", ["doc_id", "text"])
+        ),
         "part_skyline": relational.part_skyline,
         "customers_without_orders_bloom": relational.customers_without_orders_bloom,
         "frequent_part_pairs": relational.frequent_part_pairs,
@@ -1009,6 +1018,9 @@ _NEW_IN_R5 = (
     "customers_without_orders_bloom",
     "frequent_part_pairs",
     "nation_ols_slope",
+    "grouped_mad",
+    "equi_depth_histogram",
+    "phrase_match_counts",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -3006,6 +3018,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dur_s AS DOUBLE) AS duration_s
             FROM r, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "grouped_mad": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), o AS (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n FROM s
+            ), m AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = GREATEST(1, (50*n+99)//100)
+                              THEN cents END) AS med
+              FROM o GROUP BY event_type
+            ), d AS (
+              SELECT s.event_type, abs(s.cents - m.med) AS dev
+              FROM s JOIN m ON s.event_type = m.event_type
+            ), o2 AS (
+              SELECT event_type, dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n FROM d
+            ), m2 AS (
+              SELECT event_type,
+                     max(CASE WHEN rn = GREATEST(1, (50*n+99)//100)
+                              THEN dev END) AS mad
+              FROM o2 GROUP BY event_type
+            )
+            SELECT m.event_type,
+                   CAST(m.med AS DOUBLE)/100.0 AS median_value,
+                   CAST(m2.mad AS DOUBLE)/100.0 AS mad_value
+            FROM m JOIN m2 ON m.event_type = m2.event_type
+        """,
+        "equi_depth_histogram": """
+            WITH c AS (
+              SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events
+            ), r AS (
+              SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                     count(*) OVER () AS n FROM c
+            ), b AS (
+              SELECT r.cents AS bc
+              FROM r, (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90))
+                     p(pct)
+              WHERE r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n FROM (
+              SELECT (SELECT count(*) FROM b WHERE b.bc < c.cents) AS bucket
+              FROM c
+            ) GROUP BY bucket
+        """,
+        "phrase_match_counts": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents
+            )
+            SELECT a.doc_id, count(*) AS n_matches
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            WHERE a.w = 'table' AND b.w = 'scan'
+            GROUP BY a.doc_id
         """,
         "part_skyline": """
             SELECT a.p_partkey,

@@ -257,3 +257,40 @@ def inverted_index(
     return hash_groupby(
         src.map_batches(term_doc, batch_format="pyarrow"), ["term"], build_postings
     )
+
+
+def phrase_match_counts(
+    ds: "ray.data.Dataset", phrase: tuple = ("table", "scan")
+) -> "ray.data.Dataset":
+    """Positional phrase matching: per-document count of ADJACENT
+    occurrences of the token sequence ``phrase`` in whitespace
+    tokenization — the primitive behind quoted-phrase search (a
+    positional inverted index replays exactly this adjacency check at
+    query time). Stateless vectorized map: tokens shift-compare inside
+    each document, docs with zero matches drop. Distinct phrase tokens
+    cannot overlap, so counts are unambiguous.
+    Returns ``(doc_id, n_matches)``."""
+
+    def count_phrase(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, counts = [], []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = np.asarray((text or "").split(), dtype=object)
+            if len(toks) < len(phrase):
+                continue
+            hit = toks[: len(toks) - len(phrase) + 1] == phrase[0]
+            for j, w in enumerate(phrase[1:], start=1):
+                hit &= toks[j: len(toks) - len(phrase) + 1 + j] == w
+            n = int(hit.sum())
+            if n:
+                ids.append(doc_id)
+                counts.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_matches": pa.array(counts, pa.int64())}
+        )
+
+    return ds.map_batches(count_phrase, batch_format="pyarrow")

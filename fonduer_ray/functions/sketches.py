@@ -968,3 +968,141 @@ def grouped_trimmed_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
+def grouped_mad(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    val_col: str = "value",
+    n_buckets: int = 65536,
+) -> "ray.data.Dataset":
+    """Median absolute deviation per group — the robust dispersion
+    companion to :func:`grouped_trimmed_stats`: ``mad = median(|x -
+    median(x)|)``, both medians EXACT under the engine's rank convention
+    ``rn = max(1, ceil(50*n/100))`` in integer cents.
+
+    Two chained :func:`grouped_percentiles` rank walks: the first yields
+    one median row per group (bounded by the GROUP_TARGET_LIMIT contract,
+    broadcast once), the second runs over the |x - med| deviations
+    computed in a stateless map. Nothing value-sized touches the driver.
+    Returns ``(group_col, median_value, mad_value)`` (cents / 100)."""
+    meds = grouped_percentiles(
+        ds, group_col, val_col, pcts=(50,), n_buckets=n_buckets
+    ).materialize()
+    med_map: dict = {}
+    for b in meds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for g, v in zip(b[group_col].to_pylist(), b["value"].to_pylist()):
+            med_map[g] = int(round(v * 100))
+    if not med_map:
+        g_field = ds.schema().base_schema.field(group_col)
+        return ray.data.from_arrow(
+            pa.table({group_col: pa.array([], g_field.type),
+                      "median_value": pa.array([], pa.float64()),
+                      "mad_value": pa.array([], pa.float64())})
+        )
+    med_ref = ray.put(med_map)
+
+    def deviations(t: pa.Table) -> pa.Table:
+        from fonduer_ray.stages.util import get_broadcast as _gb
+
+        med = _gb(med_ref)
+        gs = t[group_col].to_pylist()
+        cents = np.round(
+            t[val_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dev = np.abs(cents - np.asarray([med[g] for g in gs], dtype=np.int64))
+        return pa.table(
+            {group_col: t[group_col],
+             "value": pa.array(dev / 100.0, pa.float64())}
+        )
+
+    devs = ds.select_columns([group_col, val_col]).map_batches(
+        deviations, batch_format="pyarrow"
+    )
+    mads = grouped_percentiles(
+        devs, group_col, "value", pcts=(50,), n_buckets=n_buckets
+    )
+    # final assembly: one row per group (bounded, same contract as the
+    # med_map broadcast above)
+    mad_map: dict = {}
+    for b in mads.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for g, v in zip(b[group_col].to_pylist(), b["value"].to_pylist()):
+            mad_map[g] = v
+    groups = sorted(med_map)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(groups),
+                "median_value": pa.array(
+                    [med_map[g] / 100.0 for g in groups], pa.float64()
+                ),
+                "mad_value": pa.array(
+                    [mad_map[g] for g in groups], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def equi_depth_histogram(
+    ds: "ray.data.Dataset",
+    val_col: str = "value",
+    k: int = 10,
+    n_buckets: int = 65536,
+) -> "ray.data.Dataset":
+    """Equi-depth (equal-frequency) histogram: ``k`` buckets delimited by
+    the exact p(100/k)..p(100(k-1)/k) percentiles of ``val_col`` (the
+    :func:`exact_percentiles` rank walk), then ONE counting scan. Bucket
+    of a row = number of boundaries strictly below its cents value
+    (``searchsorted left``), so duplicate boundary values produce empty
+    middle buckets rather than ambiguity. Complements the equi-WIDTH
+    ``relational.value_histogram``. Returns ``(bucket, n)``."""
+    pcts = tuple((100 * i) // k for i in range(1, k))
+    bounds_ds = exact_percentiles(
+        ds, val_col=val_col, pcts=pcts, n_buckets=n_buckets
+    )
+    bounds = np.sort(
+        np.round(
+            bounds_ds.to_pandas()["value"].to_numpy() * 100.0
+        ).astype(np.int64)
+    )
+    if len(bounds) == 0:
+        return ray.data.from_arrow(
+            pa.table({"bucket": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        )
+    b_ref = ray.put(bounds)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        from fonduer_ray.stages.util import get_broadcast as _gb
+
+        bds = _gb(b_ref)
+        cents = np.round(
+            t[val_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        idx = np.searchsorted(bds, cents, side="left")
+        counts = np.bincount(idx, minlength=len(bds) + 1)
+        return pa.table(
+            {"bucket": pa.array(np.arange(len(counts), dtype=np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    # per-block partials are k-sized; the driver merge is O(blocks * k)
+    total = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for b in ds.select_columns([val_col]).map_batches(
+        bucket_counts, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.add.at(
+            total, b["bucket"].to_numpy(), b["n"].to_numpy()
+        )
+    keep = total > 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(len(total), dtype=np.int64)[keep]
+                ),
+                "n": pa.array(total[keep]),
+            }
+        )
+    )
