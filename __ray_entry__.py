@@ -1064,6 +1064,11 @@ _DRIVER_VERIFIED = frozenset(
         "packed_sequence_text", "decontaminate", "mixture_sample",
         "clean_corpus", "quality_filter", "repetition_stats", "pii_scan",
         "dedup_exact", "minhash_signatures",
+        # round 2 (CORRECTNESS_r02.json — green rows the r4 fold missed)
+        "embedding_dup_pairs", "embedding_dup_pairs_lsh",
+        "jaccard_dup_clusters", "knn_cosine", "knn_ivf",
+        "minhash_dedup_pairs", "ngram_jaccard_pairs", "simhash_dup_pairs",
+        "simhash_signatures",
     }
 )
 
