@@ -656,6 +656,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, group_col="event_type", key_col="event_id", n_per_group=3
         )
 
+    def weighted_sample_q(sf_dir: str):
+        import pyarrow.compute as _pc
+
+        ds = _sized(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        def wt(t: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "wt": _pc.cast(
+                        _pc.round(_pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return training.weighted_systematic_sample(
+            ds.map_batches(wt, batch_format="pyarrow"),
+            "o_orderkey",
+            "wt",
+            n_out=100,
+        )
+
     # -- graph analytics wrappers -------------------------------------------
     def graph_degrees_q(sf_dir: str):
         return graph.degrees(graph.purchase_edges(sf_dir))
@@ -838,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": relational.session_duration_stats,
         "value_cume_dist": relational.value_cume_dist,
         "max_concurrent_sessions": relational.max_concurrent_sessions,
+        "weighted_systematic_sample": weighted_sample_q,
         "grouped_mad": lambda sf: sketches.grouped_mad(
             _sized(sf, "events", ["event_type", "value"]), "event_type"
         ),
@@ -1021,6 +1045,7 @@ _NEW_IN_R5 = (
     "grouped_mad",
     "equi_depth_histogram",
     "phrase_match_counts",
+    "weighted_systematic_sample",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -3023,6 +3048,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dur_s AS DOUBLE) AS duration_s
             FROM r, (VALUES (50),(90),(99)) p(pct)
             WHERE rn = GREATEST(1, (pct * n + 99) // 100)
+        """,
+        "weighted_systematic_sample": """
+            WITH w AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS wt
+              FROM orders
+            ), c AS (
+              SELECT o_orderkey, wt,
+                     sum(wt) OVER (ORDER BY o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+              FROM w
+            ), t AS (SELECT sum(wt) AS total FROM w)
+            SELECT o_orderkey, wt
+            FROM c, t
+            WHERE (cum * 100) // total > ((cum - wt) * 100) // total
         """,
         "grouped_mad": """
             WITH s AS (

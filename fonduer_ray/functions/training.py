@@ -718,3 +718,49 @@ def stratified_sample(
         return t.select([group_col, key_col]).filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_systematic_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_col: str,
+    n_out: int = 100,
+) -> "ray.data.Dataset":
+    """Deterministic weight-proportional sampling (systematic / low-variance
+    resampling): walk the cumulative weight line in key order and keep a
+    row whenever its weight interval crosses one of ``n_out`` evenly
+    spaced strata — each row's selection probability is proportional to
+    its weight, rows heavier than one stratum are always kept, and the
+    result is a pure function of the data (no RNG; the mixture/stratified
+    samplers cover the hash-jittered variants).
+
+    Selection rule, exact in integers: keep row i iff
+    ``(cum_i * n_out) // total > ((cum_i - w_i) * n_out) // total`` where
+    ``cum`` is the inclusive prefix sum of ``weight_col`` in ``key_col``
+    order. One range shuffle (the prefix scan); the filter is stateless.
+    PRECONDITION: ``key_col`` unique, weights as non-negative int64.
+    Returns ``(key_col, weight_col)`` for the selected rows."""
+    from fonduer_ray.stages.util import ordered_prefix_sum
+
+    scanned = ordered_prefix_sum(
+        ds.select_columns([key_col, weight_col]), key_col, [weight_col]
+    ).materialize()
+    total = scanned.max(f"{weight_col}_cum") or 0
+    if total <= 0:
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        return ray.data.from_arrow(
+            pa.table({key_col: pa.array([], types[key_col]),
+                      weight_col: pa.array([], types[weight_col])})
+        )
+
+    def pick(t: pa.Table, _tot=int(total), _n=n_out) -> pa.Table:
+        cum = t[f"{weight_col}_cum"].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        keep = (cum * _n) // _tot > ((cum - w) * _n) // _tot
+        return pa.table(
+            {key_col: t[key_col].filter(pa.array(keep)),
+             weight_col: t[weight_col].filter(pa.array(keep))}
+        )
+
+    return scanned.map_batches(pick, batch_format="pyarrow")

@@ -94,3 +94,42 @@ def test_max_concurrent_sessions_brute(ray_session, sf_dir):
             best = (acc, ts)
     assert got["max_concurrent"].iloc[0] == best[0]
     assert got["at_epoch_us"].iloc[0] == best[1]
+
+
+def test_weighted_systematic_sample_brute(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from fonduer_ray.functions.training import weighted_systematic_sample
+
+    rng = np.random.default_rng(9)
+    keys = np.arange(400, dtype=np.int64)
+    w = rng.integers(0, 1000, 400).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "w": pa.array(w)})
+    ).repartition(5)
+    got = weighted_systematic_sample(ds, "k", "w", n_out=37).to_pandas()
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    keep = (cum * 37) // total > ((cum - w) * 37) // total
+    want = keys[keep]
+    assert got.sort_values("k")["k"].tolist() == want.tolist()
+    # selection count is ~n_out (a zero-weight row never selects; a heavy
+    # row can absorb several strata but still appears once)
+    assert 0 < len(got) <= 37
+
+
+def test_weighted_systematic_sample_heavy_row_always_kept(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from fonduer_ray.functions.training import weighted_systematic_sample
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "w": pa.array([1, 10_000, 1], pa.int64())})
+    )
+    got = weighted_systematic_sample(ds, "k", "w", n_out=10).to_pandas()
+    assert 2 in got["k"].tolist()
