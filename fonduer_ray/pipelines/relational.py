@@ -1938,15 +1938,16 @@ def fk_integrity_audit(
     ingest runs.
 
     Per edge the parent KEY SET builds from a per-block ``unique`` combine
-    + hash-partition distinct and broadcasts once (``ray.put``) for a
-    streaming NOT-IN count over the child — the anti-join count without
-    shuffling the child (guard: a parent beyond ``broadcast_limit``
-    flips to the hash-partition anti-join of ``_apply_canonical``, as
-    ``customers_without_orders`` documents). Each child table is scanned
-    once PER EDGE it participates in, keeping edges independent and
-    resumable. Columns: ``(fk, n_rows, n_orphans)`` sorted by fk."""
-    from fonduer_ray.stages.util import hash_groupby
-
+    (the stream reaching the driver is bounded by blocks x block-distinct,
+    and the merged sorted array by the parent size — which the broadcast
+    guard already bounds) and broadcasts once (``ray.put``) for a
+    vectorized searchsorted NOT-IN count over the child — the anti-join
+    count without shuffling the child (guard: a parent beyond
+    ``broadcast_limit`` flips to the hash-partition anti-join of
+    ``_apply_canonical``, as ``customers_without_orders`` documents).
+    Each child table is scanned once PER EDGE it participates in, keeping
+    edges independent and resumable. Columns: ``(fk, n_rows, n_orphans)``
+    sorted by fk."""
     rows: list[dict] = []
     for label, child, ckey, parent, pkey in FK_EDGES:
         parent_ds = _read(sf_dir, parent, [pkey])
@@ -1954,20 +1955,24 @@ def fk_integrity_audit(
         def block_distinct(t: pa.Table, _k=pkey) -> pa.Table:
             return pa.table({_k: pc.unique(t[_k])})
 
-        distinct = hash_groupby(
-            parent_ds.map_batches(block_distinct, batch_format="pyarrow"),
-            [pkey],
-            lambda df, _k=pkey: df.drop_duplicates([_k]),
-        )
-        keys: set = set()
-        for b in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            keys.update(int(k) for k in b[pkey].to_pylist())
+        chunks = [np.array([], dtype=np.int64)]
+        for b in parent_ds.map_batches(
+            block_distinct, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            chunks.append(
+                b[pkey].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        keys = np.unique(np.concatenate(chunks))  # sorted
         keys_ref = ray.put(keys)
 
         def count_partial(t: pa.Table, _k=ckey, _ref=keys_ref) -> pa.Table:
             have = get_broadcast(_ref)
-            vals = t[_k].to_pylist()
-            orphans = sum(1 for v in vals if int(v) not in have)
+            vals = t[_k].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(have):
+                idx = np.clip(np.searchsorted(have, vals), 0, len(have) - 1)
+                orphans = int((have[idx] != vals).sum())
+            else:
+                orphans = len(vals)
             return pa.table(
                 {
                     "n_rows": pa.array([len(vals)], pa.int64()),
