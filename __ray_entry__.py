@@ -990,6 +990,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": graph_triangles_q,
         "graph_khop": graph_khop_q,
         "graph_hits": lambda sf: graph.hits(graph.purchase_edges(sf), iters=3),
+        "graph_kcore": lambda sf: graph.kcore(
+            graph.part_cooccur_edges(sf), iters=4
+        ),
+        "graph_clustering": lambda sf: graph.local_clustering(
+            graph.part_cooccur_edges(sf)
+        ),
+        "graph_assortativity": lambda sf: graph.assortativity_terms(
+            graph.part_cooccur_edges(sf)
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3527,5 +3536,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(dist) AS BIGINT) AS dist
             FROM all_ GROUP BY node
+        """,
+        "graph_kcore": _graph.kcore_oracle_sql(_PART_COOCCUR_EDGES_SQL, iters=4),
+        "graph_clustering": f"""
+            WITH e AS ({_PART_COOCCUR_EDGES_SQL}),
+            d AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY node),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            m AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tc AS (SELECT node, count(*) AS n_triangles FROM m GROUP BY node)
+            SELECT d.node,
+                   CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges
+            FROM d LEFT JOIN tc ON tc.node = d.node
+        """,
+        "graph_assortativity": f"""
+            WITH e AS ({_PART_COOCCUR_EDGES_SQL}),
+            d AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY node)
+            SELECT count(*) AS m,
+                   CAST(sum(da.deg * db.deg) AS BIGINT) AS sum_prod,
+                   CAST(sum(da.deg + db.deg) AS BIGINT) AS sum_sum,
+                   CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+                     AS sum_sq
+            FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
         """,
     }

@@ -1273,3 +1273,357 @@ def khop(
             break
 
     return visited
+
+
+# -------------------------------------------------------------------- k-core
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    iters: int = 4,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
+) -> "ray.data.Dataset":
+    """Iterative H-index core-number computation over distinct undirected
+    ``(a < b)`` edges: ``c_0(v) = deg(v)``; ``c_{t+1}(v)`` = H-index of
+    the multiset of neighbor values ``{c_t(u) : u ~ v}`` (the largest h
+    such that at least h neighbors have value >= h). The sequence
+    decreases monotonically to the exact coreness (Lü et al., "The
+    H-index of a network node and its relation to degree and coreness",
+    Nature Comms 2016) — the classic peel algorithm is inherently
+    sequential, this fixpoint form is the distributable one. With fixed
+    ``iters`` the output is the exact t-th iterate; the DuckDB oracle
+    (:func:`kcore_oracle_sql`) replays the same rounds verbatim, and
+    ``tests/test_graph_extra.py`` checks convergence to the brute-force
+    peel. Returns ``(node, coreness)`` int64.
+
+    Scale shape: the doubled edge table is the loop-invariant big side,
+    materialized once. Per iteration the node-sized value state attaches
+    to edges via guarded broadcast (``ray.put`` once, ``np.searchsorted``
+    per block) below ``broadcast_limit`` nodes, else via the size-guarded
+    ``attach_lookup`` hash join. Each block then emits a PARTIAL
+    per-(node, value) histogram (H-index is not partial-mergeable over
+    raw values, but it IS a function of the neighbor-value histogram,
+    and histograms merge), so the per-iteration shuffle carries
+    O(distinct (node, value)) rows instead of O(edges). One
+    ``hash_groupby`` per iteration merges histograms and walks the
+    descending cumulative count: ``H = max over distinct v of
+    min(count(values >= v), v)``. No reference analog (fonduer stops at
+    the triple table); standard public algorithm."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    def double(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64()).combine_chunks()
+        b = t["b"].cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    doubled = edges.map_batches(double, batch_format="pyarrow").materialize()
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False).size().rename("v").reset_index()
+        return out.astype({"node": "int64", "v": "int64"})
+
+    state = hash_groupby(
+        doubled.map_batches(
+            lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        count_deg,
+    ).materialize()
+    n_nodes = state.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "coreness": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        """Per-block partial neighbor-value histogram (node, nv, cnt)."""
+        node = t["node"].to_numpy()
+        nv = t["nv"].to_numpy()
+        key = np.stack([node, nv], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq[:, 0], pa.int64()),
+                "nv": pa.array(uniq[:, 1], pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def h_from_hist(df: pd.DataFrame) -> pd.DataFrame:
+        """Merge histogram partials and compute per-node H-index from the
+        descending cumulative counts — fully vectorized: sort by
+        (node, -nv), cumulative count within node, H = max min(cum, nv)."""
+        if df.empty:
+            return pd.DataFrame({"node": [], "v": []}).astype("int64")
+        g = (
+            df.groupby(["node", "nv"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["node", "nv"], ascending=[True, False], kind="stable")
+        )
+        node = g["node"].to_numpy(dtype=np.int64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        nv = g["nv"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        cum = np.cumsum(cnt)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], np.diff(np.r_[starts, len(node)]))
+        within = cum - base  # count of neighbor values >= nv, per node
+        cand = np.minimum(within, nv)
+        h = np.maximum.reduceat(cand, starts)
+        return pd.DataFrame(
+            {"node": node[starts], "v": h.astype(np.int64)}
+        )
+
+    for _ in range(iters):
+        if n_nodes <= broadcast_limit:
+            tbl = pa.concat_tables(
+                [ray.get(r) for r in state.to_arrow_refs()]
+            )
+            order = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
+            tbl = tbl.take(order)
+            bcast = ray.put(
+                (
+                    tbl["node"].to_numpy().astype(np.int64),
+                    tbl["v"].to_numpy().astype(np.int64),
+                )
+            )
+
+            def attach(t: pa.Table, _b=bcast) -> pa.Table:
+                nodes_arr, vals = get_broadcast(_b)
+                dst = t["dst"].to_numpy()
+                return pa.table(
+                    {
+                        "node": t["src"],
+                        "nv": pa.array(
+                            vals[np.searchsorted(nodes_arr, dst)], pa.int64()
+                        ),
+                    }
+                )
+
+            carried = doubled.map_batches(attach, batch_format="pyarrow")
+        else:
+            carried = attach_lookup(
+                doubled, state, "dst", "node", "v"
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["src"].cast(pa.int64()),
+                        "nv": t["v"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        state = hash_groupby(
+            carried.map_batches(hist_partial, batch_format="pyarrow"),
+            ["node"],
+            h_from_hist,
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "coreness": t["v"]}),
+        batch_format="pyarrow",
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, iters: int = 4) -> str:
+    """Unrolled DuckDB re-derivation of :func:`kcore` — identical integer
+    semantics, one (neighbor-join, H-index window) CTE pair per
+    iteration. ``edges_cte`` must select distinct undirected (a, b) with
+    a < b."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        "de AS (SELECT a AS src, b AS dst FROM e"
+        " UNION ALL SELECT b, a FROM e),",
+        "c0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS v"
+        " FROM de GROUP BY src),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"nb{i} AS (SELECT de.src AS node, p.v AS nv"
+            f" FROM de JOIN c{i - 1} p ON p.node = de.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node, nv, row_number() OVER"
+            f" (PARTITION BY node ORDER BY nv DESC) AS rn FROM nb{i}),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT node, CAST(max(LEAST(rn, nv)) AS BIGINT) AS v"
+            f" FROM r{i} GROUP BY node)" + ("," if i < iters else "")
+        )
+    parts.append(f"SELECT node, v AS coreness FROM c{iters}")
+    return "\n".join(parts)
+
+
+# ------------------------------------------------- local clustering / mixing
+
+
+def local_clustering(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, n_triangles, n_wedges) for every node of an undirected
+    graph given as distinct (a < b) edges — the exact-integer numerator
+    and denominator of the local clustering coefficient
+    ``C(v) = n_triangles / n_wedges`` (wedges = deg*(deg-1)/2). Kept as
+    two int64 columns so the distributed result is value-checkable
+    bit-exactly (a float ratio is not, across reduction orders).
+
+    Composition of the existing primitives: :func:`triangle_counts`
+    (degree-ordered wedge semi-join) and the undirected degree count,
+    merged by ONE union + hash_groupby sum (no join)."""
+    edges = edges.materialize()
+    tri = triangle_counts(edges)
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64()).combine_chunks()
+        b = t["b"].cast(pa.int64()).combine_chunks()
+        n = len(t)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "n_triangles": pa.array(np.zeros(2 * n, dtype=np.int64)),
+                "deg": pa.array(np.ones(2 * n, dtype=np.int64)),
+            }
+        )
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "n_triangles": t["n_triangles"].cast(pa.int64()),
+                "deg": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    both = edges.map_batches(deg_rows, batch_format="pyarrow").union(
+        tri.map_batches(tri_rows, batch_format="pyarrow")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("node", sort=False)[["n_triangles", "deg"]]
+            .sum()
+            .reset_index()
+        )
+        d = g["deg"].to_numpy(dtype=np.int64)
+        g["n_wedges"] = d * (d - 1) // 2
+        return g[["node", "n_triangles", "n_wedges"]].astype("int64")
+
+    return hash_groupby(both, ["node"], finish)
+
+
+def assortativity_terms(
+    edges: "ray.data.Dataset",
+    broadcast_limit: int = DEG_BROADCAST_NODE_LIMIT,
+) -> "ray.data.Dataset":
+    """One-row exact-integer sufficient statistics of the degree
+    assortativity coefficient (Newman 2002) over distinct undirected
+    (a < b) edges: ``m`` (edge count), ``sum_prod`` = Σ da·db,
+    ``sum_sum`` = Σ (da+db), ``sum_sq`` = Σ (da²+db²). The float Pearson
+    r = (4m·sum_prod − sum_sum²) / (2m·sum_sq − sum_sum²) derives on the
+    driver; keeping the terms integral makes the distributed result
+    bit-identical to the oracle.
+
+    Degrees attach to both endpoints via guarded broadcast (node-sized
+    map shipped once) below ``broadcast_limit`` nodes, else via two
+    size-guarded ``attach_lookup`` hash joins; the four sums reduce
+    through per-block partials + ``Dataset.sum`` (scalar driver
+    result)."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    edges = edges.materialize()
+
+    def to_ends(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64()).combine_chunks()
+        b = t["b"].cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False).size().rename("deg").reset_index()
+        return out.astype({"node": "int64", "deg": "int64"})
+
+    deg = hash_groupby(
+        edges.map_batches(to_ends, batch_format="pyarrow"), ["node"], count_deg
+    ).materialize()
+
+    if deg.count() <= broadcast_limit:
+        tbl = pa.concat_tables([ray.get(r) for r in deg.to_arrow_refs()])
+        order = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
+        tbl = tbl.take(order)
+        bcast = ray.put(
+            (
+                tbl["node"].to_numpy().astype(np.int64),
+                tbl["deg"].to_numpy().astype(np.int64),
+            )
+        )
+
+        def attach(t: pa.Table, _b=bcast) -> pa.Table:
+            nodes_arr, degs = get_broadcast(_b)
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            da = degs[np.searchsorted(nodes_arr, a)]
+            db = degs[np.searchsorted(nodes_arr, b)]
+            return pa.table(
+                {
+                    "da": pa.array(da, pa.int64()),
+                    "db": pa.array(db, pa.int64()),
+                }
+            )
+
+        attached = edges.map_batches(attach, batch_format="pyarrow")
+    else:
+        withe_a = attach_lookup(edges, deg, "a", "node", "deg").map_batches(
+            lambda t: pa.table(
+                {"a": t["a"], "b": t["b"], "da": t["deg"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        attached = attach_lookup(
+            withe_a,
+            deg.map_batches(
+                lambda t: pa.table({"node": t["node"], "degb": t["deg"]}),
+                batch_format="pyarrow",
+            ),
+            "b",
+            "node",
+            "degb",
+        ).map_batches(
+            lambda t: pa.table(
+                {"da": t["da"].cast(pa.int64()), "db": t["degb"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        da = t["da"].to_numpy().astype(np.int64)
+        db = t["db"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([np.int64(len(da))]),
+                "sum_prod": pa.array([np.int64((da * db).sum())]),
+                "sum_sum": pa.array([np.int64((da + db).sum())]),
+                "sum_sq": pa.array([np.int64((da * da + db * db).sum())]),
+            }
+        )
+
+    sums = attached.map_batches(partial, batch_format="pyarrow")
+    tot = sums.sum(["m", "sum_prod", "sum_sum", "sum_sq"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m": pa.array([int(tot["sum(m)"])], pa.int64()),
+                "sum_prod": pa.array([int(tot["sum(sum_prod)"])], pa.int64()),
+                "sum_sum": pa.array([int(tot["sum(sum_sum)"])], pa.int64()),
+                "sum_sq": pa.array([int(tot["sum(sum_sq)"])], pa.int64()),
+            }
+        )
+    )

@@ -322,3 +322,131 @@ def test_hits_bipartite_roles():
     assert all(m[n][1] == 0 for n in (1, 2, 3))
     assert all(m[n][0] == 0 for n in (10, 11, 12))
     assert max((m[n][1], n) for n in (10, 11, 12))[1] == 10
+
+
+# ------------------------------------------------------------------- k-core
+
+
+def _peel_core_numbers(pairs):
+    """Brute-force coreness: repeatedly remove the min-degree node."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[int, int] = {}
+    k = 0
+    live = dict(adj)
+    while live:
+        v = min(live, key=lambda n: (len(live[n]), n))
+        k = max(k, len(live[v]))
+        core[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+        del live[v]
+    return core
+
+
+def test_kcore_converges_to_peel(undirected):
+    # enough iterations to hit the fixpoint on a 30-node graph
+    got = (
+        G.kcore(_edges_ds(undirected, cols=("a", "b")), iters=30)
+        .to_pandas()
+        .set_index("node")["coreness"]
+        .to_dict()
+    )
+    assert got == _peel_core_numbers(undirected)
+
+
+def test_kcore_first_iterate_is_hindex_of_degrees(undirected):
+    deg: dict[int, int] = {}
+    adj: dict[int, set[int]] = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ns) for n, ns in adj.items()}
+
+    def hindex(vals):
+        vals = sorted(vals, reverse=True)
+        return max(min(i + 1, v) for i, v in enumerate(vals))
+
+    want = {n: hindex([deg[u] for u in ns]) for n, ns in adj.items()}
+    got = (
+        G.kcore(_edges_ds(undirected, cols=("a", "b")), iters=1)
+        .to_pandas()
+        .set_index("node")["coreness"]
+        .to_dict()
+    )
+    assert got == want
+
+
+def test_kcore_paths_bit_identical(undirected):
+    ds = _edges_ds(undirected, cols=("a", "b"))
+    fast = G.kcore(ds, iters=3).to_pandas().sort_values("node", ignore_index=True)
+    slow = G.kcore(ds, iters=3, broadcast_limit=0).to_pandas().sort_values(
+        "node", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_kcore_star_is_one_core():
+    # star K_{1,n}: every node has coreness 1
+    pairs = [(0, i) for i in range(1, 12)]
+    got = (
+        G.kcore(_edges_ds(pairs, cols=("a", "b")), iters=10)
+        .to_pandas()["coreness"]
+        .unique()
+        .tolist()
+    )
+    assert got == [1]
+
+
+# -------------------------------------------------- clustering / assortativity
+
+
+def test_local_clustering_brute(undirected):
+    got = (
+        G.local_clustering(_edges_ds(undirected, cols=("a", "b")))
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for n in sorted(adj):
+        ns = adj[n]
+        tri = sum(
+            1
+            for u in ns
+            for v in ns
+            if u < v and v in adj[u]
+        )
+        d = len(ns)
+        rows.append((n, tri, d * (d - 1) // 2))
+    want = pd.DataFrame(rows, columns=["node", "n_triangles", "n_wedges"]).astype(
+        "int64"
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_assortativity_terms_brute(undirected):
+    got = G.assortativity_terms(_edges_ds(undirected, cols=("a", "b"))).to_pandas()
+    deg: dict[int, int] = {}
+    for a, b in undirected:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(undirected)
+    sp = sum(deg[a] * deg[b] for a, b in undirected)
+    ss = sum(deg[a] + deg[b] for a, b in undirected)
+    sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in undirected)
+    assert got.iloc[0].to_dict() == {
+        "m": m, "sum_prod": sp, "sum_sum": ss, "sum_sq": sq
+    }
+
+
+def test_assortativity_paths_bit_identical(undirected):
+    ds = _edges_ds(undirected, cols=("a", "b"))
+    fast = G.assortativity_terms(ds).to_pandas()
+    slow = G.assortativity_terms(ds, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow)
