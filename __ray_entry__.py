@@ -999,6 +999,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": lambda sf: graph.assortativity_terms(
             graph.part_cooccur_edges(sf)
         ),
+        "token_zipf_stats": lambda sf: textstats.token_zipf_stats(
+            _sized(sf, "documents", ["lang", "text"])
+        ),
+        "host_reciprocity": docops.host_reciprocity,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3570,5 +3574,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
                      AS sum_sq
             FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+        """,
+        "token_zipf_stats": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text,' ')) AS token
+              FROM documents
+            ),
+            tc AS (
+              SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+            )
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax,
+                   CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dis,
+                   CAST(max(n) AS BIGINT) AS max_freq
+            FROM tc GROUP BY lang
+        """,
+        # closed-form fixture replay: doc i lives on host src{i % 20} and
+        # links to docs (7i + k) % N (see docops._linked_pages)
+        "host_reciprocity": """
+            WITH links AS (
+              SELECT d.doc_id, (7 * d.doc_id + k.k)
+                       % (SELECT count(*) FROM documents) AS tgt
+              FROM documents d, (VALUES (1),(2),(3)) k(k)
+              WHERE k.k <= 1 + d.doc_id % 3
+            ),
+            he AS (
+              SELECT DISTINCT
+                'www.src' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com' AS src_host,
+                'www.src' || CAST(tgt % 20 AS VARCHAR)
+                  || '.example.com' AS dst_host
+              FROM links
+              WHERE doc_id % 20 != tgt % 20
+            )
+            SELECT e.src_host AS host,
+                   count(*) AS n_out,
+                   CAST(sum(CASE WHEN r.src_host IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_reciprocal
+            FROM he e LEFT JOIN he r
+              ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+            GROUP BY e.src_host
         """,
     }

@@ -727,3 +727,82 @@ def pmi_collocations(
         .sort(["score", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def token_zipf_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-language Zipf-tail vocabulary report: ``(lang, n_tokens,
+    vocab, hapax, dis, max_freq)`` — total token instances, distinct
+    tokens, hapax/dis legomena (frequency-1 / frequency-2 tokens, the
+    classic Zipf-tail mass every vocab-size and OOV-rate decision reads),
+    and the head frequency. Whitespace tokenization, matching the
+    ``string_split(text, ' ')`` oracle convention of
+    :func:`vocab_topk` / :func:`lm_unigram_score`.
+
+    Scale shape: per-block (lang, token) Counter partials shrink the
+    first shuffle to distinct tokens per block; ONE (lang, token)-keyed
+    ``hash_groupby`` sums exact frequencies and collapses each partition
+    to per-lang PARTIAL tail stats (a (lang, token) group lives wholly in
+    one partition, and vocab/hapax/dis/n_tokens are sums over tokens,
+    max_freq a max — all mergeable); the second ``hash_groupby`` merges
+    #langs-sized rows. Token rows never land on the driver."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for t in (text or "").split():
+                key = (lang, t)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in counts], pa.string()),
+                "token": pa.array([k[1] for k in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def lang_partials(df: pd.DataFrame) -> pd.DataFrame:
+        tc = (
+            df.groupby(["lang", "token"], sort=False)["n"].sum().reset_index()
+        )
+        n = tc["n"]
+        return (
+            tc.assign(hapax=(n == 1).astype("int64"),
+                      dis=(n == 2).astype("int64"))
+            .groupby("lang", sort=False)
+            .agg(
+                n_tokens=("n", "sum"),
+                vocab=("n", "size"),
+                hapax=("hapax", "sum"),
+                dis=("dis", "sum"),
+                max_freq=("n", "max"),
+            )
+            .reset_index()
+        )
+
+    partials = hash_groupby(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        lang_partials,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("lang", sort=False)
+            .agg(
+                n_tokens=("n_tokens", "sum"),
+                vocab=("vocab", "sum"),
+                hapax=("hapax", "sum"),
+                dis=("dis", "sum"),
+                max_freq=("max_freq", "max"),
+            )
+            .reset_index()
+        )
+
+    return hash_groupby(partials, ["lang"], merge)

@@ -1619,6 +1619,94 @@ def host_inlink_counts(sf_dir: str) -> "ray.data.Dataset":
     return hash_groupby(links, ["dst_host"], agg)
 
 
+def host_reciprocity(sf_dir: str) -> "ray.data.Dataset":
+    """(host, n_out, n_reciprocal) — link-reciprocity report over the
+    DISTINCT directed host graph (self-loops excluded): for every host,
+    its out-neighbor count and how many of those out-neighbors link
+    back. Reciprocity is the standard directed-web-graph mixing metric
+    (mutual links separate navigational site pairs from one-way citation
+    flows); kept as two exact int64 columns so the distributed result
+    hashes bit-for-bit against the closed-form oracle.
+
+    Shape: links flow through the REAL html link extraction + URL
+    canonicalization (``link_graph_stats``); the source host is the
+    fixture's deterministic host assignment (doc i lives on
+    ``www.src{i % 20}.example.com`` — same closed form the oracle uses).
+    One hash_groupby dedups directed host edges, one groups each
+    undirected pair ``(lo, hi)`` to flag mutual presence (both directions
+    of a pair land in the same partition, so the reciprocity test is
+    local), one sums per host. Nothing touches the driver."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    links = link_graph_stats(sf_dir).select_columns(["doc_id", "dst_host"])
+
+    def to_host_edges(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "src_host": pa.array(
+                    [f"www.src{d % 20}.example.com" for d in doc], pa.string()
+                ),
+                "dst_host": t["dst_host"],
+            }
+        )
+
+    edges = hash_groupby(
+        links.map_batches(to_host_edges, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        lambda df: df[df["src_host"] != df["dst_host"]].drop_duplicates(
+            ignore_index=True
+        ),
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["src_host"]
+        d = t["dst_host"]
+        fwd = pc.less(s, d)
+        return pa.table(
+            {
+                "lo": pc.if_else(fwd, s, d),
+                "hi": pc.if_else(fwd, d, s),
+                "is_fwd": fwd,
+            }
+        )
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        # a (lo, hi) group holds at most one row per direction (edges are
+        # distinct), so count == 2 means the pair is mutual
+        g = df.groupby(["lo", "hi"], sort=False)["is_fwd"].agg(
+            ["any", "count"]
+        )
+        has_fwd = g["any"].to_numpy()
+        both = g["count"].to_numpy() == 2
+        lo = g.index.get_level_values("lo")
+        hi = g.index.get_level_values("hi")
+        rows = []
+        for l_, h_, f_, b_ in zip(lo, hi, has_fwd, both):
+            if b_ or f_:
+                rows.append((l_, 1, 1 if b_ else 0))
+            if b_ or not f_:
+                rows.append((h_, 1, 1 if b_ else 0))
+        return pd.DataFrame(
+            rows, columns=["host", "n_out", "n_reciprocal"]
+        ).astype({"n_out": "int64", "n_reciprocal": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("host", sort=False)[["n_out", "n_reciprocal"]]
+            .sum()
+            .reset_index()
+        )
+
+    pairs = edges.map_batches(to_pairs, batch_format="pyarrow")
+    per_edge = hash_groupby(pairs, ["lo", "hi"], mutual)
+    return hash_groupby(per_edge, ["host"], finish)
+
+
 def anchor_alias_stats(sf_dir: str) -> "ray.data.Dataset":
     """(canonical_url, n_mentions, n_aliases, top_anchor) — the KG
     entity-alias aggregate (``weburl.anchor_aliases``) over the

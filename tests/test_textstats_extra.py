@@ -236,3 +236,55 @@ def test_pmi_collocations_matches_brute(docs_ds):
         ),
     )
     assert [(w1, w2) for w1, w2, _, _ in want[:10]] == float_rank[:10]
+
+
+def test_token_zipf_stats_brute(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from fonduer_ray.functions.textstats import token_zipf_stats
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "en"],
+            "text": [
+                "a b b c c c",
+                "a d",
+                "x y x",
+                "",
+                "e",
+            ],
+        }
+    )
+    got = (
+        token_zipf_stats(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    rows = []
+    for lang in ["de", "en"]:
+        c = collections.Counter(
+            t
+            for txt, lg in zip(docs["text"], docs["lang"])
+            if lg == lang
+            for t in txt.split()
+        )
+        rows.append(
+            (
+                lang,
+                sum(c.values()),
+                len(c),
+                sum(1 for v in c.values() if v == 1),
+                sum(1 for v in c.values() if v == 2),
+                max(c.values()),
+            )
+        )
+    want = pd.DataFrame(
+        rows,
+        columns=["lang", "n_tokens", "vocab", "hapax", "dis", "max_freq"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in want.columns[1:]}), want
+    )

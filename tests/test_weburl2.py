@@ -229,3 +229,55 @@ def test_resolve_redirects_star_skew(ray_session):
         }
         for i in range(n)
     )
+
+
+def test_host_reciprocity_brute(ray_session, tmp_path):
+    """Replay the linked-web fixture closed form in pure Python and check
+    the full per-host reciprocity report."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.pipelines.docops import host_reciprocity
+
+    n = 60
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["page"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([4] * n, pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    got = (
+        host_reciprocity(str(tmp_path))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+
+    edges = set()
+    for i in range(n):
+        for k in range(1, 2 + i % 3):
+            t = (7 * i + k) % n
+            if i % 20 != t % 20:
+                edges.add((i % 20, t % 20))
+    rows = []
+    for h in sorted({e[0] for e in edges}):
+        out = [d for (s, d) in edges if s == h]
+        rows.append(
+            (
+                f"www.src{h}.example.com",
+                len(out),
+                sum(1 for d in out if (d, h) in edges),
+            )
+        )
+    want = (
+        pd.DataFrame(rows, columns=["host", "n_out", "n_reciprocal"])
+        .sort_values("host", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_out": "int64", "n_reciprocal": "int64"}), want
+    )
