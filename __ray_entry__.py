@@ -1003,6 +1003,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sized(sf, "documents", ["lang", "text"])
         ),
         "host_reciprocity": docops.host_reciprocity,
+        "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
+            _sized(sf, "part", ["p_partkey", "p_name"]),
+            key_col="p_name",
+            id_col="p_partkey",
+            window=4,
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3618,5 +3624,14 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        "snm_candidate_pairs": """
+            WITH r AS (
+              SELECT p_partkey AS id,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+              FROM part
+            )
+            SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
         """,
     }

@@ -1564,3 +1564,114 @@ def edit1_pairs(
         lambda df: df.drop_duplicates(["name_a", "name_b"]),
     )
     return uniq.sort(["name_a", "name_b"])
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    window: int = 4,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort
+    all records by ``(key_col, id_col)`` and emit every candidate pair
+    whose global ranks are within ``window`` of each other —
+    ``(id1, id2, gap)`` with ``gap`` in ``[1, window-1]``, ``id1`` the
+    lower-ranked record. The standard O(n·w) alternative to O(n²)
+    all-pairs for entity-resolution candidate generation; downstream
+    verifiers (``edit1_pairs``-style) prune to true matches.
+
+    Scale shape: ONE range shuffle (``Dataset.sort``) orders the records;
+    per-block row counts reduce to the driver (O(#blocks), never O(rows))
+    and come back as broadcast exclusive rank offsets keyed by each
+    block's first ``(key, id)`` — sort keys are unique by construction,
+    so block boundaries cannot split a key. Pair generation is then one
+    rank-keyed ``hash_groupby``: each record probes the ``window-1``
+    ranks above it, probe and target meet in the target-rank group
+    (groups hold ≤ window rows). No driver-side pair set, no all-pairs
+    materialization."""
+    import pandas as pd
+
+    src = ds.select_columns([key_col, id_col])
+    base = src.sort([key_col, id_col]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.string()),
+                    "i": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "k": pa.array([str(t[key_col][0].as_py())], pa.string()),
+                "i": pa.array([int(t[id_col][0].as_py())], pa.int64()),
+                "n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    metas = []
+    for b in base.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        metas.extend(
+            zip(b["k"].to_pylist(), b["i"].to_pylist(), b["n"].to_pylist())
+        )
+    metas.sort()
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for k, i, n in metas:
+        offsets[(k, i)] = acc
+        acc += n
+    off_ref = ray.put(offsets)
+
+    role_schema = pa.schema(
+        [
+            ("rk", pa.int64()),
+            ("role", pa.int32()),
+            ("rid", pa.int64()),
+            ("gap", pa.int64()),
+        ]
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return role_schema.empty_table()
+        off = get_broadcast(off_ref)[
+            (str(t[key_col][0].as_py()), int(t[id_col][0].as_py()))
+        ]
+        rk = off + np.arange(len(t), dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # role 0: the record itself at its own rank; role 1: a probe at
+        # each of the window-1 ranks above it, carrying the gap
+        parts_rk = [rk]
+        parts_role = [np.zeros(len(t), dtype=np.int32)]
+        parts_id = [ids]
+        parts_gap = [np.zeros(len(t), dtype=np.int64)]
+        for j in range(1, window):
+            parts_rk.append(rk + j)
+            parts_role.append(np.ones(len(t), dtype=np.int32))
+            parts_id.append(ids)
+            parts_gap.append(np.full(len(t), j, dtype=np.int64))
+        return pa.table(
+            {
+                "rk": pa.array(np.concatenate(parts_rk)),
+                "role": pa.array(np.concatenate(parts_role)),
+                "rid": pa.array(np.concatenate(parts_id)),
+                "gap": pa.array(np.concatenate(parts_gap)),
+            },
+            schema=role_schema,
+        )
+
+    tagged = base.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+    def close_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = df[df["role"] == 0][["rk", "rid"]].rename(columns={"rid": "id2"})
+        probe = df[df["role"] == 1][["rk", "rid", "gap"]].rename(
+            columns={"rid": "id1"}
+        )
+        m = probe.merge(tgt, on="rk")
+        return m[["id1", "id2", "gap"]].astype("int64")
+
+    return hash_groupby(tagged, ["rk"], close_pairs)

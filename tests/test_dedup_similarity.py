@@ -368,3 +368,32 @@ def test_edit1_pairs_matches_brute(ray_session):
     for i, a in enumerate(uniq):
         for b in uniq[i + 1:]:
             assert _lev_eq1(a, b) == (lev(a, b) == 1), (a, b)
+
+
+def test_sorted_neighborhood_pairs_brute(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fonduer_ray.functions.dedup import sorted_neighborhood_pairs
+
+    rng = __import__("numpy").random.default_rng(3)
+    keys = ["".join(rng.choice(list("abcd"), 3)) for _ in range(40)]
+    df = pd.DataFrame({"k": keys, "i": range(40)})
+    got = (
+        sorted_neighborhood_pairs(
+            ray.data.from_pandas(df).repartition(5), "k", "i", window=3
+        )
+        .to_pandas()
+        .sort_values(["id1", "id2"], ignore_index=True)
+    )
+    order = sorted(range(40), key=lambda j: (keys[j], j))
+    want = pd.DataFrame(
+        [
+            (order[a], order[a + g], g)
+            for a in range(40)
+            for g in (1, 2)
+            if a + g < 40
+        ],
+        columns=["id1", "id2", "gap"],
+    ).sort_values(["id1", "id2"], ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
