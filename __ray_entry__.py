@@ -701,7 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph.components(graph.part_cooccur_edges(sf_dir))
 
     def graph_triangles_q(sf_dir: str):
-        return graph.triangle_counts(graph.part_cooccur_edges(sf_dir))
+        return graph.triangle_counts_cached(sf_dir)
 
     def graph_khop_q(sf_dir: str):
         seed = _sized(sf_dir, "orders", ["o_custkey"]).min("o_custkey")
@@ -994,7 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             graph.part_cooccur_edges(sf), iters=4
         ),
         "graph_clustering": lambda sf: graph.local_clustering(
-            graph.part_cooccur_edges(sf)
+            graph.part_cooccur_edges(sf), tri=graph.triangle_counts_cached(sf)
         ),
         "graph_assortativity": lambda sf: graph.assortativity_terms(
             graph.part_cooccur_edges(sf)
