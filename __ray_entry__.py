@@ -1003,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sized(sf, "documents", ["lang", "text"])
         ),
         "host_reciprocity": docops.host_reciprocity,
+        "event_type_trigrams": relational.event_type_trigrams,
+        "tiff_meta_stats": docops.tiff_meta_stats,
         "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
             _sized(sf, "part", ["p_partkey", "p_name"]),
             key_col="p_name",
@@ -3624,6 +3626,33 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        # closed-form TIFF fixture replay (see docops._TiffStatsStage):
+        # w = 16+(id%5)*4, split a=id%256 / b=(id*11)%256 at w//2
+        "tiff_meta_stats": """
+            SELECT doc_id,
+                   CAST(16 + (doc_id % 5) * 4 AS BIGINT) AS width,
+                   CAST(12 + (doc_id % 3) * 4 AS BIGINT) AS height,
+                   CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS BIGINT)
+                     AS spp,
+                   CAST(((doc_id % 256) * ((16 + (doc_id % 5) * 4) // 2)
+                         + ((doc_id * 11) % 256)
+                           * ((16 + (doc_id % 5) * 4)
+                              - (16 + (doc_id % 5) * 4) // 2))
+                        // (16 + (doc_id % 5) * 4) AS BIGINT) AS mean_first
+            FROM documents
+        """,
+        "event_type_trigrams": """
+            WITH o AS (
+              SELECT user_id, event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1, t2, t3, count(*) AS n
+            FROM o WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
         """,
         "snm_candidate_pairs": """
             WITH r AS (

@@ -1956,6 +1956,73 @@ class _GifStatsStage:
         )
 
 
+class _TiffStatsStage:
+    """Deterministic TIFF fixture -> real encode -> IFD walk -> decode ->
+    closed-form stats. Each doc_id derives a ``1 + id%3``-page baseline
+    TIFF (little-endian when id is even, big-endian otherwise —
+    exercising both byte orders): page 0 is ``16+(id%5)*4 x
+    12+(id%3)*4``, RGB when ``id%4 == 0`` (whose 3-count BitsPerSample
+    does NOT fit inline, exercising the offset-value path) else
+    grayscale, split vertically into ``a = id%256`` (left w//2 cols) and
+    ``b = (id*11)%256``; later pages are solid ``b``. The truncated
+    pixel mean is ``(a*(w//2) + b*(w-w//2)) // w`` — SQL-expressible.
+    Encode + parse + decode run inside the stage (one pass, no payload
+    shuffle)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fonduer_ray.functions.tiff import (
+            tiff_decode_page,
+            tiff_encode,
+            tiff_parse,
+        )
+
+        ids, ws, hs, np_, spp_, means = [], [], [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            w = 16 + (doc_id % 5) * 4
+            h = 12 + (doc_id % 3) * 4
+            a, b = doc_id % 256, (doc_id * 11) % 256
+            rgb = doc_id % 4 == 0
+            shape = (h, w, 3) if rgb else (h, w)
+            first = np.full(shape, b, dtype=np.uint8)
+            first[:, : w // 2] = a
+            pages = [first] + [
+                np.full(shape, b, dtype=np.uint8)
+                for _ in range(doc_id % 3)
+            ]
+            data = tiff_encode(pages, little_endian=(doc_id % 2 == 0))
+            meta = tiff_parse(data)
+            img = tiff_decode_page(meta, data, 0)
+            ids.append(doc_id)
+            ws.append(meta["pages"][0]["width"])
+            hs.append(meta["pages"][0]["height"])
+            np_.append(meta["n_pages"])
+            spp_.append(meta["pages"][0]["samples_per_pixel"])
+            means.append(int(img.sum()) // img.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_pages": pa.array(np_, pa.int64()),
+                "spp": pa.array(spp_, pa.int64()),
+                "mean_first": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def tiff_meta_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, width, height, n_pages, spp, mean_first) through the real
+    TIFF 6.0 encode -> IFD walk -> strip decode path
+    (``functions/tiff.py``), oracle-checked in closed form against the
+    doc_id-derived fixture parameters."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return map_stage(ds, _TiffStatsStage, {}, 64)
+
+
 def gif_decode_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, width, height, n_gif_frames, mean_first) through the real
     GIF LZW encode->decode path (``functions/gif.py``), oracle-checked in

@@ -1611,6 +1611,44 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def event_type_trigrams(sf_dir: str) -> "ray.data.Dataset":
+    """Second-order sequential pattern counts: for each user's events
+    ordered by (ts, event_id), count every run of THREE consecutive
+    event types — the length-3 behavioral n-gram report that funnels and
+    Markov chains summarize away (``(t1, t2, t3, n)``). Same shape as
+    :func:`event_transitions`: ONE user-keyed hash shuffle, vectorized
+    double shift inside the partition, enum-cubed-sized rollup."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    from fonduer_ray.stages.util import hash_groupby
+
+    def trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        same1 = df["user_id"].shift(-1) == df["user_id"]
+        same2 = df["user_id"].shift(-2) == df["user_id"]
+        out = pd.DataFrame(
+            {
+                "t1": df["event_type"],
+                "t2": df["event_type"].shift(-1),
+                "t3": df["event_type"].shift(-2),
+            }
+        )[same1 & same2]
+        return (
+            out.groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    per_user = hash_groupby(ds, ["user_id"], trigrams)
+    return hash_groupby(
+        per_user,
+        ["t1", "t2", "t3"],
+        lambda df: df.groupby(["t1", "t2", "t3"], sort=False)["n"]
+        .sum()
+        .reset_index(),
+    )
+
+
 def returned_item_report(
     sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
 ) -> "ray.data.Dataset":

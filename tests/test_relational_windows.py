@@ -169,3 +169,43 @@ def test_session_duration_stats_matches_brute(tmp_path, ray_session):
     for pct in (50, 90, 99):
         want = float(durs[max(1, math.ceil(pct * n / 100)) - 1])
         assert got[pct] == want, (pct, got, durs)
+
+
+def test_event_type_trigrams_brute(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.pipelines.relational import event_type_trigrams
+
+    rng = __import__("numpy").random.default_rng(9)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": rng.integers(0, 8, n),
+            "event_type": rng.choice(list("abc"), n),
+            "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    got = (
+        event_type_trigrams(str(tmp_path))
+        .to_pandas()
+        .sort_values(["t1", "t2", "t3"], ignore_index=True)
+    )
+    want: dict[tuple, int] = {}
+    for _, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ev = g["event_type"].tolist()
+        for i in range(len(ev) - 2):
+            want[tuple(ev[i : i + 3])] = want.get(tuple(ev[i : i + 3]), 0) + 1
+    want_df = (
+        pd.DataFrame(
+            [(a, b, c, v) for (a, b, c), v in want.items()],
+            columns=["t1", "t2", "t3", "n"],
+        )
+        .sort_values(["t1", "t2", "t3"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), want_df.astype({"n": "int64"}))
