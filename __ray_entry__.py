@@ -1005,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": docops.host_reciprocity,
         "event_type_trigrams": relational.event_type_trigrams,
         "tiff_meta_stats": docops.tiff_meta_stats,
+        "registered_domain_rollup": docops.registered_domain_rollup,
         "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
             _sized(sf, "part", ["p_partkey", "p_name"]),
             key_col="p_name",
@@ -3626,6 +3627,28 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        # closed-form PSL replay (see docops.registered_domain_rollup):
+        # wildcard *.ck keeps all three labels, exception !www.ck
+        # collapses to www.ck, plain suffixes keep b{i%3}.<suffix>
+        "registered_domain_rollup": """
+            WITH h AS (
+              SELECT CASE
+                WHEN doc_id % 6 = 5 THEN
+                  CASE WHEN doc_id % 12 = 11 THEN 'www.ck'
+                       ELSE 'a' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.b' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+                  END
+                ELSE 'b' || CAST(doc_id % 3 AS VARCHAR) || '.' ||
+                  CASE doc_id % 6
+                    WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                    WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+                    ELSE 'com.au' END
+              END AS rd
+              FROM documents
+            )
+            SELECT rd AS registered_domain, count(*) AS n
+            FROM h GROUP BY rd
         """,
         # closed-form TIFF fixture replay (see docops._TiffStatsStage):
         # w = 16+(id%5)*4, split a=id%256 / b=(id*11)%256 at w//2

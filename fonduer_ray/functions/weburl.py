@@ -767,3 +767,80 @@ def _double_map(base: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
         .repartition(n_parts)
         .materialize()
     )
+
+
+# ----------------------------------------------------------- public suffix
+
+#: demo-scale rule set in the public-suffix-list format (publicsuffix.org):
+#: plain rules, one wildcard (`*.ck` — every label under ck is a public
+#: suffix) and one exception (`!www.ck` — carved back out of the
+#: wildcard). Real deployments pass the full downloaded PSL to
+#: :func:`psl_compile`; the ALGORITHM below is the complete published one.
+DEFAULT_PSL_RULES = (
+    "com", "org", "net", "io", "uk", "co.uk", "ac.uk",
+    "au", "com.au", "github.io", "*.ck", "!www.ck",
+)
+
+
+def psl_compile(rules=DEFAULT_PSL_RULES) -> dict:
+    """Compile PSL-format rules into {labels_tuple: is_exception},
+    label tuples stored reversed (TLD first) for tail matching."""
+    compiled = {}
+    for r in rules:
+        exc = r.startswith("!")
+        labels = tuple(reversed(r.lstrip("!").split(".")))
+        compiled[labels] = exc
+    return compiled
+
+
+def registered_domain(host: str, compiled: dict | None = None) -> str | None:
+    """eTLD+1 of ``host`` by the published PSL algorithm
+    (publicsuffix.org/list): among rules whose labels match the host's
+    tail labels (``*`` matches exactly one label), an exception rule wins
+    outright (its public suffix is the rule minus its leftmost label);
+    otherwise the rule with the most labels wins; no match falls back to
+    the rightmost label. The registered domain is the public suffix plus
+    one more label — None when the host IS a public suffix."""
+    if compiled is None:
+        compiled = psl_compile()
+    labels = host.lower().rstrip(".").split(".")
+    rev = list(reversed(labels))
+    best = 0  # no-match fallback: suffix = rightmost label
+    exc_len = None
+    for rule, exc in compiled.items():
+        if len(rule) > len(rev):
+            continue
+        if all(r == "*" or r == h for r, h in zip(rule, rev)):
+            if exc:
+                exc_len = len(rule) - 1
+            else:
+                best = max(best, len(rule))
+    suffix_len = exc_len if exc_len is not None else max(best, 1)
+    if len(labels) <= suffix_len:
+        return None
+    return ".".join(labels[-(suffix_len + 1):])
+
+
+def registered_domains(
+    ds: "ray.data.Dataset",
+    host_col: str = "host",
+    rules=DEFAULT_PSL_RULES,
+) -> "ray.data.Dataset":
+    """Append a ``registered_domain`` column — the canonical grouping key
+    for per-site aggregation (crawl budgets, host-level dedup, spam
+    rollups). Stateless map; the compiled rule table builds once per
+    worker via the closure (the full PSL is ~10k rules, trivially
+    broadcastable)."""
+    compiled = psl_compile(rules)
+
+    def add_rd(t: pa.Table) -> pa.Table:
+        hosts = t[host_col].to_pylist()
+        return t.append_column(
+            "registered_domain",
+            pa.array(
+                [registered_domain(h, compiled) if h else None for h in hosts],
+                pa.string(),
+            ),
+        )
+
+    return ds.map_batches(add_rd, batch_format="pyarrow")

@@ -1956,6 +1956,53 @@ class _GifStatsStage:
         )
 
 
+def registered_domain_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """(registered_domain, n) — per-site rollup through the REAL
+    public-suffix-list matcher (``weburl.registered_domains``: longest
+    match, wildcard ``*.ck``, exception ``!www.ck``). Each doc derives a
+    host hitting one of six suffix classes closed-form from doc_id, so
+    the oracle replays the expected eTLD+1 directly; the wildcard branch
+    keeps all three labels and the exception branch collapses to
+    ``www.ck``, so every arm of the published algorithm is exercised and
+    value-checked. One rollup shuffle keyed by the registered domain."""
+    import pandas as pd
+
+    from fonduer_ray.functions.weburl import registered_domains
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    suffixes = ["com", "co.uk", "github.io", "org", "com.au"]
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        hosts = []
+        for i in t["doc_id"].to_pylist():
+            if i % 6 == 5:
+                hosts.append(
+                    f"a{i % 7}.www.ck" if i % 12 == 11
+                    else f"a{i % 7}.b{i % 3}.ck"
+                )
+            else:
+                hosts.append(f"a{i % 7}.b{i % 3}.{suffixes[i % 6]}")
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    with_rd = registered_domains(
+        ds.map_batches(to_hosts, batch_format="pyarrow")
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("registered_domain", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    return hash_groupby(
+        with_rd.select_columns(["registered_domain"]),
+        ["registered_domain"],
+        agg,
+    )
+
+
 class _TiffStatsStage:
     """Deterministic TIFF fixture -> real encode -> IFD walk -> decode ->
     closed-form stats. Each doc_id derives a ``1 + id%3``-page baseline

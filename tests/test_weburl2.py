@@ -281,3 +281,30 @@ def test_host_reciprocity_brute(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"n_out": "int64", "n_reciprocal": "int64"}), want
     )
+
+
+def test_registered_domain_psl_algorithm():
+    from fonduer_ray.functions.weburl import psl_compile, registered_domain
+
+    c = psl_compile()
+    # plain rules, longest match wins
+    assert registered_domain("example.com", c) == "example.com"
+    assert registered_domain("www.example.com", c) == "example.com"
+    assert registered_domain("foo.bar.co.uk", c) == "bar.co.uk"
+    assert registered_domain("x.ac.uk", c) == "x.ac.uk"
+    assert registered_domain("user.github.io", c) == "user.github.io"
+    assert registered_domain("a.user.github.io", c) == "user.github.io"
+    # wildcard: every label under ck is itself a public suffix
+    assert registered_domain("a.b.ck", c) == "a.b.ck"
+    assert registered_domain("x.a.b.ck", c) == "a.b.ck"
+    # exception carves www.ck back out of the wildcard
+    assert registered_domain("www.ck", c) == "www.ck"
+    assert registered_domain("sub.www.ck", c) == "www.ck"
+    # host IS a public suffix -> no registered domain
+    assert registered_domain("com", c) is None
+    assert registered_domain("co.uk", c) is None
+    assert registered_domain("b.ck", c) is None
+    # unknown TLD falls back to rightmost label as the suffix
+    assert registered_domain("foo.bar.zz", c) == "bar.zz"
+    # case/trailing-dot normalization
+    assert registered_domain("WWW.Example.COM.", c) == "example.com"
