@@ -1006,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_trigrams": relational.event_type_trigrams,
         "tiff_meta_stats": docops.tiff_meta_stats,
         "registered_domain_rollup": docops.registered_domain_rollup,
+        "media_sniff_stats": docops.media_sniff_stats,
         "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
             _sized(sf, "part", ["p_partkey", "p_name"]),
             key_col="p_name",
@@ -3627,6 +3628,14 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        "media_sniff_stats": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+                     WHEN 3 THEN 'jpeg' WHEN 4 THEN 'gif' WHEN 5 THEN 'mp3'
+                     WHEN 6 THEN 'mp4' ELSE 'tiff' END AS media_type
+            FROM documents
         """,
         # closed-form PSL replay (see docops.registered_domain_rollup):
         # wildcard *.ck keeps all three labels, exception !www.ck

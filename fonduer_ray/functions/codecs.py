@@ -48,6 +48,18 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF89a", b"GIF87a"):
         return "gif"
+    if data[4:8] == b"ftyp":
+        return "mp4"  # ISO-BMFF: first box is ftyp, size at 0:4
+    if data[:2] in (b"II", b"MM") and len(data) >= 4:
+        import struct
+
+        en = "<" if data[:2] == b"II" else ">"
+        if struct.unpack(en + "H", data[2:4])[0] == 42:
+            return "tiff"
+    if data[:3] == b"ID3":
+        return "mp3"  # ID3v2-tagged MPEG audio
+    if len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        return "mp3"  # bare MPEG audio frame sync
     return None
 
 

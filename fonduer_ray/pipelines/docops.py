@@ -1956,6 +1956,71 @@ class _GifStatsStage:
         )
 
 
+class _MediaSniffStage:
+    """Mixed binary payloads through the REAL encoder of each of the 8
+    native container families (doc_id % 8 picks the family), then the
+    magic-byte sniffer classifies the bytes back — the crawl-side
+    content-type dispatcher every multimodal pipeline fronts its decode
+    actors with. mp3 alternates ID3v2-tagged and bare-sync streams so
+    both sniff branches run."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from fonduer_ray.functions.avi import avi_encode_mjpeg
+        from fonduer_ray.functions.codecs import (
+            png_encode,
+            sniff_format,
+            wav_encode,
+        )
+        from fonduer_ray.functions.gif import gif_encode
+        from fonduer_ray.functions.jpeg import jpeg_encode
+        from fonduer_ray.functions.mp3 import mp3_encode_silent
+        from fonduer_ray.functions.mp4 import mp4_encode_stub
+        from fonduer_ray.functions.tiff import tiff_encode
+
+        gray = np.zeros((8, 8), dtype=np.uint8)
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        ids, types = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            k = doc_id % 8
+            if k == 0:
+                data = png_encode(gray)
+            elif k == 1:
+                data = wav_encode(np.zeros(16, dtype=np.int16), 8000)
+            elif k == 2:
+                data = avi_encode_mjpeg([gray])
+            elif k == 3:
+                data = jpeg_encode(gray)
+            elif k == 4:
+                data = gif_encode([rgb])
+            elif k == 5:
+                data = mp3_encode_silent(1, id3v2_junk=(doc_id % 16) // 8 * 4)
+            elif k == 6:
+                data = mp4_encode_stub(100, n_video_samples=1)
+            else:
+                data = tiff_encode([rgb], little_endian=(doc_id % 2 == 0))
+            ids.append(doc_id)
+            types.append(sniff_format(data))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types, pa.string()),
+            }
+        )
+
+
+def media_sniff_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, media_type) — every doc's payload encoded by the real
+    codec of family ``doc_id % 8`` and classified back by magic bytes
+    (``codecs.sniff_format``); the oracle knows the expected family in
+    closed form."""
+    from fonduer_ray.stages.util import map_stage
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return map_stage(ds, _MediaSniffStage, {}, 64)
+
+
 def registered_domain_rollup(sf_dir: str) -> "ray.data.Dataset":
     """(registered_domain, n) — per-site rollup through the REAL
     public-suffix-list matcher (``weburl.registered_domains``: longest

@@ -179,3 +179,26 @@ def test_audio_decode_stage(ray_session):
     assert r["n_frames"] == 4000
     assert r["duration_sec"] == pytest.approx(0.25)
     assert r["rms"] == pytest.approx(1000.0)
+
+
+def test_sniff_format_new_families():
+    import numpy as np
+
+    from fonduer_ray.functions.codecs import sniff_format
+    from fonduer_ray.functions.mp3 import mp3_encode_silent
+    from fonduer_ray.functions.mp4 import mp4_encode_stub
+    from fonduer_ray.functions.tiff import tiff_encode
+
+    assert sniff_format(mp4_encode_stub(100)) == "mp4"
+    assert sniff_format(
+        tiff_encode([np.zeros((2, 2), dtype=np.uint8)], little_endian=True)
+    ) == "tiff"
+    assert sniff_format(
+        tiff_encode([np.zeros((2, 2), dtype=np.uint8)], little_endian=False)
+    ) == "tiff"
+    # both mp3 branches: ID3v2-tagged and bare frame sync
+    assert sniff_format(mp3_encode_silent(1, id3v2_junk=4)) == "mp3"
+    assert sniff_format(mp3_encode_silent(1, id3v2_junk=0)) == "mp3"
+    # II/MM without the 42 magic is NOT tiff
+    assert sniff_format(b"II\x00\x00rest") is None
+    assert sniff_format(b"garbage") is None
