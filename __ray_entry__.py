@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         webclean,
     )
     from fonduer_ray.pipelines import docops, relational, tpch_extra
+    from fonduer_ray.stages import materialize
 
     import pyarrow as pa
     import ray.data
@@ -1007,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiff_meta_stats": docops.tiff_meta_stats,
         "registered_domain_rollup": docops.registered_domain_rollup,
         "media_sniff_stats": docops.media_sniff_stats,
+        "events_zorder_keys": relational.events_zorder_keys,
+        "bucketed_join_counts": materialize.bucketed_join_counts,
         "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
             _sized(sf, "part", ["p_partkey", "p_name"]),
             key_col="p_name",
@@ -1147,6 +1150,7 @@ _PART_COOCCUR_EDGES_SQL = """
 def oracle_sql() -> dict[str, str]:
     from fonduer_ray.functions import graph as _graph
     from fonduer_ray.pipelines.docops import E2E_LM_ITERS
+    from fonduer_ray.stages.materialize import morton16_sql as _morton16
 
     stop_list = (
         "('the','a','an','and','or','of','to','in','on','for','with','at','by',"
@@ -3628,6 +3632,19 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        "events_zorder_keys": f"""
+            SELECT event_id,
+                   CAST({_morton16("user_id",
+                                   "CAST(round(value*100) AS BIGINT)")}
+                        AS BIGINT) AS zcode
+            FROM events
+        """,
+        "bucketed_join_counts": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "media_sniff_stats": """
             SELECT doc_id,

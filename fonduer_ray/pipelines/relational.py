@@ -1611,6 +1611,31 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_zorder_keys(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, zcode) — the 16+16-bit Morton (Z-order) layout key over
+    (user_id, value-cents) via ``materialize.morton_interleave16``.
+    Sorting the table by ``zcode`` before the partitioned-parquet write
+    clusters rows close in BOTH dimensions into the same row groups, so
+    min-max statistics prune two-dimensional range scans — the layout
+    companion to ``bucketed_join_counts``. Stateless vectorized map; the
+    oracle replays the identical 32-term unrolled interleave."""
+    from fonduer_ray.stages.materialize import morton_interleave16
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_code(t: pa.Table) -> pa.Table:
+        x = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        y = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "zcode": pa.array(morton_interleave16(x, y), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(add_code, batch_format="pyarrow")
+
+
 def event_type_trigrams(sf_dir: str) -> "ray.data.Dataset":
     """Second-order sequential pattern counts: for each user's events
     ordered by (ts, event_id), count every run of THREE consecutive

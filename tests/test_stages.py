@@ -353,3 +353,71 @@ def test_parse_error_side_channel(ray_session):
     err = {r["doc_name"]: r["error"] for r in errors.take_all()}
     assert err["null"] == "null_html"
     assert err["empty"] == "unparseable_html"
+
+
+def test_morton_interleave16_brute():
+    import numpy as np
+
+    from fonduer_ray.stages.materialize import morton_interleave16
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-5, 70000, 200)
+    y = rng.integers(-5, 70000, 200)
+    got = morton_interleave16(x, y)
+
+    def brute(a, b):
+        a &= 0xFFFF
+        b &= 0xFFFF
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = np.array([brute(int(a), int(b)) for a, b in zip(x, y)])
+    np.testing.assert_array_equal(got, want)
+    # locality sanity: interleave is a bijection on the 32-bit grid
+    assert len(set(got.tolist())) == len(
+        {(int(a) & 0xFFFF, int(b) & 0xFFFF) for a, b in zip(x, y)}
+    )
+
+
+def test_bucketed_join_counts_matches_plain_join(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.stages.materialize import bucketed_join_counts
+
+    rng = np.random.default_rng(5)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(300),
+            "o_custkey": rng.integers(0, 40, 300),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(40),
+            "c_nationkey": rng.integers(0, 5, 40),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(orders), tmp_path / "orders.parquet")
+    pq.write_table(pa.Table.from_pandas(cust), tmp_path / "customer.parquet")
+    got = (
+        bucketed_join_counts(
+            str(tmp_path), n_buckets=4, out_root=str(tmp_path / "buckets")
+        )
+        .to_pandas()
+        .sort_values("c_nationkey", ignore_index=True)
+    )
+    want = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .groupby("c_nationkey")
+        .size()
+        .rename("n_orders")
+        .reset_index()
+        .sort_values("c_nationkey", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
