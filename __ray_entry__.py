@@ -1009,6 +1009,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registered_domain_rollup": docops.registered_domain_rollup,
         "media_sniff_stats": docops.media_sniff_stats,
         "events_zorder_keys": relational.events_zorder_keys,
+        "graph_wpagerank": lambda sf: graph.pagerank_weighted(
+            graph.purchase_edges_weighted(sf), iters=5
+        ),
+        "source_dedup_rates": lambda sf: dedup.source_dedup_rates(
+            _sized(sf, "documents", ["source", "text"])
+        ),
         "bucketed_join_counts": materialize.bucketed_join_counts,
         "snm_candidate_pairs": lambda sf: dedup.sorted_neighborhood_pairs(
             _sized(sf, "part", ["p_partkey", "p_name"]),
@@ -3632,6 +3638,21 @@ def oracle_sql() -> dict[str, str]:
             FROM he e LEFT JOIN he r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        "graph_wpagerank": _graph.wpagerank_oracle_sql(
+            """
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+              SELECT DISTINCT l_orderkey, o_custkey AS src,
+                     1000000 + l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ) GROUP BY src, dst
+            """,
+            iters=5,
+        ),
+        "source_dedup_rates": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_unique
+            FROM documents GROUP BY source
         """,
         "events_zorder_keys": f"""
             SELECT event_id,

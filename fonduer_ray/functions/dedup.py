@@ -1675,3 +1675,55 @@ def sorted_neighborhood_pairs(
         return m[["id1", "id2", "gap"]].astype("int64")
 
     return hash_groupby(tagged, ["rk"], close_pairs)
+
+
+def source_dedup_rates(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(source, n_docs, n_unique) — per-source exact-duplicate rate, the
+    first report a crawl-quality triage reads (which feeds are mirror
+    farms). Documents shuffle ONCE keyed by (source, digest) — the text
+    itself never moves: each block reduces to distinct (source, digest,
+    partial_count) rows, the digest-keyed groupby collapses exact
+    duplicates, and a #sources-sized rollup sums docs vs survivors."""
+    import hashlib
+
+    import pandas as pd
+
+    src = ds.select_columns(["source", "text"])
+
+    def digest_partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for s, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            d = hashlib.md5((text or "").encode()).hexdigest()
+            counts[(s, d)] = counts.get((s, d), 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in counts], pa.string()),
+                "digest": pa.array([k[1] for k in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "digest"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return (
+            g.groupby("source", sort=False)
+            .agg(n_docs=("n", "sum"), n_unique=("n", "size"))
+            .reset_index()
+        )
+
+    partials = hash_groupby(
+        src.map_batches(digest_partial, batch_format="pyarrow"),
+        ["source", "digest"],
+        per_partition,
+    )
+    return hash_groupby(
+        partials,
+        ["source"],
+        lambda df: df.groupby("source", sort=False)[["n_docs", "n_unique"]]
+        .sum()
+        .reset_index(),
+    )

@@ -1657,3 +1657,268 @@ def assortativity_terms(
             }
         )
     )
+
+
+# --------------------------------------------------------- weighted PageRank
+
+
+def purchase_edges_weighted(sf_dir: str) -> "ray.data.Dataset":
+    """(src=customer, dst=SUPP_OFFSET+supplier, w=#distinct orders) — the
+    weighted companion of :func:`purchase_edges`: edge weight counts how
+    many orders connect the pair, so rank flows proportionally to actual
+    purchase volume. Session-memoized (``_EDGE_CACHE``)."""
+    return _cached_edges(
+        "purchase_w", sf_dir, lambda: _purchase_edges_weighted(sf_dir)
+    )
+
+
+def _purchase_edges_weighted(sf_dir: str) -> "ray.data.Dataset":
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = attach_lookup(li, orders, "l_orderkey", "o_orderkey", "o_custkey")
+
+    def to_triple(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o": t["l_orderkey"].cast(pa.int64()),
+                "src": t["o_custkey"].cast(pa.int64()),
+                "dst": pc.add(t["l_suppkey"].cast(pa.int64()), SUPP_OFFSET),
+            }
+        )
+
+    distinct_orders = _distinct(
+        with_cust.map_batches(to_triple, batch_format="pyarrow"),
+        ["o", "src", "dst"],
+    )
+
+    def count_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["src", "dst"], sort=False)
+            .size()
+            .rename("w")
+            .reset_index()
+        )
+        return out.astype({"src": "int64", "dst": "int64", "w": "int64"})
+
+    return hash_groupby(
+        distinct_orders.drop_columns(["o"]), ["src", "dst"], count_w
+    )
+
+
+def pagerank_weighted(
+    edges: "ray.data.Dataset",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    broadcast_limit: int = PR_BROADCAST_NODE_LIMIT,
+) -> "ray.data.Dataset":
+    """Fixed-point integer WEIGHTED PageRank over (src, dst, w) edges:
+    rank flows along each edge proportionally to its integer weight —
+    ``contrib(u->v) = (r(u) * w(u,v)) // wout(u)`` with ``wout`` the
+    weighted out-degree — dangling mass and teleport exactly as
+    :func:`pagerank`. Every intermediate stays below ``scale * max_w``
+    (far under 2**63), and the arithmetic is a pure integer function of
+    commutative sums, so both distribution paths and the unrolled DuckDB
+    oracle (:func:`wpagerank_oracle_sql`) are bit-identical.
+
+    Distribution mirrors :func:`pagerank`: edges materialize once; below
+    ``broadcast_limit`` nodes the (node, wout, rank) state is driver-side
+    numpy shipped per iteration via ``ray.put`` and each iteration is one
+    streaming edge pass of sparse partial in-sums; above it the rank and
+    wout columns attach to edges through two size-guarded
+    ``attach_lookup`` joins and the in-sums + state rebuild ride ONE
+    role-tagged ``hash_groupby``."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import get_broadcast
+
+    edges = edges.materialize()
+
+    def wdeg_rows(t: pa.Table) -> pa.Table:
+        n_ = len(t)
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["src"].cast(pa.int64()).combine_chunks(),
+                        t["dst"].cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "wout": pa.concat_arrays(
+                    [
+                        t["w"].cast(pa.int64()).combine_chunks(),
+                        pa.array(np.zeros(n_, dtype=np.int64)),
+                    ]
+                ),
+            }
+        )
+
+    def sum_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False)["wout"].sum().reset_index()
+        return out.astype({"node": "int64", "wout": "int64"})
+
+    state = hash_groupby(
+        edges.map_batches(wdeg_rows, batch_format="pyarrow"), ["node"], sum_w
+    ).materialize()
+    n = state.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    base = scale // n
+    teleport = (15 * base) // 100
+
+    if n <= broadcast_limit:
+        state_df = state.to_pandas().sort_values("node", ignore_index=True)
+        nodes = state_df["node"].to_numpy(dtype=np.int64)
+        wout = state_df["wout"].to_numpy(dtype=np.int64)
+        dangling = wout == 0
+        r = np.full(n, base, dtype=np.int64)
+
+        for _ in range(iters):
+            share = int(r[dangling].sum()) // n
+            bcast = ray.put((nodes, r, np.maximum(wout, 1)))
+
+            def edge_partial(t: pa.Table, _b=bcast) -> pa.Table:
+                nds, rk, wo = get_broadcast(_b)
+                src = t["src"].to_numpy()
+                dst = t["dst"].to_numpy()
+                w = t["w"].to_numpy().astype(np.int64)
+                si = np.searchsorted(nds, src)
+                vals = (rk[si] * w) // wo[si]
+                di = np.searchsorted(nds, dst)
+                uniq, inv = np.unique(di, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, vals)
+                return pa.table(
+                    {"idx": pa.array(uniq, pa.int64()),
+                     "s": pa.array(sums, pa.int64())}
+                )
+
+            inc = np.zeros(n, dtype=np.int64)
+            for batch in edges.map_batches(
+                edge_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                np.add.at(
+                    inc, batch["idx"].to_numpy(), batch["s"].to_numpy()
+                )
+            r = teleport + (85 * (inc + share)) // 100
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "rank": pa.array(r)})
+        )
+
+    # --- join path -------------------------------------------------------
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(len(t), base, dtype=np.int64))
+        )
+
+    state = state.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dangling = state.filter(expr="wout == 0").sum("r") or 0
+        share = dangling // n
+
+        live = state.filter(expr="wout > 0")
+        with_r = attach_lookup(edges, live, "src", "node", "r")
+        with_rw = attach_lookup(
+            with_r,
+            live.map_batches(
+                lambda t: pa.table({"node": t["node"], "wo": t["wout"]}),
+                batch_format="pyarrow",
+            ),
+            "src",
+            "node",
+            "wo",
+        )
+
+        in_rows = with_rw.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"].cast(pa.int64()).combine_chunks(),
+                    "wout": pa.nulls(len(t), pa.int64()),
+                    "inc": pc.cast(
+                        pc.divide(
+                            pc.multiply(
+                                t["r"].cast(pa.int64()),
+                                t["w"].cast(pa.int64()),
+                            ),
+                            t["wo"].cast(pa.int64()),
+                        ),
+                        pa.int64(),
+                    ).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        deg_rows = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks(),
+                    "wout": t["wout"].cast(pa.int64()).combine_chunks(),
+                    "inc": pa.nulls(len(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def rebuild(df: pd.DataFrame, _tp=teleport, _sh=share) -> pd.DataFrame:
+            df = df.assign(
+                wout=df["wout"].fillna(-1).astype("int64"),
+                inc=df["inc"].fillna(0).astype("int64"),
+            )
+            g = df.groupby("node", sort=False).agg(
+                wout=("wout", "max"), inc=("inc", "sum")
+            )
+            g["r"] = _tp + (85 * (g["inc"] + _sh)) // 100
+            out = g.reset_index()[["node", "wout", "r"]]
+            return out.astype(
+                {"node": "int64", "wout": "int64", "r": "int64"}
+            )
+
+        state = hash_groupby(
+            deg_rows.union(in_rows), ["node"], rebuild
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def wpagerank_oracle_sql(
+    edges_cte: str, iters: int = 5, scale: int = PR_SCALE
+) -> str:
+    """Unrolled DuckDB re-derivation of :func:`pagerank_weighted` —
+    identical integer arithmetic. ``edges_cte`` must select distinct
+    (src, dst, w)."""
+    parts = [
+        f"WITH e AS ({edges_cte}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT nodes.node, COALESCE("
+        " (SELECT sum(w) FROM e WHERE e.src = nodes.node), 0) AS wout"
+        " FROM nodes),",
+        f"r0 AS (SELECT node, wout,"
+        f" CAST({scale} // nn.n AS BIGINT) AS r FROM deg, nn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"r{i} AS (SELECT d.node, d.wout, CAST("
+            f" (15 * ({scale} // nn.n)) // 100"
+            f" + (85 * (COALESCE(inc.s, 0) + dang.share)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM deg d CROSS JOIN nn CROSS JOIN"
+            f" (SELECT COALESCE(sum(r) FILTER (WHERE wout = 0), 0)"
+            f"   // (SELECT n FROM nn) AS share FROM {prev}) dang"
+            f" LEFT JOIN (SELECT e.dst AS node,"
+            f"   sum((p.r * e.w) // p.wout) AS s"
+            f"   FROM e JOIN {prev} p ON p.node = e.src AND p.wout > 0"
+            f"   GROUP BY e.dst) inc ON inc.node = d.node)"
+            + ("," if i < iters else "")
+        )
+    parts.append(f"SELECT node, r AS rank FROM r{iters}")
+    return "\n".join(parts)

@@ -450,3 +450,75 @@ def test_assortativity_paths_bit_identical(undirected):
     fast = G.assortativity_terms(ds).to_pandas()
     slow = G.assortativity_terms(ds, broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------- weighted pagerank
+
+
+@pytest.fixture(scope="module")
+def weighted(ray_session):
+    rng = np.random.default_rng(23)
+    pairs = {}
+    for a, b in zip(rng.integers(0, 30, 250), rng.integers(0, 30, 250)):
+        if a != b:
+            k = (int(a), int(b))
+            pairs[k] = pairs.get(k, 0) + 1
+    return sorted((a, b, w) for (a, b), w in pairs.items())
+
+
+def _wpr_reference(triples, iters, scale=G.PR_SCALE):
+    nodes = sorted({a for a, _, _ in triples} | {b for _, b, _ in triples})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    wout = [0] * n
+    for a, _, w in triples:
+        wout[idx[a]] += w
+    base = scale // n
+    r = [base] * n
+    tp = (15 * base) // 100
+    for _ in range(iters):
+        share = sum(r[i] for i in range(n) if wout[i] == 0) // n
+        inc = [0] * n
+        for a, b, w in triples:
+            if wout[idx[a]] > 0:
+                inc[idx[b]] += (r[idx[a]] * w) // wout[idx[a]]
+        r = [tp + (85 * (inc[i] + share)) // 100 for i in range(n)]
+    return dict(zip(nodes, r))
+
+
+def test_wpagerank_matches_integer_reference(weighted):
+    ds = _edges_ds(weighted, cols=("src", "dst", "w"))
+    got = (
+        G.pagerank_weighted(ds, iters=4)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert got == _wpr_reference(weighted, iters=4)
+
+
+def test_wpagerank_paths_bit_identical(weighted):
+    ds = _edges_ds(weighted, cols=("src", "dst", "w"))
+    fast = G.pagerank_weighted(ds, iters=3).to_pandas().sort_values(
+        "node", ignore_index=True
+    )
+    slow = G.pagerank_weighted(ds, iters=3, broadcast_limit=0).to_pandas(
+    ).sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_wpagerank_unit_weights_equal_plain_pagerank(weighted):
+    # with w == 1 everywhere the weighted recurrence IS plain pagerank
+    uniq = sorted({(a, b) for a, b, _ in weighted})
+    unit = [(a, b, 1) for a, b in uniq]
+    got = (
+        G.pagerank_weighted(_edges_ds(unit, cols=("src", "dst", "w")), iters=3)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    plain = (
+        G.pagerank(_edges_ds(uniq, cols=("src", "dst")), iters=3)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, plain)
