@@ -1688,22 +1688,21 @@ def _purchase_edges_weighted(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    distinct_orders = _distinct(
-        with_cust.map_batches(to_triple, batch_format="pyarrow"),
-        ["o", "src", "dst"],
-    )
-
     def count_w(df: pd.DataFrame) -> pd.DataFrame:
+        # nunique inside the (src, dst) partition == count of DISTINCT
+        # orders per pair: one shuffle instead of distinct + recount
         out = (
-            df.groupby(["src", "dst"], sort=False)
-            .size()
+            df.groupby(["src", "dst"], sort=False)["o"]
+            .nunique()
             .rename("w")
             .reset_index()
         )
         return out.astype({"src": "int64", "dst": "int64", "w": "int64"})
 
     return hash_groupby(
-        distinct_orders.drop_columns(["o"]), ["src", "dst"], count_w
+        with_cust.map_batches(to_triple, batch_format="pyarrow"),
+        ["src", "dst"],
+        count_w,
     )
 
 

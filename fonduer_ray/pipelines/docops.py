@@ -1578,7 +1578,15 @@ def link_graph_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, link_pos, canonical_url, dst_host, anchor) through the
     REAL html-tree link extraction + URL canonicalization
     (``functions/weburl.py``) over the linked-web fixture — one row per
-    outlink, value-checked in closed form by the oracle."""
+    outlink, value-checked in closed form by the oracle.
+    Session-memoized: three driver queries (this one,
+    ``host_inlink_counts``, ``host_reciprocity``) consume the same
+    extracted-link table and re-parsing the fixture pages dominates each
+    one's wall time."""
+    return _cached_ds(("links", sf_dir), lambda: _link_graph_stats(sf_dir))
+
+
+def _link_graph_stats(sf_dir: str) -> "ray.data.Dataset":
     from fonduer_ray.functions.weburl import canonicalize_urls, extract_links
 
     links = extract_links(_linked_pages(sf_dir))
