@@ -1022,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_col="p_partkey",
             window=4,
         ),
+        "orders_pushdown_scan": relational.orders_pushdown_scan,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3732,5 +3733,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        """,
+        "orders_pushdown_scan": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(round(o_totalprice * 100.0)) / 100.0 AS sum_price
+            FROM orders
+            WHERE o_totalprice > 400000.0
+            GROUP BY o_orderpriority
         """,
     }

@@ -2506,3 +2506,45 @@ def nation_ols_slope(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_pushdown_scan(sf_dir: str, price_floor: float = 400000.0) -> "ray.data.Dataset":
+    """Predicate pushdown at the READ: the ``o_totalprice`` filter is handed
+    to the parquet fragment scanner (``read_parquet(filter=...)``), so row
+    groups whose min/max statistics exclude the floor never leave storage —
+    at 100 TB this prunes I/O, not just compute, which a post-read
+    ``map_batches`` filter (e.g. :func:`revenue_filter`) cannot do. Columns
+    are pruned in the same call. Result: per-priority order counts and the
+    exact-cents price sum over the surviving rows, so the oracle check
+    verifies the pushdown scan is row-identical to a full-scan ``WHERE``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > price_floor),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "price_c": cents,
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": t["n_orders"],
+                "sum_price": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -144,3 +144,33 @@ def test_nation_ols_slope_brute(ray_session):
                 rtol=1e-9,
             )
     assert len(got) == df["n_name"].nunique()
+
+
+def test_orders_pushdown_scan_brute(ray_session):
+    """The filter handed to the parquet fragment scanner must be
+    row-identical to a post-read pandas filter (pushdown prunes I/O,
+    never rows that satisfy the predicate)."""
+    from fonduer_ray.pipelines.relational import orders_pushdown_scan
+
+    got = orders_pushdown_scan(SF).to_pandas().sort_values(
+        "o_orderpriority", ignore_index=True
+    )
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    t = t[t["o_totalprice"] > 400000.0]
+    cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    want = (
+        pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_numpy(), "c": cents})
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n_orders=("c", "size"), price_c=("c", "sum"))
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
+    assert np.allclose(
+        got["sum_price"].to_numpy(),
+        want["price_c"].to_numpy() / 100.0,
+        rtol=0,
+        atol=0,
+    )
