@@ -512,6 +512,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir: str) -> "ray.data.Dataset":
         return docops.read_docs(sf_dir, ["doc_id", "text"])
 
+    def _parity_filter(par: int):
+        """Split the documents table into crawl "generations" by doc_id
+        parity (deterministic, oracle-reproducible via ``doc_id % 2``)."""
+
+        def f(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as _pc
+
+            return t.filter(
+                _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), par)
+            )
+
+        return f
+
     def _sized(sf_dir: str, table: str, columns: list[str] | None = None):
         """Row-count-aware read (see relational._read): Ray's default
         ~2x-CPU block split turns a 1000-row table into 64 blocks, and
@@ -1023,6 +1036,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window=4,
         ),
         "orders_pushdown_scan": relational.orders_pushdown_scan,
+        "dedup_incremental": lambda sf: dedup.dedup_incremental(
+            _docs(sf).map_batches(_parity_filter(1), batch_format="pyarrow"),
+            _docs(sf).map_batches(_parity_filter(0), batch_format="pyarrow"),
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3733,6 +3750,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        """,
+        "dedup_incremental": """
+            WITH g1 AS (
+              SELECT DISTINCT md5(COALESCE(text, '')) AS digest
+              FROM documents WHERE doc_id % 2 = 0
+            ), g2 AS (
+              SELECT min(doc_id) AS doc_id,
+                     md5(COALESCE(text, '')) AS digest,
+                     count(*) AS n_dups
+              FROM documents WHERE doc_id % 2 = 1
+              GROUP BY md5(COALESCE(text, ''))
+            )
+            SELECT doc_id, digest, n_dups FROM g2
+            WHERE digest NOT IN (SELECT digest FROM g1)
         """,
         "orders_pushdown_scan": """
             SELECT o_orderpriority,

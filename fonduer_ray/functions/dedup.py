@@ -1727,3 +1727,119 @@ def source_dedup_rates(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .sum()
         .reset_index(),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-generation incremental dedup (continuous-crawl shape)
+# ---------------------------------------------------------------------------
+
+
+INCR_DIGEST_BROADCAST_LIMIT = 5_000_000
+
+
+def dedup_incremental(
+    new_ds: "ray.data.Dataset",
+    prior_ds: "ray.data.Dataset",
+    broadcast_limit: int = INCR_DIGEST_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Exact-dedup a NEW crawl generation against a PRIOR generation's
+    digest manifest AND against itself, without re-reading prior text.
+
+    Continuous-crawl shape: each generation's survivors persist a digest
+    manifest (``prior_ds`` here carries text and is digested on the fly;
+    at production scale the parquet manifest written by
+    ``stages/materialize.py`` is read directly, so the prior generation's
+    100 TB of text never re-enters the pipeline — only its ~32 B/doc
+    digests do). A new doc is KEPT iff its md5(text) digest is unseen in
+    the prior generation AND it is the min-doc_id holder of that digest
+    within the new generation.
+
+    Output: one row per kept new doc ``(doc_id, digest, n_dups)`` where
+    ``n_dups`` counts the digest's occurrences within the new generation.
+
+    The prior-digest probe is the usual guarded pair: at or below
+    ``broadcast_limit`` distinct digests ship once via ``ray.put`` as a
+    frozenset filtered per batch; above it, a hash-partition ``left_anti``
+    ``Dataset.join`` on the digest string — the 100 TB-safe path. Both
+    paths are bit-identical (lowered-limit path-equality test).
+    """
+    from fonduer_ray.stages.util import join_partitions
+
+    def add_digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "digest": pa.array(
+                    [
+                        hashlib.md5((t or "").encode()).hexdigest()
+                        for t in batch["text"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def prior_digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "digest": pa.array(
+                    sorted(
+                        {
+                            hashlib.md5((t or "").encode()).hexdigest()
+                            for t in batch["text"].to_pylist()
+                        }
+                    ),
+                    pa.string(),
+                )
+            }
+        )
+
+    # distinct prior digests, materialized ONCE: the size guard needs a
+    # count and both probe paths then consume the same rows
+    prior = hash_groupby(
+        prior_ds.select_columns(["text"]).map_batches(
+            prior_digest, batch_format="pyarrow"
+        ),
+        ["digest"],
+        lambda df: df.drop_duplicates(ignore_index=True),
+        join_safe=True,
+    ).materialize()
+
+    # within-generation keepers: min doc_id + dup count per digest
+    keepers = hash_groupby(
+        new_ds.select_columns(["doc_id", "text"]).map_batches(
+            add_digest, batch_format="pyarrow"
+        ),
+        ["digest"],
+        lambda df: df.groupby("digest", sort=False)
+        .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .reset_index()[["doc_id", "digest", "n_dups"]],
+        join_safe=True,
+    )
+
+    if prior.count() <= broadcast_limit:
+        prior_ref = ray.put(
+            frozenset(
+                d
+                for batch in prior.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for d in batch["digest"].to_pylist()
+            )
+        )
+
+        def drop_seen(batch: pa.Table) -> pa.Table:
+            seen = get_broadcast(prior_ref)
+            mask = pa.array(
+                [d not in seen for d in batch["digest"].to_pylist()]
+            )
+            return batch.filter(mask)
+
+        return keepers.map_batches(drop_seen, batch_format="pyarrow")
+
+    return keepers.join(
+        prior,
+        "left_anti",
+        num_partitions=join_partitions(),
+        on=("digest",),
+    )

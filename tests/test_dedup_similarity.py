@@ -397,3 +397,62 @@ def test_sorted_neighborhood_pairs_brute(ray_session):
         columns=["id1", "id2", "gap"],
     ).sort_values(["id1", "id2"], ignore_index=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dedup_incremental_brute(ray_session):
+    """Keepers = min-doc_id holder of each digest unseen in the prior
+    generation; n_dups counts within the new generation only."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.functions.dedup import dedup_incremental
+    from fonduer_ray.pipelines.docops import read_docs
+
+    sf = "/root/testdata/sf0.001"
+    new = read_docs(sf, ["doc_id", "text"]).filter(lambda r: r["doc_id"] % 2 == 1)
+    prior = read_docs(sf, ["doc_id", "text"]).filter(lambda r: r["doc_id"] % 2 == 0)
+    got = (
+        dedup_incremental(new, prior)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    t["digest"] = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"]]
+    prior_set = set(t[t["doc_id"] % 2 == 0]["digest"])
+    g2 = t[t["doc_id"] % 2 == 1]
+    want = (
+        g2.groupby("digest", sort=False)
+        .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .reset_index()
+    )
+    want = want[~want["digest"].isin(prior_set)].sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["digest"]) == list(want["digest"])
+    assert list(got["n_dups"]) == list(want["n_dups"])
+
+
+def test_dedup_incremental_paths_match(ray_session):
+    """broadcast_limit=0 forces the left_anti join path; it must emit the
+    same rows as the frozenset-broadcast path."""
+    from fonduer_ray.functions.dedup import dedup_incremental
+    from fonduer_ray.pipelines.docops import read_docs
+
+    sf = "/root/testdata/sf0.001"
+    new = read_docs(sf, ["doc_id", "text"]).filter(lambda r: r["doc_id"] % 2 == 1)
+    prior = read_docs(sf, ["doc_id", "text"]).filter(lambda r: r["doc_id"] % 2 == 0)
+    a = (
+        dedup_incremental(new, prior)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        dedup_incremental(new, prior, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)[a.columns]
+    )
+    assert a.equals(b)
