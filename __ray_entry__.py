@@ -1040,6 +1040,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf).map_batches(_parity_filter(1), batch_format="pyarrow"),
             _docs(sf).map_batches(_parity_filter(0), batch_format="pyarrow"),
         ),
+        "lang_vocab_topk": lambda sf: textstats.lang_vocab_topk(
+            _sized(sf, "documents", ["lang", "text"])
+        ),
+        "latest_event_per_user_type": relational.latest_event_per_user_type,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3750,6 +3754,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.id AS id1, b.id AS id2, CAST(b.rk - a.rk AS BIGINT) AS gap
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        """,
+        "lang_vocab_topk": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), c AS (
+              SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+            ), r AS (
+              SELECT lang, token, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token
+                     ) AS rk
+              FROM c
+            )
+            SELECT lang, token, n FROM r WHERE rk <= 10
+        """,
+        "latest_event_per_user_type": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, ts, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                     ) AS rk
+              FROM events
+            )
+            SELECT user_id, event_type, event_id, ts, value FROM r
+            WHERE rk = 1
         """,
         "dedup_incremental": """
             WITH g1 AS (

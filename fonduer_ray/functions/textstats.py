@@ -806,3 +806,53 @@ def token_zipf_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return hash_groupby(partials, ["lang"], merge)
+
+
+def lang_vocab_topk(ds: "ray.data.Dataset", k: int = 10) -> "ray.data.Dataset":
+    """Per-language top-``k`` tokens by frequency (ties: token ascending) —
+    the grouped form of :func:`vocab_topk`, the per-corpus-slice vocab
+    report a multilingual tokenizer build starts from.
+
+    Scale design mirrors the global variant with one extra (small) hop:
+    per-block ``(lang, token)`` Counter partials shrink the shuffle to
+    distinct pairs per block; ONE ``(lang, token)``-keyed ``hash_groupby``
+    sums exactly and emits only each partition's per-lang local top-k
+    (complete counts for every pair it holds), so the final lang-keyed
+    regroup runs over <= partitions x langs x k rows — never the full
+    vocabulary."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for t in (text or "").split():
+                counts[(lang, t)] = counts.get((lang, t), 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in counts], pa.string()),
+                "token": pa.array([p[1] for p in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby(["lang", "token"], sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        return s.groupby("lang", sort=False).head(k).reset_index(drop=True)
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        return s.groupby("lang", sort=False).head(k).reset_index(drop=True)
+
+    tops = hash_groupby(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        local_topk,
+    )
+    return hash_groupby(tops, ["lang"], global_topk)

@@ -2548,3 +2548,30 @@ def orders_pushdown_scan(sf_dir: str, price_floor: float = 400000.0) -> "ray.dat
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def latest_event_per_user_type(sf_dir: str) -> "ray.data.Dataset":
+    """Keep-latest compaction: one surviving row per ``(user_id,
+    event_type)`` — the newest event by ``ts`` (tie-break: max
+    ``event_id``). The read-side half of a CDC/upsert log: at 100 TB the
+    change log hash-partitions on the key and each partition picks its
+    winners vectorized, so the exchange moves each key's rows exactly
+    once and no driver-side state exists. Columns: ``(user_id,
+    event_type, event_id, ts, value)``."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pick_latest(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False],
+        )
+        out = s.groupby(["user_id", "event_type"], sort=False).head(1)
+        return out[["user_id", "event_type", "event_id", "ts", "value"]].reset_index(
+            drop=True
+        )
+
+    return hash_groupby(ds, ["user_id", "event_type"], pick_latest)

@@ -174,3 +174,31 @@ def test_orders_pushdown_scan_brute(ray_session):
         rtol=0,
         atol=0,
     )
+
+
+def test_latest_event_per_user_type_brute(ray_session):
+    """Keep-latest compaction equals the pandas idxmax ranking (ts desc,
+    event_id desc per key)."""
+    from fonduer_ray.pipelines.relational import latest_event_per_user_type
+
+    got = (
+        latest_event_per_user_type(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    t = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    want = (
+        t.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False],
+        )
+        .groupby(["user_id", "event_type"], sort=False)
+        .head(1)
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert list(got["ts"]) == list(want["ts"])
+    assert list(got["value"]) == list(want["value"])

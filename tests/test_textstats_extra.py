@@ -288,3 +288,35 @@ def test_token_zipf_stats_brute(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({c: "int64" for c in want.columns[1:]}), want
     )
+
+
+def test_lang_vocab_topk_brute(ray_session):
+    """Per-lang top-10 must equal a single-process pandas ranking with the
+    same (n desc, token asc) tie-break."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from fonduer_ray.functions.textstats import lang_vocab_topk
+    from fonduer_ray.pipelines.docops import read_docs
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        lang_vocab_topk(read_docs(sf, ["lang", "text"]))
+        .to_pandas()
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True],
+                     ignore_index=True)
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "text"]).to_pandas()
+    rows = []
+    for lang, text in zip(t["lang"], t["text"]):
+        for tok in (text or "").split():
+            rows.append((lang, tok))
+    c = (
+        pd.DataFrame(rows, columns=["lang", "token"])
+        .groupby(["lang", "token"], sort=False)
+        .size()
+        .reset_index(name="n")
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True])
+    )
+    want = c.groupby("lang", sort=False).head(10).reset_index(drop=True)
+    assert got[["lang", "token", "n"]].values.tolist() == want.values.tolist()
