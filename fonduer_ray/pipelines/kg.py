@@ -202,7 +202,13 @@ def run_kg(
             "rows_written": 0,
         }
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    pages = read_webpages(input_path, override_num_blocks=cpus * 8)
+    # 4 blocks per CPU, ~1024-doc batches: measured on the 480k-doc corpus
+    # at 16 pinned CPUs — 26.1k docs/s at (8 blocks/cpu, batch 256) vs
+    # 36.2k at (4 blocks/cpu, batch 1024), i.e. 95% of the bare-mp
+    # streaming-distinct hardware control (scripts/scaling_ceiling.py).
+    # Finer batches pay per-call slicing/rebuild overhead inside the fused
+    # stage; more blocks pay task dispatch + a longer straggler tail.
+    pages = read_webpages(input_path, override_num_blocks=cpus * 4)
     deduped = build_triples(pages, cfg)
     return write_triples(
         deduped, out_dir, cfg.config_hash(), n_buckets=cfg.n_buckets

@@ -114,7 +114,7 @@ def pages_to_triples(
     enrich: bool = True,
     linguist: "str | object" = "auto",
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 256,
+    batch_size: int = 1024,
 ) -> "ray.data.Dataset":
     kwargs = {
         "mention_specs": mention_specs,

@@ -1,6 +1,6 @@
 """Hardware scaling-ceiling probe: the fused KG stage run under BARE
-multiprocessing (no Ray, no object store, no scheduler) at 1 / N / 4N
-processes on pre-loaded in-memory batches.
+multiprocessing (no Ray, no object store, no scheduler), each process
+streaming DISTINCT documents.
 
 Purpose: on a single shared-memory box, an allocation-heavy Python parse
 workload stops scaling linearly once the processes saturate DRAM bandwidth
@@ -10,20 +10,35 @@ what the hardware itself allows (see BASELINE.md). On a real 4N-node
 cluster each node brings its own memory controllers, so this ceiling does
 not apply there.
 
-Usage: python scripts/scaling_ceiling.py [corpus_parquet_shard]
+Each worker parses its OWN corpus shard (part-<i % n_parts>), offset by a
+per-worker stride, so the combined working set streams from DRAM exactly
+like the real pipeline. (An earlier version of this probe handed every
+worker the same 1.8 MiB shard; 16 workers then shared a cache-resident
+working set and reported near-perfect 0.99 "scaling" that the streaming
+pipeline can never see — a control must stream if the job streams.)
+
+Usage: python scripts/scaling_ceiling.py [corpus_parquet_dir] [counts]
 """
 
 from __future__ import annotations
 
+import glob
+import os
 import sys
 import time
 from multiprocessing import Process, Queue
 
-DEFAULT_SHARD = "/tmp/fonduer_ray_bench_corpus/corpus.parquet/part-00000.parquet"
-DOCS_PER_PROC = 4000
+# workers import fonduer_ray after fork and inherit THIS sys.path; when the
+# script runs as scripts/scaling_ceiling.py, sys.path[0] is scripts/, so the
+# repo root must be added explicitly (a bare `python scripts/...` run
+# otherwise deadlocks: every worker dies on the import and q.get() blocks)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_DIR = "/tmp/fonduer_ray_bench_corpus/corpus.parquet"
+DOCS_PER_PROC = int(os.environ.get("CEILING_DOCS_PER_PROC", "12000"))
 
 
-def _worker(q: Queue, shard: str) -> None:
+def _worker(q: Queue, shard: str, offset: int) -> None:
     import pyarrow.parquet as pq
 
     from fonduer_ray.pipelines.kg import (
@@ -34,35 +49,60 @@ def _worker(q: Queue, shard: str) -> None:
     )
     from fonduer_ray.stages.fused import FusedKGStage
 
-    t = pq.read_table(shard).slice(0, DOCS_PER_PROC)
+    full = pq.read_table(shard)
+    # wrap-around slice so any offset yields DOCS_PER_PROC distinct docs
+    import pyarrow as pa
+
+    n = full.num_rows
+    lo = offset % n
+    if lo + DOCS_PER_PROC <= n:
+        t = full.slice(lo, DOCS_PER_PROC)
+    else:
+        t = pa.concat_tables(
+            [full.slice(lo), full.slice(0, (lo + DOCS_PER_PROC) - n)]
+        )
     stage = FusedKGStage(
         mention_specs(), relation_specs(), default_lfs(), pred_names={"part_temp": PRED}
     )
     stage(t.slice(0, 200))  # warm caches/imports before timing
     t0 = time.time()
-    for lo in range(0, DOCS_PER_PROC, 500):
-        stage(t.slice(lo, 500))
+    for s in range(0, DOCS_PER_PROC, 500):
+        stage(t.slice(s, 500))
     q.put(DOCS_PER_PROC / (time.time() - t0))
 
 
 def main() -> None:
-    """argv: [corpus_shard] [comma-separated proc counts, default 1,6,24].
+    """argv: [corpus_parquet_dir] [comma-separated proc counts, default 1,6,24].
 
     The last two counts form the N -> 4N pair for the printed ceiling
-    efficiency (run e.g. ``... shard 1,8,32`` for the pair bench.py uses)."""
-    shard = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SHARD
+    efficiency (run e.g. ``... dir 4,16`` for the pair bench.py uses)."""
+    src = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_DIR
     counts = (
         tuple(int(x) for x in sys.argv[2].split(","))
         if len(sys.argv) > 2
         else (1, 6, 24)
     )
+    if os.path.isdir(src):
+        shards = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        shards = [src]
     out = {}
     for n in counts:
         q: Queue = Queue()
-        ps = [Process(target=_worker, args=(q, shard)) for _ in range(n)]
+        ps = [
+            Process(
+                target=_worker,
+                # distinct shard per worker (cycled), strided offset so
+                # workers that share a shard still parse disjoint rows
+                args=(q, shards[i % len(shards)], (i // len(shards)) * DOCS_PER_PROC),
+            )
+            for i in range(n)
+        ]
         for p in ps:
             p.start()
-        rates = [q.get() for _ in ps]
+        # bounded get: a worker that dies before q.put would otherwise hang
+        # the probe forever
+        rates = [q.get(timeout=300) for _ in ps]
         for p in ps:
             p.join()
         out[n] = sum(rates)
