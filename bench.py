@@ -459,6 +459,11 @@ def main() -> None:
             kg = k
         if k["docs_per_sec"] >= 35000 or ambient[-1] <= QUIET_LOAD:
             break
+    # the sweep gets the same hygiene as scaling/headline: it follows the
+    # scaling children + headline retries, whose load is still draining
+    # when they finish (measured: the identical 176-query sweep reads
+    # 186.8s in a quiet window vs 252.8s in the post-scaling shadow)
+    sweep_ambient = _wait_for_quiet()
     t0 = time.time()
     training = run_training_headline(NUM_CPUS)
     queries = run_queries(SF_DIR)
@@ -473,6 +478,7 @@ def main() -> None:
         "kg_headline": kg,
         "training_headline": {k: round(v, 2) for k, v in training.items()},
         "scaling": scaling,
+        "sweep_ambient_1m": [round(x, 2) for x in sweep_ambient],
     }
     # full artifact (every per-query timing) lives next to this script; the
     # stdout line must fit the driver's 2000-byte tail window
