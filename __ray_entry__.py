@@ -1044,6 +1044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sized(sf, "documents", ["lang", "text"])
         ),
         "latest_event_per_user_type": relational.latest_event_per_user_type,
+        "orders_snapshot_diff": relational.orders_snapshot_diff,
+        "event_type_share": relational.event_type_share,
+        "skipgram_pairs": lambda sf: textstats.skipgram_pairs(_docs(sf)),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -1100,6 +1103,9 @@ _NEW_IN_R5 = (
     "equi_depth_histogram",
     "phrase_match_counts",
     "weighted_systematic_sample",
+    "orders_snapshot_diff",
+    "event_type_share",
+    "skipgram_pairs",
 )
 
 #: query names with a green driver-issued CORRECTNESS row on record
@@ -3803,5 +3809,67 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_totalprice > 400000.0
             GROUP BY o_orderpriority
+        """,
+        "orders_snapshot_diff": """
+            WITH a AS (
+              SELECT o_orderkey AS k, o_orderpriority AS p
+              FROM orders WHERE o_orderkey % 11 <> 0
+            ), b AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 17 = 0
+                          THEN o_orderpriority || '*'
+                          ELSE o_orderpriority END AS p
+              FROM orders WHERE o_orderkey % 13 <> 0
+            ), j AS (
+              SELECT a.k AS ak, b.k AS bk, a.p AS ap, b.p AS bp
+              FROM a FULL OUTER JOIN b ON a.k = b.k
+            )
+            SELECT status, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS key_sum
+            FROM (
+              SELECT CASE WHEN ak IS NULL THEN 'added'
+                          WHEN bk IS NULL THEN 'removed'
+                          WHEN ap <> bp THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     coalesce(ak, bk) AS k
+              FROM j
+            ) t
+            GROUP BY status ORDER BY status
+        """,
+        "event_type_share": """
+            WITH s AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM events GROUP BY 1
+            ), t AS (SELECT sum(n) AS tn, sum(cents) AS tc FROM s)
+            SELECT event_type, n, cents,
+                   CAST(n * 10000 // t.tn AS BIGINT) AS n_share_bp,
+                   CAST(cents * 10000 // t.tc AS BIGINT) AS cents_share_bp
+            FROM s, t ORDER BY event_type
+        """,
+        "skipgram_pairs": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS t FROM documents
+            ), prs AS (
+              SELECT bg[1] AS center, bg[2] AS context FROM (
+                SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+                FROM toks)
+              UNION ALL
+              SELECT bg[2], bg[1] FROM (
+                SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+                FROM toks)
+              UNION ALL
+              SELECT bg[1], bg[2] FROM (
+                SELECT unnest(list_zip(t[1:len(t)-2], t[3:len(t)])) AS bg
+                FROM toks)
+              UNION ALL
+              SELECT bg[2], bg[1] FROM (
+                SELECT unnest(list_zip(t[1:len(t)-2], t[3:len(t)])) AS bg
+                FROM toks)
+            )
+            SELECT center, context, count(*) AS n
+            FROM prs GROUP BY 1, 2 HAVING count(*) >= 5
+            ORDER BY n DESC, center, context LIMIT 50
         """,
     }

@@ -856,3 +856,66 @@ def lang_vocab_topk(ds: "ray.data.Dataset", k: int = 10) -> "ray.data.Dataset":
         local_topk,
     )
     return hash_groupby(tops, ["lang"], global_topk)
+
+
+def skipgram_pairs(
+    ds: "ray.data.Dataset",
+    window: int = 2,
+    k: int = 50,
+    min_count: int = 5,
+) -> "ray.data.Dataset":
+    """Top-k directed skip-gram (center, context) pairs within a +-window
+    token distance — the training-pair generator behind word2vec SGNS
+    (Mikolov et al. 2013): every ordered pair ``(t[i], t[j])`` with
+    ``0 < |i - j| <= window`` counts once, so a symmetric co-occurrence
+    contributes one pair in each direction. Whitespace tokenization,
+    matching the ``string_split(text, ' ')`` convention of
+    :func:`pmi_collocations`. Columns: ``(center, context, n)``, top-k
+    by count with (center, context) tie-break.
+
+    Scale shape: identical to the bigram pass of :func:`pmi_collocations`
+    — per-block dict counters shrink the exchange to distinct pairs per
+    block, ONE pair-keyed ``hash_groupby`` sums exact counts and applies
+    the min-count floor inside the partition (pruning the Zipf tail
+    before anything else moves), then a global top-k sort over the
+    floored head. The 2*window pair streams per token ride the same
+    single pass over each block; no driver-side token state."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            n = len(toks)
+            for d in range(1, window + 1):
+                for i in range(n - d):
+                    fwd = (toks[i], toks[i + d])
+                    counts[fwd] = counts.get(fwd, 0) + 1
+                    bwd = (toks[i + d], toks[i])
+                    counts[bwd] = counts.get(bwd, 0) + 1
+        return pa.table(
+            {
+                "center": pa.array([p[0] for p in counts], pa.string()),
+                "context": pa.array([p[1] for p in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def sum_floor(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["center", "context"], sort=False)["n"].sum().reset_index()
+        )
+        return out[out["n"] >= min_count]
+
+    pairs = hash_groupby(
+        src.map_batches(pair_partial, batch_format="pyarrow"),
+        ["center", "context"],
+        sum_floor,
+    )
+    return pairs.sort(
+        ["n", "center", "context"], descending=[True, False, False]
+    ).limit(k)

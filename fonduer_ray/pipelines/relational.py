@@ -2575,3 +2575,156 @@ def latest_event_per_user_type(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return hash_groupby(ds, ["user_id", "event_type"], pick_latest)
+
+
+def snapshot_diff(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    key: str = "k",
+    payload: str = "p",
+) -> "ray.data.Dataset":
+    """Snapshot (table) diff: compare two keyed snapshots of a table and
+    report, per status in ``added / removed / changed / unchanged``, the
+    row count and the exact sum of keys — the summary a CDC pipeline or
+    an anti-entropy repair job reads before shipping a delta. ``added`` =
+    key only in ``new``, ``removed`` = only in ``old``, ``changed`` =
+    both sides but payload differs. The write side of the CDC pair whose
+    read side is :func:`latest_event_per_user_type`; analog of the
+    reference's incremental-parse delta detection
+    (``/root/reference/src/fonduer/parser/parser.py`` clear=False path),
+    generalized to any keyed table.
+
+    Scale shape: both snapshots are tagged and union'd, then ONE key-hash
+    exchange co-locates each key's (at most two) rows; the per-partition
+    outer merge and status classification run vectorized in pandas, and
+    each partition collapses to <=4 summary rows before the final
+    status-keyed merge. No driver-side state, no broadcast: the exchange
+    moves each snapshot exactly once regardless of overlap.
+    Columns: ``(status, n, key_sum)``, ordered by status."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": t[key],
+                    "p": t[payload],
+                    "side": pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff_part(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        m = a.merge(b, on="k", how="outer", suffixes=("_a", "_b"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only",
+            "removed",
+            np.where(
+                m["_merge"] == "right_only",
+                "added",
+                np.where(m["p_a"] == m["p_b"], "unchanged", "changed"),
+            ),
+        )
+        out = (
+            pd.DataFrame({"status": status, "k": m["k"]})
+            .groupby("status", sort=False)["k"]
+            .agg(n="size", key_sum="sum")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["key_sum"] = out["key_sum"].astype("int64")
+        return out
+
+    parts = hash_groupby(both, ["k"], diff_part)
+    return hash_groupby(
+        parts,
+        ["status"],
+        lambda df: df.groupby("status", sort=False)
+        .agg(n=("n", "sum"), key_sum=("key_sum", "sum"))
+        .reset_index(),
+    ).sort("status")
+
+
+def orders_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Driver instantiation of :func:`snapshot_diff`: two deterministic
+    snapshots derived from ``orders`` — snapshot A drops keys divisible
+    by 11, snapshot B drops keys divisible by 13 and rewrites the
+    priority payload (suffix ``*``) for keys divisible by 17 — so all
+    four statuses occur. Payload column: ``o_orderpriority``."""
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        return t.filter(pa.array(k % 11 != 0))
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        t = t.filter(pa.array(k % 13 != 0))
+        mut = pa.array(t["o_orderkey"].to_numpy() % 17 == 0)
+        p = pc.if_else(
+            mut,
+            pc.binary_join_element_wise(t["o_orderpriority"], "*", ""),
+            t["o_orderpriority"],
+        )
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_orderpriority": p})
+
+    return snapshot_diff(
+        base.map_batches(snap_a, batch_format="pyarrow"),
+        base.map_batches(snap_b, batch_format="pyarrow"),
+        key="o_orderkey",
+        payload="o_orderpriority",
+    )
+
+
+def event_type_share(sf_dir: str) -> "ray.data.Dataset":
+    """Percent-of-total (``ratio_to_report``) report per event type:
+    exact row count, exact cent sum, and each as integer basis points of
+    the corpus total (``x * 10000 // total`` — floor division on
+    positives, bit-identical to the SQL oracle; no float ratio whose
+    last ulp varies with summation order). The share-of-traffic /
+    share-of-revenue breakdown every source-mixing decision reads.
+
+    Scale shape: per-block (type, n, cents) partials bound the exchange
+    to the type cardinality; one tiny groupby merges; the totals and
+    shares are computed in a single-block finish over the (few-row)
+    aggregate — the input never re-flows. Columns: ``(event_type, n,
+    cents, n_share_bp, cents_share_bp)``, ordered by type."""
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "cents": cents}
+        )
+        out = df.groupby("event_type", sort=False)["cents"].agg(n="size", cents="sum")
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    agg = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        lambda df: df.groupby("event_type", sort=False)
+        .agg(n=("n", "sum"), cents=("cents", "sum"))
+        .reset_index(),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_type").reset_index(drop=True)
+        df["n_share_bp"] = df["n"] * 10000 // int(df["n"].sum())
+        df["cents_share_bp"] = df["cents"] * 10000 // int(df["cents"].sum())
+        return df
+
+    # bounded post-agg table (one row per event type): single-block finish
+    return agg.repartition(1).map_batches(finish, batch_format="pandas")

@@ -202,3 +202,59 @@ def test_latest_event_per_user_type_brute(ray_session):
     assert list(got["event_id"]) == list(want["event_id"])
     assert list(got["ts"]) == list(want["ts"])
     assert list(got["value"]) == list(want["value"])
+
+
+def test_snapshot_diff_brute(ray_session):
+    import ray
+
+    from fonduer_ray.pipelines.relational import snapshot_diff
+
+    old = [{"k": i, "p": f"v{i % 4}"} for i in range(200) if i % 11 != 0]
+    new = [
+        {"k": i, "p": (f"v{i % 4}" + "*" if i % 17 == 0 else f"v{i % 4}")}
+        for i in range(200)
+        if i % 13 != 0
+    ]
+    got = (
+        snapshot_diff(ray.data.from_items(old), ray.data.from_items(new))
+        .to_pandas()
+        .set_index("status")
+    )
+    om = {r["k"]: r["p"] for r in old}
+    nm = {r["k"]: r["p"] for r in new}
+    exp = {"added": [], "removed": [], "changed": [], "unchanged": []}
+    for k in set(om) | set(nm):
+        if k not in om:
+            exp["added"].append(k)
+        elif k not in nm:
+            exp["removed"].append(k)
+        elif om[k] != nm[k]:
+            exp["changed"].append(k)
+        else:
+            exp["unchanged"].append(k)
+    for status, keys in exp.items():
+        assert keys, f"fixture must exercise status {status}"
+        assert got.loc[status, "n"] == len(keys)
+        assert got.loc[status, "key_sum"] == sum(keys)
+    assert len(got) == 4
+
+
+def test_event_type_share_brute(ray_session):
+    from fonduer_ray.pipelines.relational import event_type_share
+
+    got = event_type_share(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    exp = (
+        ev.groupby("event_type")["cents"]
+        .agg(n="size", cents="sum")
+        .reset_index()
+        .sort_values("event_type", ignore_index=True)
+    )
+    exp["n_share_bp"] = exp["n"] * 10000 // int(exp["n"].sum())
+    exp["cents_share_bp"] = exp["cents"] * 10000 // int(exp["cents"].sum())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+    # shares are exact-integer basis points summing to <= 10000
+    assert got["n_share_bp"].sum() <= 10000

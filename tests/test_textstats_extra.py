@@ -320,3 +320,39 @@ def test_lang_vocab_topk_brute(ray_session):
     )
     want = c.groupby("lang", sort=False).head(10).reset_index(drop=True)
     assert got[["lang", "token", "n"]].values.tolist() == want.values.tolist()
+
+
+def test_skipgram_pairs_brute(ray_session):
+    import ray
+
+    from fonduer_ray.functions.textstats import skipgram_pairs
+
+    texts = [
+        "a b c a b",
+        "b a a b c d",
+        "c c c a",
+        "",
+        "solo",
+    ] * 4
+    got = skipgram_pairs(
+        ray.data.from_items([{"text": t} for t in texts]),
+        window=2,
+        k=10,
+        min_count=2,
+    ).to_pandas()
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(len(toks)):
+                if i != j and abs(i - j) <= 2:
+                    c[(toks[i], toks[j])] += 1
+    exp = sorted(
+        ((w, n) for w, n in c.items() if n >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert list(map(tuple, got[["center", "context", "n"]].itertuples(index=False))) == [
+        (w[0], w[1], n) for w, n in exp
+    ]
