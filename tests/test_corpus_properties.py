@@ -86,3 +86,51 @@ def test_lm_unigram_score_property(ray_session, texts):
         for r in lm_unigram_score(ds).take_all()
     }
     assert got == want
+
+
+snapshot_strategy = st.tuples(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.sampled_from(["p0", "p1", "p2"]),
+        max_size=25,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.sampled_from(["p0", "p1", "p2"]),
+        max_size=25,
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snaps=snapshot_strategy)
+def test_snapshot_diff_property(ray_session, snaps):
+    from fonduer_ray.pipelines.relational import snapshot_diff
+
+    om, nm = snaps
+    exp = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            s = "added"
+        elif k not in nm:
+            s = "removed"
+        elif om[k] != nm[k]:
+            s = "changed"
+        else:
+            s = "unchanged"
+        n, ks = exp.get(s, (0, 0))
+        exp[s] = (n + 1, ks + k)
+    got = snapshot_diff(
+        ray.data.from_items([{"k": k, "p": p} for k, p in om.items()] or
+                            [{"k": -1, "p": "x"}]).filter(lambda r: r["k"] >= 0),
+        ray.data.from_items([{"k": k, "p": p} for k, p in nm.items()] or
+                            [{"k": -1, "p": "x"}]).filter(lambda r: r["k"] >= 0),
+    ).to_pandas()
+    # re-derive expectation against the sentinel-filtered inputs
+    assert {
+        r["status"]: (r["n"], r["key_sum"]) for _, r in got.iterrows()
+    } == exp
