@@ -1047,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "event_type_share": relational.event_type_share,
         "skipgram_pairs": lambda sf: textstats.skipgram_pairs(_docs(sf)),
+        "curriculum_buckets": lambda sf: training.curriculum_buckets(_docs(sf)),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3874,5 +3875,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT center, context, count(*) AS n
             FROM prs GROUP BY 1, 2 HAVING count(*) >= 5
             ORDER BY n DESC, center, context LIMIT 50
+        """,
+        "curriculum_buckets": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x IN {stop_list})) * 10000
+                       // len(string_split(text, ' ')) AS stop_bp,
+                     len(string_split(text, ' ')) AS n_toks
+              FROM documents
+            ), b AS (
+              SELECT ntile(10) OVER (ORDER BY stop_bp, doc_id) AS bucket,
+                     stop_bp, n_toks
+              FROM s
+            )
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   min(stop_bp) AS min_stop_bp, max(stop_bp) AS max_stop_bp
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
     }

@@ -764,3 +764,93 @@ def weighted_systematic_sample(
         )
 
     return scanned.map_batches(pick, batch_format="pyarrow")
+
+
+def curriculum_buckets(
+    ds: "ray.data.Dataset", n_buckets: int = 10
+) -> "ray.data.Dataset":
+    """Curriculum binning: rank every document by an integer quality
+    score (stopword basis points — ``n_stopwords * 10000 // n_tokens``,
+    the :class:`~fonduer_ray.functions.textstats.QualityScore` signal in
+    exact integers) and split the corpus into ``n_buckets`` equal-depth
+    NTILE buckets, reporting per bucket the doc count, total token mass
+    and score range. The table a curriculum / data-mixing schedule reads
+    before ordering training shards from cleanest to noisiest.
+
+    Scale shape: one stateless scoring map, then ONE range shuffle — the
+    two-pass distributed prefix scan of
+    :func:`~fonduer_ray.stages.util.ordered_prefix_sum` over a packed
+    ``(score << 48) | doc_id`` key (driver state = O(#blocks) partials)
+    — gives every doc its exact global rank; the NTILE bucket is a
+    closed-form function of (rank, N), and the per-bucket rollup is a
+    per-block combiner plus an ``n_buckets``-row merge. Ranks, buckets
+    and sums never leave the workers. Columns: ``(bucket, n_docs,
+    n_tokens, min_stop_bp, max_stop_bp)``, ordered by bucket."""
+    from fonduer_ray.functions.textstats import STOPWORDS_EN
+    from fonduer_ray.stages.util import hash_groupby, ordered_prefix_sum
+
+    src = ds.select_columns(["doc_id", "text"])
+    n_total = src.count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        bps, ntoks = [], []
+        for text in batch["text"].to_pylist():
+            toks = (text or "").split()
+            n = len(toks)
+            n_stop = sum(1 for t in toks if t in STOPWORDS_EN)
+            bps.append(n_stop * 10000 // n if n else 0)
+            ntoks.append(n)
+        key = [(bp << 48) | d for bp, d in zip(bps, doc_ids)]
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "stop_bp": pa.array(bps, pa.int64()),
+                "n_toks": pa.array(ntoks, pa.int64()),
+                "one": pa.array([1] * len(bps), pa.int64()),
+            }
+        )
+
+    ranked = ordered_prefix_sum(
+        src.map_batches(score, batch_format="pyarrow"), "key", ["one"]
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        # NTILE(n_buckets): first (N % n_buckets) buckets hold one extra row
+        r = t["one_cum"].to_numpy(zero_copy_only=False) - 1  # 0-based rank
+        small, rem = divmod(n_total, n_buckets)
+        big = small + 1
+        cut = rem * big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bucket = np.where(
+                r < cut,
+                r // big + 1 if big else 1,
+                rem + (np.maximum(r - cut, 0) // max(small, 1)) + 1,
+            )
+        df = pd.DataFrame(
+            {
+                "bucket": bucket.astype(np.int64),
+                "stop_bp": t["stop_bp"].to_numpy(zero_copy_only=False),
+                "n_toks": t["n_toks"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby("bucket", sort=False).agg(
+            n_docs=("n_toks", "size"),
+            n_tokens=("n_toks", "sum"),
+            min_stop_bp=("stop_bp", "min"),
+            max_stop_bp=("stop_bp", "max"),
+        )
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    return hash_groupby(
+        ranked.map_batches(to_bucket, batch_format="pyarrow"),
+        ["bucket"],
+        lambda df: df.groupby("bucket", sort=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            min_stop_bp=("min_stop_bp", "min"),
+            max_stop_bp=("max_stop_bp", "max"),
+        )
+        .reset_index(),
+    ).sort("bucket")

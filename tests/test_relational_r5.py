@@ -258,3 +258,49 @@ def test_event_type_share_brute(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
     # shares are exact-integer basis points summing to <= 10000
     assert got["n_share_bp"].sum() <= 10000
+
+
+def test_curriculum_buckets_uneven_ntile(ray_session):
+    """23 docs into 4 buckets: NTILE gives 6,6,6,5 — exercises the uneven
+    split the sf fixtures (10 | 500) never hit."""
+    import ray
+
+    from fonduer_ray.functions.textstats import STOPWORDS_EN
+    from fonduer_ray.functions.training import curriculum_buckets
+
+    stops = sorted(STOPWORDS_EN)[:3]
+    docs = []
+    for i in range(23):
+        toks = [stops[j % 3] for j in range(i % 5)] + ["zz"] * (7 - i % 5)
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    got = curriculum_buckets(
+        ray.data.from_items(docs), n_buckets=4
+    ).to_pandas()
+
+    scored = sorted(
+        (
+            (
+                sum(1 for t in d["text"].split() if t in STOPWORDS_EN)
+                * 10000
+                // len(d["text"].split()),
+                d["doc_id"],
+                len(d["text"].split()),
+            )
+            for d in docs
+        )
+    )
+    exp = {}
+    n, nb = len(scored), 4
+    small, rem = divmod(n, nb)
+    for r, (bp, _d, ntok) in enumerate(scored):
+        cut = rem * (small + 1)
+        b = (r // (small + 1) + 1) if r < cut else rem + (r - cut) // small + 1
+        e = exp.setdefault(b, [0, 0, 10**9, -1])
+        e[0] += 1
+        e[1] += ntok
+        e[2] = min(e[2], bp)
+        e[3] = max(e[3], bp)
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (b, *exp[b]) for b in sorted(exp)
+    ]
+    assert got["n_docs"].tolist() == [6, 6, 6, 5]
