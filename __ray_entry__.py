@@ -1048,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": relational.event_type_share,
         "skipgram_pairs": lambda sf: textstats.skipgram_pairs(_docs(sf)),
         "curriculum_buckets": lambda sf: training.curriculum_buckets(_docs(sf)),
+        "triple_confidence": docops.triple_confidence,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3893,5 +3894,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
                    min(stop_bp) AS min_stop_bp, max(stop_bp) AS max_stop_bp
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "triple_confidence": f"""
+            WITH trip AS ({_ORACLE_TRIPLES}),
+            sm AS (SELECT subj, sum(support) AS st FROM trip GROUP BY subj),
+            om AS (SELECT obj, sum(support) AS ot FROM trip GROUP BY obj),
+            tt AS (SELECT sum(support) AS t FROM trip)
+            SELECT trip.subj, trip.obj, trip.support,
+                   CAST(trip.support * tt.t * tt.t // (sm.st * om.ot)
+                        AS BIGINT) AS score
+            FROM trip
+            JOIN sm ON trip.subj = sm.subj
+            JOIN om ON trip.obj = om.obj
+            CROSS JOIN tt
+            ORDER BY score DESC, trip.subj, trip.obj
         """,
     }

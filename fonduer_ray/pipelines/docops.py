@@ -2192,3 +2192,67 @@ def robots_filter_stats(sf_dir: str) -> "ray.data.Dataset":
 
     out = robots_filter(pages, robots)
     return out.select_columns(["doc_id", "host", "allowed"])
+
+
+def triple_confidence(sf_dir: str) -> "ray.data.Dataset":
+    """KB confidence scoring over the engine's own canonical triple table
+    — the NELL / DeepDive-style promotion signal: how much more often do
+    ``subj`` and ``obj`` co-occur than their marginal supports predict?
+    Ranked by the exact-integer PMI surrogate ``score = support * T * T //
+    (subj_total * obj_total)`` (T = total support mass; monotone in PMI
+    for the shared corpus constants, bit-identical to the SQL oracle —
+    the :func:`~fonduer_ray.functions.textstats.pmi_collocations`
+    convention). A downstream KB keeps triples above a score floor and
+    routes the rest to re-extraction; analog of the reference's
+    marginal-threshold KB promotion
+    (/root/reference/src/fonduer/candidates/candidates.py apply/threshold
+    flow, re-expressed as a post-canonicalization Dataset stage).
+
+    Scale shape: the triple table is already 100-1000x smaller than the
+    corpus; the subj/obj marginals are two ``hash_groupby`` sums over it,
+    re-attached via the guarded broadcast-vs-join ``attach_lookup``
+    switch, so the pattern stays shuffle-bounded even for a KB with
+    billions of triples. Columns: ``(subj, obj, support, score)``,
+    ordered by (score desc, subj, obj)."""
+    import pandas as pd
+
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.util import hash_groupby
+
+    t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
+
+    def marginal(col: str) -> "ray.data.Dataset":
+        return hash_groupby(
+            t.select_columns([col, "support"]),
+            [col],
+            lambda df, c=col: df.groupby(c, sort=False)["support"]
+            .sum()
+            .reset_index()
+            .rename(columns={"support": f"{c}_total"}),
+            join_safe=True,
+        ).materialize()
+
+    subj_m = marginal("subj")
+    obj_m = marginal("obj")
+    total = int(t.sum("support") or 0)
+
+    scored = attach_lookup(t, subj_m, "subj", "subj", "subj_total")
+    scored = attach_lookup(scored, obj_m, "obj", "obj", "obj_total")
+
+    def score(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        num = pc.multiply(pc.multiply(tbl["support"], total), total)
+        den = pc.multiply(tbl["subj_total"], tbl["obj_total"])
+        return pa.table(
+            {
+                "subj": tbl["subj"],
+                "obj": tbl["obj"],
+                "support": tbl["support"],
+                "score": pc.divide(num, den),
+            }
+        )
+
+    return scored.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "subj", "obj"], descending=[True, False, False]
+    )

@@ -2645,13 +2645,18 @@ def snapshot_diff(
         return out
 
     parts = hash_groupby(both, ["k"], diff_part)
-    return hash_groupby(
-        parts,
-        ["status"],
-        lambda df: df.groupby("status", sort=False)
-        .agg(n=("n", "sum"), key_sum=("key_sum", "sum"))
-        .reset_index(),
-    ).sort("status")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("status", sort=False)
+            .agg(n=("n", "sum"), key_sum=("key_sum", "sum"))
+            .reset_index()
+            .sort_values("status", ignore_index=True)
+        )
+
+    # bounded post-agg table (<=4 rows per hash partition): single-block
+    # finish instead of a second status-keyed exchange
+    return parts.repartition(1).map_batches(merge, batch_format="pandas")
 
 
 def orders_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":

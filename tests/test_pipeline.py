@@ -248,3 +248,29 @@ def test_incremental_triples_equal_batch(ray_session, sf_dir):
         canon(docops.triples_incremental(sf_dir)),
         canon(docops.triples(sf_dir)),
     )
+
+
+def test_triple_confidence_brute(ray_session):
+    """Confidence scores must equal the integer-PMI formula computed
+    brute-force from the engine's own triple table."""
+    from fonduer_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    trip = docops.triples(sf).to_pandas()
+    got = docops.triple_confidence(sf).to_pandas()
+
+    t_total = int(trip["support"].sum())
+    sm = trip.groupby("subj")["support"].sum()
+    om = trip.groupby("obj")["support"].sum()
+    exp = trip[["subj", "obj", "support"]].copy()
+    exp["score"] = [
+        int(s) * t_total * t_total // (int(sm[a]) * int(om[b]))
+        for a, b, s in zip(exp["subj"], exp["obj"], exp["support"])
+    ]
+    exp = exp.sort_values(
+        ["score", "subj", "obj"], ascending=[False, True, True],
+        ignore_index=True,
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
