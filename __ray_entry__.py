@@ -1049,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": lambda sf: textstats.skipgram_pairs(_docs(sf)),
         "curriculum_buckets": lambda sf: training.curriculum_buckets(_docs(sf)),
         "triple_confidence": docops.triple_confidence,
+        "kb_path_inference": docops.kb_path_inference,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3908,5 +3909,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN om ON trip.obj = om.obj
             CROSS JOIN tt
             ORDER BY score DESC, trip.subj, trip.obj
+        """,
+        "kb_path_inference": f"""
+            WITH trip AS ({_ORACLE_TRIPLES})
+            SELECT a.subj AS subj_a, b.subj AS subj_b,
+                   CAST(sum(a.support * b.support) AS BIGINT) AS path_mass,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM trip a JOIN trip b
+              ON a.obj = b.obj AND a.subj < b.subj
+            GROUP BY a.subj, b.subj
+            ORDER BY path_mass DESC, subj_a, subj_b
         """,
     }

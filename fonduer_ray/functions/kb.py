@@ -1,0 +1,311 @@
+"""KB-reasoning operators over a canonical triple table.
+
+The engine's KG path ends in a deduplicated ``(subj, pred, obj, support)``
+table (``pipelines/docops.triples``); a KB-construction loop then *reasons*
+over that table to decide what to promote and what to send back for
+re-extraction.  This module holds the reasoning stages, each expressed over
+a ``ray.data.Dataset`` of triples so it composes with any upstream
+extraction — the distributed analog of the reference's promotion step on
+top of candidate marginals (/root/reference/src/fonduer/candidates/
+candidates.py apply/threshold flow), extended with the path-based KB
+completion signal from the Path-Ranking-Algorithm literature (Lao & Cohen
+2010): entity pairs connected by strong 2-hop paths but no direct edge are
+the highest-value extraction targets.
+
+Scale notes: the triple table is 100-1000x smaller than the corpus, but a
+KB at 100 TB corpus scale can still hold billions of triples — so the
+bridge join is a guarded broadcast-vs-hash-partition switch (the
+``attach_lookup`` convention), the (subj, obj) aggregation is one
+``hash_groupby``, and nothing driver-sized materializes on the join path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+#: triples at or below this count broadcast the adjacency / pair set once
+#: via ``ray.put``; above it both sides hash-partition through
+#: ``Dataset.join`` (same convention as relational.BROADCAST_ROW_LIMIT)
+KB_BROADCAST_LIMIT = 2_000_000
+
+
+def two_hop_paths(
+    triples: "ray.data.Dataset",
+    broadcast_limit: int = KB_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """2-hop path inference — KB-completion candidates.
+
+    For every ordered entity pair ``(subj, obj)``, ``subj != obj``,
+    connected through at least one bridge entity ``b`` with triples
+    ``(subj, b, s1)`` and ``(b, obj, s2)``, emit:
+
+    - ``path_mass`` — ``sum(s1 * s2)`` over all bridges (the unnormalized
+      2-step random-walk mass; exact integers, bit-identical to the SQL
+      oracle),
+    - ``n_paths`` — the number of distinct bridges,
+    - ``direct`` — 1 if a direct ``(subj, obj)`` triple already exists,
+      else 0.  High ``path_mass`` with ``direct = 0`` is the classic
+      completion-candidate set.
+
+    Input must be unique on ``(subj, obj)`` (the canonical table is — it
+    is grouped there), so ``n_paths`` counts bridges exactly.
+
+    Strategy: at or below ``broadcast_limit`` rows the out-adjacency
+    ``bridge -> [(obj, s2), ...]`` and the direct-pair set ship ONCE via
+    ``ray.put`` and the expansion runs inside ``map_batches`` — no shuffle.
+    Above it, the bridge join and the direct-flag attach both run as
+    hash-partitioned ``Dataset.join``s; the two paths are bit-identical
+    (tests force the join path with a lowered limit).
+
+    Columns ``(subj, obj, path_mass, n_paths, direct)``, ordered by
+    (path_mass desc, subj, obj).
+    """
+    from fonduer_ray.stages.util import get_broadcast, hash_groupby, join_partitions
+
+    t = triples.select_columns(["subj", "obj", "support"])
+    n = t.count()
+
+    if n <= broadcast_limit:
+        adj: dict = {}
+        pairs = set()
+        for batch in t.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for s, o, w in zip(
+                batch["subj"].to_pylist(),
+                batch["obj"].to_pylist(),
+                batch["support"].to_pylist(),
+            ):
+                adj.setdefault(s, []).append((o, w))
+                pairs.add((s, o))
+        adj_ref = ray.put(adj)
+        pairs_ref = ray.put(frozenset(pairs))
+
+        def explode(tbl: pa.Table) -> pa.Table:
+            out_adj = get_broadcast(adj_ref)
+            xs: list = []
+            zs: list = []
+            ms: list = []
+            for x, b, s1 in zip(
+                tbl["subj"].to_pylist(),
+                tbl["obj"].to_pylist(),
+                tbl["support"].to_pylist(),
+            ):
+                for z, s2 in out_adj.get(b, ()):
+                    if z != x:
+                        xs.append(x)
+                        zs.append(z)
+                        ms.append(s1 * s2)
+            return pa.table(
+                {
+                    "subj": pa.array(xs, pa.string()),
+                    "obj": pa.array(zs, pa.string()),
+                    "mass": pa.array(ms, pa.int64()),
+                }
+            )
+
+        paths = t.map_batches(explode, batch_format="pyarrow")
+        agg = _sum_paths(paths, hash_groupby, join_safe=False)
+
+        def flag(tbl: pa.Table) -> pa.Table:
+            direct_pairs = get_broadcast(pairs_ref)
+            direct = [
+                1 if (s, o) in direct_pairs else 0
+                for s, o in zip(tbl["subj"].to_pylist(), tbl["obj"].to_pylist())
+            ]
+            return tbl.append_column("direct", pa.array(direct, pa.int64()))
+
+        flagged = agg.map_batches(flag, batch_format="pyarrow")
+    else:
+        n_parts = join_partitions()
+        right = t.map_batches(
+            lambda tb: tb.rename_columns(["_bridge", "_z", "_s2"]),
+            batch_format="pyarrow",
+        )
+        joined = t.join(
+            right,
+            "inner",
+            num_partitions=n_parts,
+            on=("obj",),
+            right_on=("_bridge",),
+        )
+
+        def product(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.equal(tbl["_z"], tbl["subj"]))
+            kept = tbl.filter(keep)
+            return pa.table(
+                {
+                    "subj": kept["subj"],
+                    "obj": kept["_z"],
+                    "mass": pc.multiply(kept["support"], kept["_s2"]),
+                }
+            )
+
+        paths = joined.map_batches(product, batch_format="pyarrow")
+        agg = _sum_paths(paths, hash_groupby, join_safe=True)
+        direct_tbl = t.map_batches(
+            lambda tb: pa.table(
+                {
+                    "_ds": tb["subj"],
+                    "_do": tb["obj"],
+                    "_direct": pa.array([1] * tb.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).repartition(n_parts)
+        out = agg.join(
+            direct_tbl,
+            "left_outer",
+            num_partitions=n_parts,
+            on=("subj", "obj"),
+            right_on=("_ds", "_do"),
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            direct = [
+                1 if d is not None else 0 for d in tbl["_direct"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "subj": tbl["subj"],
+                    "obj": tbl["obj"],
+                    "path_mass": tbl["path_mass"],
+                    "n_paths": tbl["n_paths"],
+                    "direct": pa.array(direct, pa.int64()),
+                }
+            )
+
+        flagged = out.map_batches(finish, batch_format="pyarrow")
+
+    return flagged.sort(
+        ["path_mass", "subj", "obj"], descending=[True, False, False]
+    )
+
+
+def _sum_paths(paths, hash_groupby, join_safe: bool):
+    """One (subj, obj)-keyed aggregation of per-bridge partial products."""
+
+    def agg(df):
+        g = (
+            df.groupby(["subj", "obj"], sort=False)["mass"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        g.columns = ["subj", "obj", "path_mass", "n_paths"]
+        return g
+
+    return hash_groupby(paths, ["subj", "obj"], agg, join_safe=join_safe)
+
+
+def shared_object_pairs(
+    triples: "ray.data.Dataset",
+    broadcast_limit: int = KB_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """PRA inverse-forward 2-hop inference: subject pairs sharing objects.
+
+    On a bipartite KB (disjoint subject/object vocabularies — the engine's
+    ``cooccurs`` table is one) the only non-empty length-2 path type is
+    ``(r, r^-1)``: ``subj_a -> b <- subj_b``.  Its aggregate is the classic
+    distributional-similarity signal KB construction uses for entity
+    resolution and type induction (Lao & Cohen 2010 path features; NELL's
+    coupled sibling evidence).  For every unordered subject pair
+    ``subj_a < subj_b`` sharing at least one object ``b``:
+
+    - ``path_mass`` — ``sum_b s(subj_a, b) * s(subj_b, b)`` (exact ints),
+    - ``n_shared`` — the number of distinct shared objects.
+
+    Strategy mirrors :func:`two_hop_paths`: at or below ``broadcast_limit``
+    the inverse adjacency ``obj -> [(subj, s)]`` ships once and pair
+    generation runs inside ``map_batches``; above it a self
+    ``Dataset.join`` on ``obj`` hash-partitions both sides.  Pair
+    generation is per-object O(fan-in^2) — same partitioning assumption as
+    the LSH band-bucket pair generator (``functions/dedup.py``): object
+    fan-in is bounded (cap hot objects upstream if a corpus violates it).
+
+    Columns ``(subj_a, subj_b, path_mass, n_shared)``, ordered by
+    (path_mass desc, subj_a, subj_b).
+    """
+    from fonduer_ray.stages.util import get_broadcast, hash_groupby, join_partitions
+
+    t = triples.select_columns(["subj", "obj", "support"])
+    n = t.count()
+
+    if n <= broadcast_limit:
+        inv: dict = {}
+        for batch in t.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for s, o, w in zip(
+                batch["subj"].to_pylist(),
+                batch["obj"].to_pylist(),
+                batch["support"].to_pylist(),
+            ):
+                inv.setdefault(o, []).append((s, w))
+        inv_ref = ray.put(inv)
+
+        def explode(tbl: pa.Table) -> pa.Table:
+            inv_adj = get_broadcast(inv_ref)
+            aa: list = []
+            bb: list = []
+            ms: list = []
+            for x, b, s1 in zip(
+                tbl["subj"].to_pylist(),
+                tbl["obj"].to_pylist(),
+                tbl["support"].to_pylist(),
+            ):
+                for z, s2 in inv_adj.get(b, ()):
+                    if x < z:
+                        aa.append(x)
+                        bb.append(z)
+                        ms.append(s1 * s2)
+            return pa.table(
+                {
+                    "subj_a": pa.array(aa, pa.string()),
+                    "subj_b": pa.array(bb, pa.string()),
+                    "mass": pa.array(ms, pa.int64()),
+                }
+            )
+
+        pairs = t.map_batches(explode, batch_format="pyarrow")
+    else:
+        n_parts = join_partitions()
+        right = t.map_batches(
+            lambda tb: tb.rename_columns(["_sb", "_ob", "_s2"]),
+            batch_format="pyarrow",
+        )
+        joined = t.join(
+            right,
+            "inner",
+            num_partitions=n_parts,
+            on=("obj",),
+            right_on=("_ob",),
+        )
+
+        def product(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.less(tbl["subj"], tbl["_sb"])
+            kept = tbl.filter(keep)
+            return pa.table(
+                {
+                    "subj_a": kept["subj"],
+                    "subj_b": kept["_sb"],
+                    "mass": pc.multiply(kept["support"], kept["_s2"]),
+                }
+            )
+
+        pairs = joined.map_batches(product, batch_format="pyarrow")
+
+    def agg(df):
+        g = (
+            df.groupby(["subj_a", "subj_b"], sort=False)["mass"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        g.columns = ["subj_a", "subj_b", "path_mass", "n_shared"]
+        return g
+
+    out = hash_groupby(pairs, ["subj_a", "subj_b"], agg)
+    return out.sort(
+        ["path_mass", "subj_a", "subj_b"], descending=[True, False, False]
+    )

@@ -2256,3 +2256,21 @@ def triple_confidence(sf_dir: str) -> "ray.data.Dataset":
     return scored.map_batches(score, batch_format="pyarrow").sort(
         ["score", "subj", "obj"], descending=[True, False, False]
     )
+
+
+def kb_path_inference(sf_dir: str) -> "ray.data.Dataset":
+    """KB 2-hop path inference over the engine's own canonical triple
+    table.  The ``cooccurs`` KB is bipartite (disjoint subject/object
+    dictionaries), so the non-empty PRA path type is the inverse-forward
+    ``(r, r^-1)`` path: subject pairs sharing objects — the
+    distributional-similarity evidence a KB-construction loop (NELL /
+    DeepDive promotion cycle; reference analog
+    /root/reference/src/fonduer/candidates/candidates.py threshold flow)
+    uses for entity resolution and type induction.  Semantics and scale
+    shape: :func:`fonduer_ray.functions.kb.shared_object_pairs`; the
+    general directed 2-hop chain (with direct-edge completion flags) is
+    :func:`fonduer_ray.functions.kb.two_hop_paths`."""
+    from fonduer_ray.functions.kb import shared_object_pairs
+
+    t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
+    return shared_object_pairs(t)

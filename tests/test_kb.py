@@ -1,0 +1,128 @@
+"""KB reasoning: brute-force cross-check of 2-hop path inference and
+bit-identity of the broadcast vs hash-partition-join paths."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fonduer_ray.functions import kb
+
+
+def _triples_ds(rows):
+    import ray.data
+
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "support"])
+    df["support"] = df["support"].astype("int64")
+    return ray.data.from_pandas(df).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def triple_rows(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    ents = [f"e{i}" for i in range(12)]
+    seen = {}
+    for _ in range(80):
+        s, o = rng.choice(ents, 2, replace=False)
+        seen[(s, o)] = seen.get((s, o), 0) + int(rng.integers(1, 9))
+    return [(s, "cooccurs", o, w) for (s, o), w in sorted(seen.items())]
+
+
+def _brute(rows):
+    adj: dict[str, list] = {}
+    pairs = set()
+    for s, _p, o, w in rows:
+        adj.setdefault(s, []).append((o, w))
+        pairs.add((s, o))
+    out: dict[tuple, list] = {}
+    for s, _p, b, s1 in rows:
+        for z, s2 in adj.get(b, ()):
+            if z != s:
+                mass, n = out.get((s, z), (0, 0))
+                out[(s, z)] = (mass + s1 * s2, n + 1)
+    return {
+        (s, z): (mass, n, 1 if (s, z) in pairs else 0)
+        for (s, z), (mass, n) in out.items()
+    }
+
+
+def test_two_hop_brute(triple_rows):
+    got = kb.two_hop_paths(_triples_ds(triple_rows)).to_pandas()
+    want = _brute(triple_rows)
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[(row.subj, row.obj)] == (
+            row.path_mass,
+            row.n_paths,
+            row.direct,
+        )
+    # sorted by (path_mass desc, subj, obj)
+    key = list(zip(-got["path_mass"], got["subj"], got["obj"]))
+    assert key == sorted(key)
+
+
+def test_two_hop_paths_match(triple_rows):
+    """broadcast (default) and hash-partition join (forced) are
+    bit-identical."""
+    a = kb.two_hop_paths(_triples_ds(triple_rows)).to_pandas()
+    b = kb.two_hop_paths(
+        _triples_ds(triple_rows), broadcast_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_two_hop_excludes_self_and_flags_direct(ray_session):
+    rows = [
+        ("a", "cooccurs", "b", 2),
+        ("b", "cooccurs", "c", 3),
+        ("a", "cooccurs", "c", 1),  # direct edge for the (a, c) path
+        ("b", "cooccurs", "a", 5),  # makes a->b->a a self-loop: excluded
+    ]
+    got = kb.two_hop_paths(_triples_ds(rows)).to_pandas()
+    got = {
+        (r.subj, r.obj): (r.path_mass, r.n_paths, r.direct)
+        for r in got.itertuples(index=False)
+    }
+    # a->b->a and b->a->b are self-loops: excluded entirely
+    assert ("a", "a") not in got and ("b", "b") not in got
+    # a->b->c: mass 2*3 via one bridge; direct a->c edge exists
+    # b->a->c: mass 5*1 via one bridge; direct b->c edge exists
+    assert got == {("a", "c"): (6, 1, 1), ("b", "c"): (5, 1, 1)}
+
+
+def _brute_shared(rows):
+    inv: dict[str, list] = {}
+    for s, _p, o, w in rows:
+        inv.setdefault(o, []).append((s, w))
+    out: dict[tuple, list] = {}
+    for subs in inv.values():
+        for i, (a, s1) in enumerate(subs):
+            for b, s2 in subs:
+                if a < b:
+                    mass, n = out.get((a, b), (0, 0))
+                    out[(a, b)] = (mass + s1 * s2, n + 1)
+    return out
+
+
+def test_shared_object_pairs_brute(triple_rows):
+    got = kb.shared_object_pairs(_triples_ds(triple_rows)).to_pandas()
+    want = _brute_shared(triple_rows)
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[(row.subj_a, row.subj_b)] == (row.path_mass, row.n_shared)
+    key = list(zip(-got["path_mass"], got["subj_a"], got["subj_b"]))
+    assert key == sorted(key)
+
+
+def test_shared_object_pairs_paths_match(triple_rows):
+    a = kb.shared_object_pairs(_triples_ds(triple_rows)).to_pandas()
+    b = kb.shared_object_pairs(
+        _triples_ds(triple_rows), broadcast_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
