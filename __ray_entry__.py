@@ -1050,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_buckets": lambda sf: training.curriculum_buckets(_docs(sf)),
         "triple_confidence": docops.triple_confidence,
         "kb_path_inference": docops.kb_path_inference,
+        "kb_triple_provenance": docops.kb_triple_provenance,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3919,5 +3920,26 @@ def oracle_sql() -> dict[str, str]:
               ON a.obj = b.obj AND a.subj < b.subj
             GROUP BY a.subj, b.subj
             ORDER BY path_mass DESC, subj_a, subj_b
+        """,
+        "kb_triple_provenance": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            )
+            SELECT a.w AS subj, b.w AS obj,
+                   CAST(count(*) AS BIGINT) AS support,
+                   CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+                   CAST(min(a.doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(a.doc_id) AS BIGINT) AS last_doc
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND CAST(floor((a.i-1)/10) AS BIGINT) = CAST(floor((b.i-1)/10) AS BIGINT)
+             AND abs(a.i - b.i) <= 3
+             AND a.w IN {SUBJ_IN}
+             AND b.w IN {OBJ_IN}
+            GROUP BY a.w, b.w
+            ORDER BY subj, obj
         """,
     }

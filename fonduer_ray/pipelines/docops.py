@@ -2274,3 +2274,59 @@ def kb_path_inference(sf_dir: str) -> "ray.data.Dataset":
 
     t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
     return shared_object_pairs(t)
+
+
+def kb_triple_provenance(sf_dir: str) -> "ray.data.Dataset":
+    """Per-triple provenance/lineage over the PRE-canonicalization
+    instance table: for every ``(subj, obj)`` pair, the instance count
+    (``support``), how many distinct documents contributed (``n_docs``),
+    and the first/last contributing ``doc_id`` — the audit trail a KB
+    keeps so every promoted fact can be traced back to its sources
+    (reference analog: candidate rows keep ``document_id`` foreign keys,
+    /root/reference/src/fonduer/candidates/models/candidate.py; here the
+    lineage is aggregated instead of row-per-candidate).
+
+    Scale shape: the fused extraction emits one row per candidate
+    instance (doc-local work, no shuffle); provenance is then ONE
+    ``hash_groupby`` on (subj, obj) with count/nunique/min/max running
+    vectorized inside each hash partition. Columns ``(subj, obj,
+    support, n_docs, first_doc, last_doc)``, ordered by (subj, obj)."""
+    from fonduer_ray.stages.fused import pages_to_triples
+    from fonduer_ray.stages.util import hash_groupby
+
+    inst = _cached(
+        "triples_inst",
+        sf_dir,
+        lambda: pages_to_triples(
+            htmlize(sf_dir),
+            _mention_specs(),
+            _relation_specs(),
+            [("lf_cooccur", _lf_cooccur)],
+            pred_names={"cooccur": PRED},
+            threshold=0.6,
+            batch_size=128,
+        ).select_columns(["subj", "obj", "doc_name"]),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "obj": t["obj"],
+                "doc_id": pc.cast(t["doc_name"], pa.int64()),
+            }
+        )
+
+    def agg(df):
+        g = df.groupby(["subj", "obj"], sort=False)["doc_id"].agg(
+            ["size", "nunique", "min", "max"]
+        ).reset_index()
+        g.columns = ["subj", "obj", "support", "n_docs", "first_doc", "last_doc"]
+        return g
+
+    prov = hash_groupby(
+        inst.map_batches(prep, batch_format="pyarrow"), ["subj", "obj"], agg
+    )
+    return prov.sort(["subj", "obj"])

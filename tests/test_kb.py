@@ -126,3 +126,22 @@ def test_shared_object_pairs_paths_match(triple_rows):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_provenance_consistent_with_canonical_support(ray_session):
+    """Aggregated instance lineage must reproduce the canonical table's
+    per-(subj, obj) support exactly, and doc bounds must be ordered."""
+    from fonduer_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    prov = docops.kb_triple_provenance(sf).to_pandas()
+    canon = docops.triples(sf).to_pandas()
+    want = {
+        (r.subj, r.obj): r.support for r in canon.itertuples(index=False)
+    }
+    got = {
+        (r.subj, r.obj): r.support for r in prov.itertuples(index=False)
+    }
+    assert got == want
+    assert (prov["first_doc"] <= prov["last_doc"]).all()
+    assert (prov["n_docs"] <= prov["support"]).all()
