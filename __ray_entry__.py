@@ -1051,6 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_confidence": docops.triple_confidence,
         "kb_path_inference": docops.kb_path_inference,
         "kb_triple_provenance": docops.kb_triple_provenance,
+        "events_window_dedup": relational.events_window_dedup,
+        "source_quality_shrunk": lambda sf: textstats.source_quality_shrunk(
+            _sized(sf, "documents", ["source", "text"])
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3941,5 +3945,35 @@ def oracle_sql() -> dict[str, str]:
              AND b.w IN {OBJ_IN}
             GROUP BY a.w, b.w
             ORDER BY subj, obj
+        """,
+        "events_window_dedup": """
+            WITH x AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                     ) AS prev_ts
+              FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM x
+            WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 60 SECOND
+            ORDER BY event_id
+        """,
+        "source_quality_shrunk": f"""
+            WITH s AS (
+              SELECT source,
+                     len(list_filter(string_split(text,' '),
+                                     x -> x IN {stop_list})) * 10000
+                       // len(string_split(text,' ')) AS stop_bp
+              FROM documents
+            ), g AS (
+              SELECT CAST(sum(stop_bp) AS BIGINT) // count(*) AS mu FROM s
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(stop_bp) AS BIGINT) // count(*) AS mean_bp,
+                   (CAST(sum(stop_bp) AS BIGINT) + 20 * g.mu)
+                     // (count(*) + 20) AS shrunk_bp
+            FROM s, g GROUP BY source, g.mu ORDER BY source
         """,
     }

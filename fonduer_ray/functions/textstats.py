@@ -919,3 +919,80 @@ def skipgram_pairs(
     return pairs.sort(
         ["n", "center", "context"], descending=[True, False, False]
     ).limit(k)
+
+
+def source_quality_shrunk(
+    ds: "ray.data.Dataset", alpha: int = 20
+) -> "ray.data.Dataset":
+    """Per-source quality with empirical-Bayes shrinkage — the crawl-
+    prioritization score: a source's mean stopword-ratio quality signal
+    (basis points, the curriculum_buckets convention) pulled toward the
+    corpus mean with prior strength ``alpha``, so a source with 3 docs
+    can't outrank one with 30k on noise.  All arithmetic is exact
+    integers (floor division), bit-identical to the SQL oracle:
+    ``mu = sum_all_bp // n_all``; ``shrunk_bp = (sum_bp + alpha * mu) //
+    (n_docs + alpha)``.
+
+    Scale shape: one stateless scoring pass with per-block (source,
+    sum, count) combiners, ONE source-keyed ``hash_groupby`` merge, and a
+    ``repartition(1)`` finish over the bounded per-source table (sources
+    number in the thousands at web scale) that computes the global mean
+    and the shrinkage vectorized. Columns ``(source, n_docs, mean_bp,
+    shrunk_bp)``, ordered by source."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    src = ds.select_columns(["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for source, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").split()
+            n = len(toks)
+            n_stop = sum(1 for t in toks if t in STOPWORDS_EN)
+            bp = n_stop * 10000 // n if n else 0
+            a = agg.get(source)
+            if a is None:
+                agg[source] = [bp, 1]
+            else:
+                a[0] += bp
+                a[1] += 1
+        keys = list(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "sum_bp": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_docs": pa.array([agg[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    merged = hash_groupby(
+        ds.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["source"],
+        lambda df: df.groupby("source", sort=False)
+        .agg(sum_bp=("sum_bp", "sum"), n_docs=("n_docs", "sum"))
+        .reset_index(),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mu = int(df["sum_bp"].sum()) // int(df["n_docs"].sum())
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["n_docs"].astype("int64"),
+                "mean_bp": (df["sum_bp"] // df["n_docs"]).astype("int64"),
+                "shrunk_bp": (
+                    (df["sum_bp"] + alpha * mu) // (df["n_docs"] + alpha)
+                ).astype("int64"),
+            }
+        )
+        return out.sort_values("source").reset_index(drop=True)
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

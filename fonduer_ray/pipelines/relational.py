@@ -2733,3 +2733,33 @@ def event_type_share(sf_dir: str) -> "ray.data.Dataset":
 
     # bounded post-agg table (one row per event type): single-block finish
     return agg.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def events_window_dedup(sf_dir: str, gap_seconds: int = 60) -> "ray.data.Dataset":
+    """Time-gap stream dedup (throttle): within each ``(user_id,
+    event_type)`` stream, drop an event whose predecessor (by ``ts``,
+    tie-break ``event_id``) is at most ``gap_seconds`` older — the
+    standard burst-collapse / at-least-once-delivery cleanup before
+    sessionization.  Predecessor means the previous RAW event (the SQL
+    ``lag`` window semantics), not the last kept one, so the operator is
+    a pure per-key vectorized scan with no running state.
+
+    Scale shape: ONE key-hash exchange co-locates each stream
+    (``hash_groupby``), then the shift/compare runs vectorized inside
+    each partition; no driver-side state. Columns ``(event_id, user_id,
+    event_type, ts)``, ordered by event_id."""
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        prev = s.groupby(["user_id", "event_type"], sort=False)["ts"].shift(1)
+        keep = prev.isna() | ((s["ts"] - prev) > pd.Timedelta(seconds=gap_seconds))
+        return s.loc[keep, ["event_id", "user_id", "event_type", "ts"]].reset_index(
+            drop=True
+        )
+
+    return hash_groupby(ds, ["user_id", "event_type"], dedup).sort("event_id")

@@ -304,3 +304,70 @@ def test_curriculum_buckets_uneven_ntile(ray_session):
         (b, *exp[b]) for b in sorted(exp)
     ]
     assert got["n_docs"].tolist() == [6, 6, 6, 5]
+
+
+def test_events_window_dedup_brute(ray_session):
+    from fonduer_ray.pipelines.relational import events_window_dedup
+
+    # 1-day gap: 368 of the fixture's 925 stream gaps fall inside it,
+    # so the throttle genuinely drops rows here (60s drops none at sf0.001)
+    gap = 86400
+    got = events_window_dedup(SF, gap_seconds=gap).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    s = ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+    prev = s.groupby(["user_id", "event_type"], sort=False)["ts"].shift(1)
+    keep = prev.isna() | ((s["ts"] - prev) > pd.Timedelta(seconds=gap))
+    want = (
+        s.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # the dedup must actually drop something on this fixture
+    assert len(got) < len(ev)
+
+
+def test_source_quality_shrunk_brute(ray_session):
+    import ray.data
+
+    from fonduer_ray.functions.textstats import (
+        STOPWORDS_EN,
+        source_quality_shrunk,
+    )
+
+    docs = [
+        {"source": f"s{i % 3}", "text": ("the of and word " * (i + 1)).strip()}
+        for i in range(9)
+    ] + [{"source": "s3", "text": ""}, {"source": "s3", "text": "zq xk"}]
+    got = source_quality_shrunk(ray.data.from_items(docs), alpha=20).to_pandas()
+
+    per = {}
+    for d in docs:
+        toks = d["text"].split()
+        bp = (
+            sum(1 for t in toks if t in STOPWORDS_EN) * 10000 // len(toks)
+            if toks
+            else 0
+        )
+        e = per.setdefault(d["source"], [0, 0])
+        e[0] += bp
+        e[1] += 1
+    mu = sum(v[0] for v in per.values()) // sum(v[1] for v in per.values())
+    want = pd.DataFrame(
+        [
+            {
+                "source": s,
+                "n_docs": c,
+                "mean_bp": sbp // c,
+                "shrunk_bp": (sbp + 20 * mu) // (c + 20),
+            }
+            for s, (sbp, c) in sorted(per.items())
+        ]
+    ).astype({"n_docs": "int64", "mean_bp": "int64", "shrunk_bp": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # small noisy source pulled toward the corpus mean, big source less so
+    assert abs(int(got.loc[got["source"] == "s3", "shrunk_bp"].iloc[0]) - mu) < abs(
+        int(got.loc[got["source"] == "s3", "mean_bp"].iloc[0]) - mu
+    )
