@@ -1055,6 +1055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_shrunk": lambda sf: textstats.source_quality_shrunk(
             _sized(sf, "documents", ["source", "text"])
         ),
+        "kb_ntriples_roundtrip": docops.kb_ntriples_roundtrip,
+        "kb_predicate_stats": docops.kb_predicate_stats,
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -3975,5 +3977,30 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sum(stop_bp) AS BIGINT) + 20 * g.mu)
                      // (count(*) + 20) AS shrunk_bp
             FROM s, g GROUP BY source, g.mu ORDER BY source
+        """,
+        # nt_bytes is closed-form because the KG dictionaries are ASCII
+        # slug-safe (no percent-encoding fires): each slug appears twice
+        # (entity IRI + statement IRI), the support literal once, and the
+        # scaffolding of both lines totals 165 bytes (verified in
+        # tests/test_rdf.py). roundtrip_ok=1 asserts the engine-side
+        # grammar parser inverted every line.
+        "kb_ntriples_roundtrip": f"""
+            SELECT subj, pred, obj, support,
+                   165 + 2*len(subj) + 2*len(pred) + 2*len(obj)
+                       + len(CAST(support AS VARCHAR)) AS nt_bytes,
+                   CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM ({_ORACLE_TRIPLES})
+            ORDER BY subj, obj
+        """,
+        "kb_predicate_stats": f"""
+            SELECT pred,
+                   count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj,
+                   CAST(sum(support) AS BIGINT) AS support_total,
+                   count(DISTINCT subj) * 10000 // count(*) AS func_bp,
+                   count(DISTINCT obj) * 10000 // count(*) AS inv_func_bp
+            FROM ({_ORACLE_TRIPLES})
+            GROUP BY pred ORDER BY pred
         """,
     }

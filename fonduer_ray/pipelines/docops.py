@@ -2330,3 +2330,24 @@ def kb_triple_provenance(sf_dir: str) -> "ray.data.Dataset":
         inst.map_batches(prep, batch_format="pyarrow"), ["subj", "obj"], agg
     )
     return prov.sort(["subj", "obj"])
+
+
+def kb_ntriples_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical triple table serialized to W3C N-Triples and verified
+    invertible by the grammar parser — the KB interchange dump.
+    Semantics, escaping, and scale shape:
+    :mod:`fonduer_ray.functions.rdf`."""
+    from fonduer_ray.functions.rdf import kb_ntriples_roundtrip as rt
+
+    t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
+    return rt(t)
+
+
+def kb_predicate_stats(sf_dir: str) -> "ray.data.Dataset":
+    """PARIS functionality / inverse-functionality profile per predicate
+    over the canonical triple table.  Semantics and scale shape:
+    :func:`fonduer_ray.functions.kb.predicate_stats`."""
+    from fonduer_ray.functions.kb import predicate_stats
+
+    t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
+    return predicate_stats(t)
