@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         dedup,
         graph,
+        rdb2rdf,
         search,
         similarity,
         sketches,
@@ -1057,6 +1058,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kb_ntriples_roundtrip": docops.kb_ntriples_roundtrip,
         "kb_predicate_stats": docops.kb_predicate_stats,
+        # W3C-Direct-Mapping-style lift of the relational star schema into
+        # the KB triple space, plus the two classic graph-side consumers
+        "kb_rdb2rdf_export": rdb2rdf.rdb2rdf_triples,
+        "kb_characteristic_sets": lambda sf: rdb2rdf.characteristic_sets(
+            rdb2rdf.rdb2rdf_triples(sf)
+        ),
+        "kb_star_join_urgent": lambda sf: rdb2rdf.star_join_urgent_by_nation(
+            rdb2rdf.rdb2rdf_triples(sf)
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -1182,6 +1192,30 @@ _DRIVER_VERIFIED = frozenset(
 _PURCHASE_EDGES_SQL = """
     SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+#: W3C-Direct-Mapping export of the star schema — MUST mirror
+#: fonduer_ray.functions.rdb2rdf.rdb2rdf_triples exactly (same slugs,
+#: same predicate families)
+_RDB_TRIPLES_SQL = """
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS subj,
+           'in_region' AS pred,
+           'r' || CAST(n_regionkey AS VARCHAR) AS obj FROM nation
+    UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'named', n_name
+    FROM nation
+    UNION ALL SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'named', r_name
+    FROM region
+    UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+    UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_segment',
+                     c_mktsegment FROM customer
+    UNION ALL SELECT 'su' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+                     'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+    UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+                     'c' || CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'has_priority',
+                     o_orderpriority FROM orders
+    UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'has_status',
+                     o_orderstatus FROM orders
 """
 _PART_COOCCUR_EDGES_SQL = """
     SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
@@ -4002,5 +4036,27 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT obj) * 10000 // count(*) AS inv_func_bp
             FROM ({_ORACLE_TRIPLES})
             GROUP BY pred ORDER BY pred
+        """,
+        "kb_rdb2rdf_export": f"SELECT subj, pred, obj FROM ({_RDB_TRIPLES_SQL})",
+        "kb_characteristic_sets": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL}),
+            per AS (
+              SELECT subj,
+                     string_agg(DISTINCT pred, ',' ORDER BY pred) AS sig,
+                     count(*) AS n
+              FROM rdb GROUP BY subj
+            )
+            SELECT sig, count(*) AS n_subjects,
+                   CAST(sum(n) AS BIGINT) AS n_triples
+            FROM per GROUP BY sig ORDER BY sig
+        """,
+        "kb_star_join_urgent": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL})
+            SELECT n.obj AS nation, count(*) AS n_orders
+            FROM rdb u
+            JOIN rdb p ON p.pred = 'placed_by' AND p.subj = u.subj
+            JOIN rdb n ON n.pred = 'in_nation' AND n.subj = p.obj
+            WHERE u.pred = 'has_priority' AND u.obj = '1-URGENT'
+            GROUP BY n.obj ORDER BY nation
         """,
     }

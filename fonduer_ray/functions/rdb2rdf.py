@@ -1,0 +1,232 @@
+"""W3C Direct-Mapping-style RDB2RDF export: lift relational tables into a
+multi-predicate ``(subj, pred, obj)`` triple table, plus the two classic
+KB-side consumers of such an export — characteristic sets and basic graph
+pattern (BGP) star joins.
+
+A KB-construction pipeline rarely starts from text alone: structured
+sources (databases, CSV dumps, wikitables) are lifted into the same triple
+space as the text-extracted facts so one query surface covers both.  The
+W3C Direct Mapping (RDB2RDF WG, 2012) is the standard recipe: each row
+becomes a subject IRI minted from its primary key, each column/foreign key
+becomes a predicate.  The reference stores its KB as ORM rows in Postgres
+(/root/reference/src/fonduer/candidates/models/candidate.py); this module
+is the inverse direction — materializing the relational side INTO the KB —
+so graph-side operators (``kb.predicate_stats``, characteristic sets, BGP
+joins) run over one uniform table.
+
+Scale shape: every table maps statelessly (one zero-copy Arrow
+``map_batches`` per table emitting all of that table's predicate families
+in one pass), and the export is a ``Dataset.union`` — NO shuffle at all.
+Downstream consumers bring their own (documented) exchanges.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _tag(prefix: str, keys: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Mint entity slugs: ``prefix + str(key)``, vectorized."""
+    s = pc.binary_join_element_wise(prefix, pc.cast(keys, pa.string()), "")
+    return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
+
+def _triples(*families: tuple[pa.Array, str, pa.Array]) -> pa.Table:
+    """Stack (subj, pred-literal, obj) families into one triple table."""
+    chunks = []
+    for subj, pred, obj in families:
+        n = len(subj)
+        if isinstance(obj, pa.ChunkedArray):
+            obj = obj.combine_chunks()
+        chunks.append(
+            pa.table(
+                {
+                    "subj": subj,
+                    "pred": pa.array([pred] * n, pa.string()),
+                    "obj": pc.cast(obj, pa.string()),
+                }
+            )
+        )
+    return pa.concat_tables(chunks)
+
+
+def rdb2rdf_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Direct-mapping export of the nation/region/customer/supplier/orders
+    star schema into one ``(subj, pred, obj)`` string triple table.
+
+    Entity slugs: ``n<k>`` nation, ``r<k>`` region, ``c<k>`` customer,
+    ``su<k>`` supplier, ``o<k>`` order.  Predicates: foreign keys become
+    entity-valued ``in_region`` / ``in_nation`` / ``placed_by``;
+    attribute columns become literal-valued ``named`` / ``in_segment`` /
+    ``has_priority`` / ``has_status``.  Every (row, pred) pair emits
+    exactly one triple, so the export is distinct by construction.
+
+    Scale shape: five stateless column-pruned reads, each one
+    ``map_batches`` that emits all the table's predicate families from a
+    single pass over the batch; the union is plan-level (no exchange).
+    """
+    from fonduer_ray.pipelines.relational import _read
+
+    def nation(t: pa.Table) -> pa.Table:
+        subj = _tag("n", t["n_nationkey"])
+        return _triples(
+            (subj, "in_region", _tag("r", t["n_regionkey"])),
+            (subj, "named", t["n_name"]),
+        )
+
+    def region(t: pa.Table) -> pa.Table:
+        return _triples((_tag("r", t["r_regionkey"]), "named", t["r_name"]))
+
+    def customer(t: pa.Table) -> pa.Table:
+        subj = _tag("c", t["c_custkey"])
+        return _triples(
+            (subj, "in_nation", _tag("n", t["c_nationkey"])),
+            (subj, "in_segment", t["c_mktsegment"]),
+        )
+
+    def supplier(t: pa.Table) -> pa.Table:
+        return _triples(
+            (_tag("su", t["s_suppkey"]), "in_nation", _tag("n", t["s_nationkey"]))
+        )
+
+    def orders(t: pa.Table) -> pa.Table:
+        subj = _tag("o", t["o_orderkey"])
+        return _triples(
+            (subj, "placed_by", _tag("c", t["o_custkey"])),
+            (subj, "has_priority", t["o_orderpriority"]),
+            (subj, "has_status", t["o_orderstatus"]),
+        )
+
+    parts = [
+        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey", "n_name"]).map_batches(
+            nation, batch_format="pyarrow"
+        ),
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+            region, batch_format="pyarrow"
+        ),
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
+        ).map_batches(customer, batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            supplier, batch_format="pyarrow"
+        ),
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"]
+        ).map_batches(orders, batch_format="pyarrow"),
+    ]
+    head, *rest = parts
+    return head.union(*rest)
+
+
+def characteristic_sets(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group subjects
+    by their DISTINCT-predicate signature — the structure summary an RDF
+    store computes for cardinality estimation, and a KB-construction loop
+    uses for implicit type induction (subjects sharing a predicate set
+    behave as one class).
+
+    Per signature (sorted distinct predicates, comma-joined):
+    ``n_subjects`` — how many subjects carry exactly that predicate set,
+    ``n_triples`` — their total triple mass.
+
+    Scale shape: ONE subject-keyed ``hash_groupby`` co-locates each
+    subject's triples; the signature build runs vectorized inside each
+    partition (drop_duplicates + sorted group-concat) and collapses to a
+    per-partition (signature, count, mass) partial — the final merge
+    exchanges only ``#signatures × #partitions`` rows (signature
+    vocabularies are tiny: bounded by observed predicate combinations).
+    Columns ``(sig, n_subjects, n_triples)``, ordered by sig.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    def per_subject(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(
+                {"sig": pd.Series([], dtype=str),
+                 "n_subjects": pd.Series([], dtype="int64"),
+                 "n_triples": pd.Series([], dtype="int64")}
+            )
+        mass = df.groupby("subj", sort=False).size()
+        sig = (
+            df.drop_duplicates(["subj", "pred"])
+            .sort_values(["subj", "pred"])
+            .groupby("subj", sort=False)["pred"]
+            .agg(",".join)
+        )
+        per = pd.DataFrame({"sig": sig, "n": mass.reindex(sig.index)})
+        out = per.groupby("sig", sort=False).agg(
+            n_subjects=("n", "size"), n_triples=("n", "sum")
+        )
+        return out.reset_index()
+
+    partials = hash_groupby(
+        triples.select_columns(["subj", "pred"]), ["subj"], per_subject
+    )
+    return (
+        partials.groupby("sig")
+        .aggregate(
+            Sum("n_subjects", alias_name="n_subjects"),
+            Sum("n_triples", alias_name="n_triples"),
+        )
+        .sort("sig")
+    )
+
+
+def star_join_urgent_by_nation(
+    triples: "ray.data.Dataset", broadcast_limit: int | None = None
+) -> "ray.data.Dataset":
+    """Answer a 3-pattern SPARQL basic graph pattern over the materialized
+    KB — the query-side proof the export is a usable graph::
+
+        SELECT ?nation (COUNT(*) AS ?n_orders) WHERE {
+          ?o  has_priority  "1-URGENT" .
+          ?o  placed_by     ?c .
+          ?c  in_nation     ?nation .
+        } GROUP BY ?nation
+
+    Plan: the most selective pattern (urgent orders) streams; the two
+    join patterns attach through the size-guarded ``attach_lookup``
+    (broadcast below the row limit, hash-partition ``Dataset.join``
+    above — subjects are primary-key-minted, so each lookup key is
+    unique and both strategies agree).  The finish is a nation-keyed
+    count over the already-joined (small-cardinality) column.  Columns
+    ``(nation, n_orders)``, ordered by nation.
+    """
+    from ray.data.aggregate import Count
+
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    def pat(pred: str, obj: str | None = None, names: list[str] | None = None):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["pred"], pred)
+            if obj is not None:
+                mask = pc.and_(mask, pc.equal(t["obj"], obj))
+            out = t.filter(mask).select(["subj", "obj"])
+            return out.rename_columns(names) if names else out
+
+        return f
+
+    urgent = triples.map_batches(
+        pat("has_priority", "1-URGENT"), batch_format="pyarrow"
+    ).select_columns(["subj"])
+    placed = triples.map_batches(
+        pat("placed_by", names=["o", "c"]), batch_format="pyarrow"
+    )
+    in_nation = triples.map_batches(
+        pat("in_nation", names=["ent", "nation"]), batch_format="pyarrow"
+    )
+
+    kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
+    with_cust = attach_lookup(urgent, placed, "subj", "o", "c", **kw)
+    with_nation = attach_lookup(with_cust, in_nation, "c", "ent", "nation", **kw)
+    return (
+        with_nation.select_columns(["nation"])
+        .groupby("nation")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("nation")
+    )
