@@ -902,6 +902,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_parts": tpch_extra.significant_parts,
         "waiting_suppliers": tpch_extra.waiting_suppliers,
         "sales_opportunity": tpch_extra.sales_opportunity,
+        # the last four TPC-H shapes — full 22-query coverage (adapted to
+        # the synthetic schema's columns, like Q2/Q11/Q21/Q22 above)
+        "product_type_profit": tpch_extra.product_type_profit,
+        "shipping_delay_priority": tpch_extra.shipping_delay_priority,
+        "part_supplier_relationship": tpch_extra.part_supplier_relationship,
+        "promotable_part_suppliers": tpch_extra.promotable_part_suppliers,
         # text analysis
         "token_stats": lambda sf: textstats.token_stats(_docs(sf)),
         "vocab_topk": lambda sf: textstats.vocab_topk(_docs(sf)),
@@ -4036,6 +4042,69 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT obj) * 10000 // count(*) AS inv_func_bp
             FROM ({_ORACLE_TRIPLES})
             GROUP BY pred ORDER BY pred
+        """,
+        "product_type_profit": """
+            WITH profit AS (
+              SELECT n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     - CAST(round(p_retailprice*100) AS BIGINT) * 100
+                       * CAST(round(l_quantity) AS BIGINT) AS amount_c4
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%widget%'
+            )
+            SELECT nation, o_year,
+                   CAST(sum(amount_c4) AS DOUBLE)/10000.0 AS sum_profit
+            FROM profit GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "shipping_delay_priority": """
+            SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                             <= CAST(2592000000000 AS BIGINT)
+                        THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_supplier_relationship": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size <= 25
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier
+                WHERE CAST(round(s_acctbal*100) AS BIGINT) < 100000)
+            GROUP BY 1,2,3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "promotable_part_suppliers": """
+            WITH pair AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'blue%'
+              GROUP BY 1,2
+            ), tot AS (
+              SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total,
+                     count(*) AS n_supp
+              FROM pair GROUP BY 1
+            )
+            SELECT pair.l_partkey, s_name, n_name AS nation
+            FROM pair JOIN tot USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE pair.qty * tot.n_supp > 2 * tot.total
+            ORDER BY pair.l_partkey, s_name
         """,
         "kb_rdb2rdf_export": f"SELECT subj, pred, obj FROM ({_RDB_TRIPLES_SQL})",
         "kb_characteristic_sets": f"""

@@ -1017,3 +1017,415 @@ def sales_opportunity(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+
+
+def product_type_profit(
+    sf_dir: str,
+    name_substr: str = "widget",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """TPC-H Q9 (adapted — no ``partsupp``, so part cost is proxied by
+    ``p_retailprice * quantity``): per (supplier nation, order year) profit
+    on parts whose name contains ``name_substr``.
+
+    ``amount = extendedprice*(1-discount) - retailprice*quantity`` in exact
+    1e-4-dollar ints end-to-end. Plan: the part side pre-filters to matching
+    names BEFORE its (inner, guarded) lookup so non-matching lines drop at
+    the attach; order year and supplier nation ride two more guarded
+    lookups; the (nation, year) matrix is tiny so one ``hash_groupby``
+    finishes it. Columns: ``(nation, o_year, sum_profit)`` ordered by
+    nation, year DESC (the reference Q9 order)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def matching_parts(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.match_substring(t["p_name"], name_substr)
+        ).select(["p_partkey", "p_retailprice"])
+
+    lines = attach_lookup(
+        lineitem,
+        part.map_batches(matching_parts, batch_format="pyarrow"),
+        "l_partkey",
+        "p_partkey",
+        "p_retailprice",
+        broadcast_limit,
+    )
+    lines = attach_lookup(
+        lines, orders, "l_orderkey", "o_orderkey", "o_orderdate", broadcast_limit
+    )
+    lines = attach_lookup(
+        lines, supplier, "l_suppkey", "s_suppkey", "s_nationkey", broadcast_limit
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cost = pc.multiply(
+            pc.multiply(_cents(t["p_retailprice"]), pa.scalar(100, pa.int64())),
+            _qty_int(t),
+        )
+        df = pd.DataFrame(
+            {
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()).to_pandas(),
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()).to_pandas(),
+                "amount_c4": pc.subtract(_rev_c4(t), cost).to_pandas(),
+            }
+        )
+        out = (
+            df.groupby(["s_nationkey", "o_year"], sort=False)["amount_c4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_cell = hash_groupby(
+        lines.map_batches(partial, batch_format="pyarrow"),
+        ["s_nationkey", "o_year"],
+        lambda df: df.groupby(["s_nationkey", "o_year"], sort=False)["amount_c4"]
+        .sum()
+        .reset_index(),
+    )
+    # nation names attach from the 25-row dimension on the driver; the
+    # (nation, year) matrix is <= 25 x |years| so the finish is driver-sized
+    nmap = {int(r["n_nationkey"]): r["n_name"] for r in nation.take_all()}
+    cells = sorted(
+        per_cell.take_all(),
+        key=lambda r: (nmap[int(r["s_nationkey"])], -int(r["o_year"])),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "nation": pa.array(
+                    [nmap[int(r["s_nationkey"])] for r in cells], pa.string()
+                ),
+                "o_year": pa.array([int(r["o_year"]) for r in cells], pa.int64()),
+                "sum_profit": pa.array(
+                    [int(r["amount_c4"]) / 10000.0 for r in cells], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay buckets vs order priority
+# ---------------------------------------------------------------------------
+
+
+def shipping_delay_priority(
+    sf_dir: str,
+    fast_days: int = 30,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """TPC-H Q12 (adapted — the synthetic schema has no ship mode or
+    commit/receipt dates): 1996-shipped lines bucketed by order-to-ship
+    delay (``FAST`` <= ``fast_days`` days, else ``SLOW``), counting
+    high-priority (1-URGENT / 2-HIGH) vs low-priority lines per bucket —
+    Q12's CASE-sum signature over a lineitem x orders join.
+
+    Delay compares exact int64 microseconds on both engines (no calendar
+    arithmetic to diverge on). One guarded lookup attaches the order
+    columns; counts pre-aggregate per batch so the final exchange is two
+    rows. Columns: ``(ship_bucket, high_line_count, low_line_count)``."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"]
+        return t.filter(pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi)))
+
+    lines = attach_lookup(
+        lineitem.map_batches(in_window, batch_format="pyarrow"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        broadcast_limit,
+    )
+
+    fast_us = fast_days * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        delay = pc.subtract(
+            pc.cast(t["l_shipdate"], pa.int64()),
+            pc.cast(t["o_orderdate"], pa.int64()),
+        )
+        fast = pc.less_equal(delay, pa.scalar(fast_us, pa.int64()))
+        high = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        bucket = pc.if_else(fast, "FAST", "SLOW")
+        df = pd.DataFrame(
+            {
+                "ship_bucket": bucket.to_pandas(),
+                "high": pc.cast(high, pa.int64()).to_pandas(),
+                "low": pc.cast(pc.invert(high), pa.int64()).to_pandas(),
+            }
+        )
+        out = (
+            df.groupby("ship_bucket", sort=False)[["high", "low"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_bucket = hash_groupby(
+        lines.map_batches(partial, batch_format="pyarrow"),
+        ["ship_bucket"],
+        lambda df: df.groupby("ship_bucket", sort=False)[["high", "low"]]
+        .sum()
+        .reset_index(),
+    )
+    rows = sorted(per_bucket.take_all(), key=lambda r: r["ship_bucket"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "ship_bucket": pa.array([r["ship_bucket"] for r in rows], pa.string()),
+                "high_line_count": pa.array([int(r["high"]) for r in rows], pa.int64()),
+                "low_line_count": pa.array([int(r["low"]) for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — part/supplier relationship: distinct suppliers per part group
+# ---------------------------------------------------------------------------
+
+
+def part_supplier_relationship(
+    sf_dir: str,
+    excluded_brand: str = "Brand#13",
+    excluded_type: str = "PROMO",
+    max_size: int = 25,
+    complaint_bal_cents: int = 100_000,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """TPC-H Q16 (adapted — supplier-part relationships come from observed
+    ``lineitem`` shipments instead of ``partsupp``, and the "customer
+    complaints" NOT-IN subquery excludes suppliers with account balance
+    below ``complaint_bal_cents``): distinct supplier count per
+    (brand, type, size) group over qualifying parts.
+
+    Plan: the complaint subquery aggregates the supplier table to a key
+    set shipped ONCE via ``ray.put`` (it is a filtered dimension — tiny by
+    construction; at cluster scale this is the classic broadcast anti-join
+    side). Parts pre-filter before their guarded lookup; the
+    count-distinct runs as drop-duplicates inside a part-keyed
+    ``hash_groupby`` partial (suppliers of one part co-locate), then a
+    group-keyed exact count. Columns:
+    ``(p_brand, p_type, p_size, supplier_cnt)`` ordered by count DESC then
+    group (the reference Q16 order)."""
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    lineitem = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def complained(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less(_cents(t["s_acctbal"]), pa.scalar(complaint_bal_cents, pa.int64()))
+        ).select(["s_suppkey"])
+
+    bad_keys = {
+        int(r["s_suppkey"])
+        for r in supplier.map_batches(complained, batch_format="pyarrow").take_all()
+    }
+    bad_ref = ray.put(bad_keys)
+
+    def qualifying_parts(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], excluded_brand),
+                pc.not_equal(t["p_type"], excluded_type),
+            ),
+            pc.less_equal(t["p_size"], pa.scalar(max_size)),
+        )
+        return t.filter(mask)
+
+    lines = attach_lookup(
+        lineitem,
+        part.map_batches(qualifying_parts, batch_format="pyarrow"),
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_type", "p_size"],
+        broadcast_limit,
+    )
+
+    def drop_bad_and_dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        bad = get_broadcast(bad_ref)
+        df = df[~df["l_suppkey"].isin(bad)]
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])[
+            ["p_brand", "p_type", "p_size", "l_partkey", "l_suppkey"]
+        ]
+
+    # part-keyed partition: all (part, supplier) observations of one part
+    # co-locate, so drop_duplicates is exact; a second exchange on the
+    # (brand, type, size) group key counts distinct suppliers exactly —
+    # the same supplier may serve many parts of one group, so the dedup
+    # must re-run on the group key, not just the part key
+    pairs = hash_groupby(
+        lines.select_columns(
+            ["l_partkey", "l_suppkey", "p_brand", "p_type", "p_size"]
+        ),
+        ["l_partkey"],
+        drop_bad_and_dedup,
+    )
+
+    def count_distinct(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .rename("supplier_cnt")
+            .reset_index()
+        )
+        out["p_size"] = out["p_size"].astype("int64")
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    counted = hash_groupby(
+        pairs.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size"],
+        count_distinct,
+    )
+    # post-aggregation result is small (bounded by attribute combinations);
+    # materialize it so an all-filtered outcome still returns the typed
+    # schema instead of Ray's schema-less empty blocks
+    counted = counted.materialize()
+    if counted.count() == 0:
+        # an empty ray Dataset surfaces schema-less from to_pandas, so the
+        # empty case returns the typed Arrow table itself
+        return pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int64()),
+                ("supplier_cnt", pa.int64()),
+            ]
+        ).empty_table()
+    return counted.sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: dominant suppliers of a part family
+# ---------------------------------------------------------------------------
+
+
+def promotable_part_suppliers(
+    sf_dir: str,
+    name_prefix: str = "blue",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> "ray.data.Dataset":
+    """TPC-H Q20 (adapted — no ``partsupp`` availability column): surface
+    (part, supplier) pairs where the supplier shipped more than 2x the
+    average per-supplier quantity of that part (``qty * n_supp > 2 *
+    total`` in exact ints — Q20's correlated nested-aggregate threshold),
+    over parts whose name starts with ``name_prefix``; supplier name and
+    nation attach by semi-join afterwards.
+
+    Plan: ONE part-keyed ``hash_groupby`` both builds the (part, supplier)
+    quantity pairs AND applies the correlated per-part threshold (all of a
+    part's pairs co-locate, so the part total never needs a second
+    exchange); the survivors are a tiny fraction, so the supplier/nation
+    attaches ride guarded lookups. Columns:
+    ``(l_partkey, s_name, nation)`` ordered by part then name."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    lineitem = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def prefix_parts(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.starts_with(t["p_name"], name_prefix)
+        ).select(["p_partkey"])
+
+    lines = attach_lookup(
+        lineitem,
+        part.map_batches(prefix_parts, batch_format="pyarrow"),
+        "l_partkey",
+        "p_partkey",
+        [],
+        broadcast_limit,
+    )
+
+    def qty_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "qty": _qty_int(t),
+            }
+        )
+
+    def dominant_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        pair = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"]
+            .sum()
+            .reset_index()
+        )
+        grp = pair.groupby("l_partkey", sort=False)["qty"]
+        total = grp.transform("sum")
+        n_supp = grp.transform("size")
+        keep = pair[pair["qty"] * n_supp > 2 * total]
+        return keep[["l_partkey", "l_suppkey"]]
+
+    pairs = hash_groupby(
+        lines.map_batches(qty_col, batch_format="pyarrow"),
+        ["l_partkey"],
+        dominant_pairs,
+    )
+    named = attach_lookup(
+        pairs, supplier, "l_suppkey", "s_suppkey", ["s_name", "s_nationkey"],
+        broadcast_limit,
+    )
+    named = attach_lookup(
+        named, nation, "s_nationkey", "n_nationkey", "n_name", broadcast_limit
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "nation": t["n_name"],
+            }
+        )
+
+    # the dominant-pair survivors are a small post-aggregation set;
+    # materialize so an empty outcome keeps the typed schema
+    out = named.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # an empty ray Dataset surfaces schema-less from to_pandas, so the
+        # empty case returns the typed Arrow table itself
+        return pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("nation", pa.string()),
+            ]
+        ).empty_table()
+    return out.sort(["l_partkey", "s_name"])

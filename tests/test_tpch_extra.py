@@ -31,6 +31,10 @@ QUERIES = [
     "significant_parts",
     "waiting_suppliers",
     "sales_opportunity",
+    "product_type_profit",
+    "shipping_delay_priority",
+    "part_supplier_relationship",
+    "promotable_part_suppliers",
 ]
 
 TS = lambda s: np.datetime64(s, "us")  # noqa: E731
@@ -78,7 +82,9 @@ def star_dir(tmp_path_factory):
     part = pd.DataFrame(
         {
             "p_partkey": [101, 102, 103, 104],
-            "p_name": ["pa", "pb", "pc", "pd"],
+            # 101/104 hit Q9's '%widget%' filter; 101/103 hit Q20's 'blue'
+            # prefix (part-name families, per the synthetic generator)
+            "p_name": ["blue widget", "pb", "blue gizmo", "red widget"],
             "p_brand": ["Brand#12", "Brand#23", "Brand#34", "Brand#23"],
             "p_type": ["PROMO", "ECONOMY", "PROMO", "STANDARD"],
             "p_size": [3, 8, 20, 5],
@@ -315,3 +321,101 @@ def test_grouped_trimmed_stats_matches_brute(ray_session):
         assert got.loc[t, "n_kept"] == len(kept)
         assert got.loc[t, "sum_kept"] == sum(kept) / 100.0
         assert got.loc[t, "trimmed_mean"] == (sum(kept) / len(kept)) / 100.0
+
+
+def _write_dir(tmp_path, tables: dict) -> str:
+    d = tmp_path / "mini"
+    d.mkdir()
+    for name, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_q20_strict_dominance_boundary(tmp_path, ray_session):
+    """qty * n_supp == 2 * total must be EXCLUDED (strict >); one clear
+    dominant pair survives."""
+    from fonduer_ray.pipelines.tpch_extra import promotable_part_suppliers
+
+    nation = pd.DataFrame({"n_nationkey": [0], "n_name": ["NATION_0"]})
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["S1", "S2", "S3"],
+         "s_nationkey": [0, 0, 0], "s_acctbal": [1.0, 1.0, 1.0]}
+    )
+    part = pd.DataFrame(
+        {"p_partkey": [10, 20], "p_name": ["blue anvil", "blue bolt"],
+         "p_brand": ["Brand#1"] * 2, "p_type": ["ECONOMY"] * 2,
+         "p_size": [1, 1], "p_retailprice": [1.0, 1.0]}
+    )
+    # part 10: qtys s1=6, s2=2, s3=1 -> total 9, n 3; s1: 6*3=18 == 2*9
+    #   -> boundary, EXCLUDED
+    # part 20: qtys s1=9, s2=1 -> total 10, n 2; s1: 9*2=18 > 20? no ->
+    #   wait: 18 < 20 excluded; use s1=11, s2=1: total 12, 11*2=22 < 24.
+    #   Dominance needs qty*n > 2*total: with n=2 impossible (qty<=total).
+    #   Use n=3: s1=25, s2=1, s3=1 -> total 27, 25*3=75 > 54 -> KEPT.
+    rows = []
+    for sk, q in [(1, 6.0), (2, 2.0), (3, 1.0)]:
+        rows.append({"l_orderkey": 1, "l_partkey": 10, "l_suppkey": sk,
+                     "l_linenumber": sk, "l_quantity": q,
+                     "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                     "l_returnflag": "N", "l_linestatus": "F",
+                     "l_shipdate": TS("1996-01-01")})
+    for sk, q in [(1, 25.0), (2, 1.0), (3, 1.0)]:
+        rows.append({"l_orderkey": 2, "l_partkey": 20, "l_suppkey": sk,
+                     "l_linenumber": sk, "l_quantity": q,
+                     "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                     "l_returnflag": "N", "l_linestatus": "F",
+                     "l_shipdate": TS("1996-01-01")})
+    d = _write_dir(tmp_path, {
+        "nation": nation, "supplier": supplier, "part": part,
+        "lineitem": pd.DataFrame(rows),
+    })
+    got = promotable_part_suppliers(d).to_pandas()
+    assert got.to_dict("records") == [
+        {"l_partkey": 20, "s_name": "S1", "nation": "NATION_0"}
+    ]
+
+
+def test_q16_distinct_across_parts_and_complaint_exclusion(
+    tmp_path, ray_session
+):
+    """A supplier serving TWO parts of one (brand, type, size) group counts
+    once; a complaint-listed supplier (acctbal below threshold) never
+    counts; the forced hash-join path agrees with broadcast."""
+    from fonduer_ray.pipelines.tpch_extra import part_supplier_relationship
+
+    supplier = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["S1", "S2", "S3"],
+         "s_nationkey": [0, 0, 0],
+         # s3 sits below the 100000-cent complaint threshold
+         "s_acctbal": [2000.0, 2000.0, 999.99]}
+    )
+    part = pd.DataFrame(
+        {"p_partkey": [10, 20, 30], "p_name": ["a", "b", "c"],
+         # parts 10 & 20 share one (brand, type, size) group
+         "p_brand": ["Brand#1", "Brand#1", "Brand#2"],
+         "p_type": ["ECONOMY"] * 3, "p_size": [1, 1, 2],
+         "p_retailprice": [1.0] * 3}
+    )
+    rows = []
+    for pk, sk in [(10, 1), (20, 1), (10, 2), (30, 1), (30, 3)]:
+        rows.append({"l_orderkey": len(rows), "l_partkey": pk,
+                     "l_suppkey": sk, "l_linenumber": 1, "l_quantity": 1.0,
+                     "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                     "l_returnflag": "N", "l_linestatus": "F",
+                     "l_shipdate": TS("1996-01-01")})
+    d = _write_dir(tmp_path, {
+        "supplier": supplier, "part": part, "lineitem": pd.DataFrame(rows),
+    })
+    want = [
+        # group (Brand#1, ECONOMY, 1): s1 (via parts 10 AND 20) + s2 -> 2
+        {"p_brand": "Brand#1", "p_type": "ECONOMY", "p_size": 1,
+         "supplier_cnt": 2},
+        # group (Brand#2, ECONOMY, 2): s1 only (s3 complaint-excluded)
+        {"p_brand": "Brand#2", "p_type": "ECONOMY", "p_size": 2,
+         "supplier_cnt": 1},
+    ]
+    got = part_supplier_relationship(d).to_pandas()
+    assert got.to_dict("records") == want
+    joined = part_supplier_relationship(d, broadcast_limit=0).to_pandas()
+    assert joined.to_dict("records") == want
