@@ -1073,6 +1073,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_star_join_urgent": lambda sf: rdb2rdf.star_join_urgent_by_nation(
             rdb2rdf.rdb2rdf_triples(sf)
         ),
+        # OWL-2 property-chain saturation: orders -> customer -> nation ->
+        # region materialized as inferred ships_to_region triples
+        "kb_property_path": lambda sf: rdb2rdf.property_path(
+            rdb2rdf.rdb2rdf_triples(sf),
+            ["placed_by", "in_nation", "in_region"],
+            "ships_to_region",
+        ),
+        # rdfs2/rdfs3 domain-range type induction over the lifted KB
+        "kb_rdfs_types": lambda sf: rdb2rdf.rdfs_types(
+            rdb2rdf.rdb2rdf_triples(sf), _RDFS_DOMAINS
+        ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
     # per round; rotate so queries that have never received a driver-issued
@@ -1199,6 +1210,17 @@ _PURCHASE_EDGES_SQL = """
     SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
+#: rdfs:domain / rdfs:range declarations for the lifted KB's predicates.
+#: ``in_nation`` deliberately has NO domain: its subjects mix Customer and
+#: Supplier entities, and a wrong domain would mistype one of them.
+_RDFS_DOMAINS = {
+    "placed_by": ("Order", "Customer"),
+    "in_nation": (None, "Nation"),
+    "in_region": ("Nation", "Region"),
+    "in_segment": ("Customer", None),
+    "has_priority": ("Order", None),
+}
+
 #: W3C-Direct-Mapping export of the star schema — MUST mirror
 #: fonduer_ray.functions.rdb2rdf.rdb2rdf_triples exactly (same slugs,
 #: same predicate families)
@@ -4127,5 +4149,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN rdb n ON n.pred = 'in_nation' AND n.subj = p.obj
             WHERE u.pred = 'has_priority' AND u.obj = '1-URGENT'
             GROUP BY n.obj ORDER BY nation
+        """,
+        "kb_property_path": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL})
+            SELECT a.subj, 'ships_to_region' AS pred, c.obj
+            FROM rdb a
+            JOIN rdb b ON b.pred = 'in_nation' AND b.subj = a.obj
+            JOIN rdb c ON c.pred = 'in_region' AND c.subj = b.obj
+            WHERE a.pred = 'placed_by'
+        """,
+        "kb_rdfs_types": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL})
+            SELECT DISTINCT entity, type FROM (
+              SELECT subj AS entity, 'Order' AS type FROM rdb
+                WHERE pred = 'placed_by'
+              UNION ALL SELECT obj, 'Customer' FROM rdb
+                WHERE pred = 'placed_by'
+              UNION ALL SELECT obj, 'Nation' FROM rdb
+                WHERE pred = 'in_nation'
+              UNION ALL SELECT subj, 'Nation' FROM rdb
+                WHERE pred = 'in_region'
+              UNION ALL SELECT obj, 'Region' FROM rdb
+                WHERE pred = 'in_region'
+              UNION ALL SELECT subj, 'Customer' FROM rdb
+                WHERE pred = 'in_segment'
+              UNION ALL SELECT subj, 'Order' FROM rdb
+                WHERE pred = 'has_priority'
+            ) ORDER BY entity, type
         """,
     }

@@ -230,3 +230,105 @@ def star_join_urgent_by_nation(
         .aggregate(Count(alias_name="n_orders"))
         .sort("nation")
     )
+
+
+def property_path(
+    triples: "ray.data.Dataset",
+    path: list[str],
+    out_pred: str,
+    broadcast_limit: int | None = None,
+) -> "ray.data.Dataset":
+    """SPARQL property-path materialization (forward chaining): compose a
+    chain of entity-valued predicates ``p1/p2/.../pn`` into inferred
+    ``(subj, out_pred, obj)`` triples — the saturation step an RDFS/OWL
+    reasoner runs when a property chain axiom is declared (OWL 2
+    ``owl:propertyChainAxiom``).
+
+    Scale shape: each hop's triple family is extracted by a stateless
+    filter; hop subjects are PK-minted (unique), so every composition step
+    is a guarded ``attach_lookup`` — broadcast below the row limit, hash
+    partition ``Dataset.join`` above; no step materializes driver-side.
+    """
+    from fonduer_ray.pipelines.relational import attach_lookup
+
+    def hop(pred: str, subj_name: str, obj_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.equal(t["pred"], pred)).select(["subj", "obj"])
+            return out.rename_columns([subj_name, obj_name])
+
+        return f
+
+    kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
+    cur = triples.map_batches(
+        hop(path[0], "subj", "_o0"), batch_format="pyarrow"
+    )
+    for i, pred in enumerate(path[1:]):
+        nxt = triples.map_batches(
+            hop(pred, f"_s{i + 1}", f"_o{i + 1}"), batch_format="pyarrow"
+        )
+        cur = attach_lookup(
+            cur, nxt, f"_o{i}", f"_s{i + 1}", f"_o{i + 1}", **kw
+        )
+
+    last = f"_o{len(path) - 1}"
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "pred": pa.array([out_pred] * t.num_rows, pa.string()),
+                "obj": t[last],
+            }
+        )
+
+    return cur.map_batches(finish, batch_format="pyarrow")
+
+
+def rdfs_types(
+    triples: "ray.data.Dataset",
+    domains: dict[str, tuple[str | None, str | None]],
+) -> "ray.data.Dataset":
+    """RDFS domain/range type induction: for each predicate with a declared
+    ``(domain_class, range_class)``, infer ``(entity, rdf:type, class)``
+    facts from its subjects and objects — the rdfs2/rdfs3 entailment rules,
+    the standard first saturation pass of a KB-construction loop.
+
+    Scale shape: one stateless pass emits candidate (entity, class) pairs;
+    a single entity-hash-partitioned exchange deduplicates them (an entity
+    earns the same type from many triples); output is
+    ``(entity, type)`` with ``pred`` implicit. Columns ordered by
+    (entity, type) for determinism.
+    """
+    import pandas as pd
+
+    from fonduer_ray.stages.util import hash_groupby
+
+    dom_items = sorted(domains.items())
+
+    empty = pa.schema([("entity", pa.string()), ("type", pa.string())])
+
+    def emit(t: pa.Table) -> pa.Table:
+        chunks = []
+        for pred, (d_cls, r_cls) in dom_items:
+            f = t.filter(pc.equal(t["pred"], pred))
+            if f.num_rows == 0:
+                continue
+            for col, cls in (("subj", d_cls), ("obj", r_cls)):
+                if cls is not None:
+                    chunks.append(
+                        pa.table(
+                            {
+                                "entity": pc.cast(f[col], pa.string()),
+                                "type": pa.array([cls] * f.num_rows, pa.string()),
+                            }
+                        )
+                    )
+        return pa.concat_tables(chunks) if chunks else empty.empty_table()
+
+    pairs = triples.map_batches(emit, batch_format="pyarrow")
+    deduped = hash_groupby(
+        pairs,
+        ["entity"],
+        lambda df: df.drop_duplicates(["entity", "type"]),
+    )
+    return deduped.sort(["entity", "type"])

@@ -118,3 +118,57 @@ def test_star_join_brute_and_path_equality(ray_session, export_df, sf_dir):
     pd.testing.assert_frame_equal(
         broadcast.reset_index(drop=True), joined.reset_index(drop=True)
     )
+
+
+def test_property_path_brute_and_path_equality(ray_session, export_df, sf_dir):
+    """placed_by/in_nation/in_region composition vs a dict-chase brute
+    force; lowered limit forces the hash-join path — must agree."""
+    triples = rdb2rdf.rdb2rdf_triples(sf_dir).materialize()
+    got = rdb2rdf.property_path(
+        triples, ["placed_by", "in_nation", "in_region"], "ships_to_region"
+    ).to_pandas()
+    hop = {
+        p: dict(zip(export_df.loc[export_df.pred == p, "subj"],
+                    export_df.loc[export_df.pred == p, "obj"]))
+        for p in ("placed_by", "in_nation", "in_region")
+    }
+    want = {
+        (o, hop["in_region"][hop["in_nation"][c]])
+        for o, c in hop["placed_by"].items()
+        if hop["in_nation"].get(c) in hop["in_region"]
+    }
+    assert set(zip(got["subj"], got["obj"])) == want
+    assert (got["pred"] == "ships_to_region").all()
+    assert len(got) == len(want)
+    joined = rdb2rdf.property_path(
+        triples, ["placed_by", "in_nation", "in_region"], "ships_to_region",
+        broadcast_limit=10,
+    ).to_pandas()
+    assert set(zip(joined["subj"], joined["obj"])) == want
+
+
+def test_rdfs_types_dedup_and_no_domain(ray_session):
+    """An entity typed by several predicate positions appears once per
+    class; a predicate with domain=None types only its object side."""
+    import ray.data
+
+    rows = [
+        ("o1", "placed_by", "c1"),     # o1:Order, c1:Customer
+        ("o1", "has_priority", "X"),   # o1:Order again -> dedup
+        ("c1", "in_segment", "AUTO"),  # c1:Customer again -> dedup
+        ("c1", "in_nation", "n1"),     # n1:Nation; c1 NOT typed here
+        ("su1", "in_nation", "n1"),    # su1 stays untyped (no domain)
+        ("n1", "in_region", "r1"),     # n1:Nation dedup, r1:Region
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    from __ray_entry__ import _RDFS_DOMAINS
+
+    got = {
+        (r["entity"], r["type"])
+        for r in rdb2rdf.rdfs_types(ds, _RDFS_DOMAINS).take_all()
+    }
+    assert got == {
+        ("o1", "Order"), ("c1", "Customer"), ("n1", "Nation"), ("r1", "Region")
+    }
