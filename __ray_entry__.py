@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         dedup,
         graph,
+        kge,
         rdb2rdf,
         search,
         similarity,
@@ -1085,6 +1086,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rdfs2/rdfs3 domain-range type induction over the lifted KB
         "kb_rdfs_types": lambda sf: rdb2rdf.rdfs_types(
             _rdb_triples(sf), _RDFS_DOMAINS
+        ),
+        # KG-embedding training data: deterministic corrupt-object
+        # negatives (TransE protocol) and hash-driven DeepWalk corpus
+        # with inverse relations (PRA-style r/r⁻¹ traversal)
+        "kb_kge_negatives": lambda sf: kge.negative_samples(
+            _rdb_triples(sf), "placed_by"
+        ),
+        "kb_random_walks": lambda sf: kge.random_walks(
+            _rdb_triples(sf),
+            ["placed_by", "in_nation", "in_region"],
+            "placed_by",
+            n_steps=3,
         ),
     }
     # The driver's correctness sweep covers only the FIRST 50 dict entries
@@ -4169,6 +4182,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN rdb b ON b.pred = 'in_nation' AND b.subj = a.obj
             JOIN rdb c ON c.pred = 'in_region' AND c.subj = b.obj
             WHERE a.pred = 'placed_by'
+        """,
+        # md5-index arithmetic mirrors kge._md5_64 (first 8 md5 bytes as a
+        # big-endian uint) exactly, like _PART_COOCCUR_EDGES_SQL
+        "kb_kge_negatives": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL}),
+            pos AS (SELECT subj, obj FROM rdb WHERE pred = 'placed_by'),
+            voc AS (
+              SELECT obj AS v,
+                     row_number() OVER (ORDER BY obj) - 1 AS idx
+              FROM (SELECT DISTINCT obj FROM pos)
+            ),
+            nn AS (SELECT CAST(count(*) AS UBIGINT) AS n FROM voc),
+            h AS (
+              SELECT subj, obj,
+                     CAST(CAST(('0x' || substring(
+                         md5(subj || ':' || obj), 1, 16)) AS UBIGINT)
+                       % (SELECT n FROM nn) AS BIGINT) AS i0
+              FROM pos
+            ),
+            b AS (
+              SELECT h.subj, h.obj,
+                     CASE WHEN v.v = h.obj
+                          THEN CAST(CAST(h.i0 + 1 AS UBIGINT)
+                                    % (SELECT n FROM nn) AS BIGINT)
+                          ELSE h.i0 END AS i
+              FROM h JOIN voc v ON v.idx = h.i0
+            )
+            SELECT b.subj, b.obj, v.v AS obj_neg
+            FROM b JOIN voc v ON v.idx = b.i
+            ORDER BY subj
+        """,
+        "kb_random_walks": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL}),
+            e AS (
+              SELECT subj AS src, obj AS dst FROM rdb
+                WHERE pred IN ('placed_by', 'in_nation', 'in_region')
+              UNION
+              SELECT obj, subj FROM rdb
+                WHERE pred IN ('placed_by', 'in_nation', 'in_region')
+            ),
+            adj AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS idx,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ),
+            s0 AS (SELECT DISTINCT subj AS start FROM rdb
+                   WHERE pred = 'placed_by'),
+            w1 AS (
+              SELECT s0.start, a.dst AS cur,
+                     s0.start || ' ' || a.dst AS walk
+              FROM s0 JOIN adj a ON a.src = s0.start
+               AND a.idx = CAST(CAST(('0x' || substring(
+                     md5(s0.start || ':0:' || s0.start), 1, 16)) AS UBIGINT)
+                   % CAST(a.deg AS UBIGINT) AS BIGINT)
+            ),
+            w2 AS (
+              SELECT w1.start, a.dst AS cur,
+                     w1.walk || ' ' || a.dst AS walk
+              FROM w1 JOIN adj a ON a.src = w1.cur
+               AND a.idx = CAST(CAST(('0x' || substring(
+                     md5(w1.start || ':1:' || w1.cur), 1, 16)) AS UBIGINT)
+                   % CAST(a.deg AS UBIGINT) AS BIGINT)
+            ),
+            w3 AS (
+              SELECT w2.start, a.dst AS cur,
+                     w2.walk || ' ' || a.dst AS walk
+              FROM w2 JOIN adj a ON a.src = w2.cur
+               AND a.idx = CAST(CAST(('0x' || substring(
+                     md5(w2.start || ':2:' || w2.cur), 1, 16)) AS UBIGINT)
+                   % CAST(a.deg AS UBIGINT) AS BIGINT)
+            )
+            SELECT start, walk FROM w3 ORDER BY start
         """,
         "kb_rdfs_types": f"""
             WITH rdb AS ({_RDB_TRIPLES_SQL})
