@@ -1288,9 +1288,12 @@ def e2e_weak_supervision(sf_dir: str) -> pa.Table:
     lf_names = [n for n, _ in _e2e_lfs()]
 
     # -- generative step: EM over the split-0 LF votes ----------------------
+    # materialized: the EM fit re-traverses the votes once per iteration
+    # and predict_proba once more — without pinning, the whole LF apply
+    # re-executes (n_iter + 1) times (measured ~5s of pure re-execution)
     train_lab = label(cand, _e2e_lfs(), batch_size=128).filter(
         expr="split == 0"
-    )
+    ).materialize()
     lm = LabelModel(n_iter=E2E_LM_ITERS).fit(train_lab, lf_names)
 
     def to_y(t: pa.Table) -> pa.Table:
@@ -1304,7 +1307,9 @@ def e2e_weak_supervision(sf_dir: str) -> pa.Table:
             }
         )
 
-    y_ds = lm.predict_proba(train_lab).map_batches(to_y, batch_format="pyarrow")
+    y_ds = lm.predict_proba(train_lab).map_batches(
+        to_y, batch_format="pyarrow"
+    ).materialize()
 
     # -- discriminative step: fit on split 0, score held-out split 1 --------
     feats = _cached_feats(sf_dir)
