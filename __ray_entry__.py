@@ -1065,6 +1065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kb_ntriples_roundtrip": docops.kb_ntriples_roundtrip,
         "kb_predicate_stats": docops.kb_predicate_stats,
+        # Pasternack-Roth Sums/Investment truth discovery over the
+        # extraction's source-claim graph (2 unrolled integer rounds)
+        "kb_truth_discovery": docops.kb_truth_discovery,
         # W3C-Direct-Mapping-style lift of the relational star schema into
         # the KB triple space, plus the two classic graph-side consumers.
         # Five queries share the export, so it memoizes per (job, sf_dir)
@@ -4182,6 +4185,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN rdb b ON b.pred = 'in_nation' AND b.subj = a.obj
             JOIN rdb c ON c.pred = 'in_region' AND c.subj = b.obj
             WHERE a.pred = 'placed_by'
+        """,
+        "kb_truth_discovery": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '),1) AS i
+              FROM documents
+            ),
+            claims AS (
+              SELECT DISTINCT d.source, a.w AS subj, b.w AS obj
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id
+               AND CAST(floor((a.i-1)/10) AS BIGINT)
+                     = CAST(floor((b.i-1)/10) AS BIGINT)
+               AND abs(a.i - b.i) <= 3
+               AND a.w IN {SUBJ_IN}
+               AND b.w IN {OBJ_IN}
+              JOIN documents d ON d.doc_id = a.doc_id
+            ),
+            nc AS (SELECT source, count(*) AS n FROM claims GROUP BY 1),
+            c1 AS (
+              SELECT subj, obj, CAST(sum(10000 // nc.n) AS BIGINT) AS c
+              FROM claims JOIN nc USING (source) GROUP BY 1, 2
+            ),
+            t1 AS (
+              SELECT claims.source,
+                     CAST(sum(c1.c) AS BIGINT) // max(nc.n) AS t
+              FROM claims JOIN nc USING (source) JOIN c1 USING (subj, obj)
+              GROUP BY claims.source
+            )
+            SELECT subj, obj, count(*) AS n_sources,
+                   CAST(sum(t1.t // nc.n) AS BIGINT) AS conf
+            FROM claims JOIN nc USING (source) JOIN t1 USING (source)
+            GROUP BY subj, obj ORDER BY subj, obj
         """,
         # md5-index arithmetic mirrors kge._md5_64 (first 8 md5 bytes as a
         # big-endian uint) exactly, like _PART_COOCCUR_EDGES_SQL

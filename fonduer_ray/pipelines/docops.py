@@ -2356,3 +2356,112 @@ def kb_predicate_stats(sf_dir: str) -> "ray.data.Dataset":
 
     t = _cached("triples_conf", sf_dir, lambda: triples(sf_dir))
     return predicate_stats(t)
+
+
+def kb_truth_discovery(sf_dir: str) -> "pa.Table":
+    """Truth discovery over the extraction's source-claim graph — the
+    Sums/Investment-style fixed point of Pasternack & Roth (COLING 2010)
+    that Knowledge-Vault-class KB builders run to weigh conflicting
+    sources: a source's trust is the average confidence of its claims, a
+    claim's confidence the sum of its claimants' per-claim invested trust.
+
+    Claims: source ``s`` claims fact ``(subj, obj)`` iff any of its
+    documents emitted that candidate instance. TWO unrolled integer
+    rounds (trust starts at 10000 bp; every division floors; sums before
+    divisions, so the arithmetic is order-independent and the DuckDB
+    oracle reproduces it bit-for-bit):
+
+    - ``c1(f) = Σ_s 10000 // n_claims(s)``
+    - ``t1(s) = (Σ_f c1(f)) // n_claims(s)``
+    - ``conf(f) = Σ_s t1(s) // n_claims(s)``
+
+    Scale shape: the doc-level instance table (memoized, shared with
+    provenance) attaches ``source`` through one guarded lookup on the
+    documents dimension; distinct (source, subj, obj) claims collapse in
+    ONE hash exchange. The fixed point itself runs driver-side on the
+    post-aggregation claim matrix — bounded by |sources| x |fact
+    vocabulary|, the same driver-sized finish as ``volume_shipping``.
+    Columns ``(subj, obj, n_sources, conf)``, ordered by (subj, obj)."""
+    from fonduer_ray.pipelines.relational import attach_lookup
+    from fonduer_ray.stages.fused import pages_to_triples
+    from fonduer_ray.stages.util import hash_groupby, read_blocks_for
+
+    inst = _cached(
+        "triples_inst",
+        sf_dir,
+        lambda: pages_to_triples(
+            htmlize(sf_dir),
+            _mention_specs(),
+            _relation_specs(),
+            [("lf_cooccur", _lf_cooccur)],
+            pred_names={"cooccur": PRED},
+            threshold=0.6,
+            batch_size=128,
+        ).select_columns(["subj", "obj", "doc_name"]),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "obj": t["obj"],
+                "doc_id": pc.cast(t["doc_name"], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        override_num_blocks=read_blocks_for(f"{sf_dir}/documents.parquet"),
+    )
+    with_src = attach_lookup(
+        inst.map_batches(prep, batch_format="pyarrow"),
+        docs,
+        "doc_id",
+        "doc_id",
+        "source",
+    )
+    claims_ds = hash_groupby(
+        with_src.select_columns(["source", "subj", "obj"]),
+        ["source"],
+        lambda df: df.drop_duplicates(["source", "subj", "obj"]),
+    )
+
+    claims = [
+        (r["source"], r["subj"], r["obj"]) for r in claims_ds.take_all()
+    ]
+    return truth_fixed_point(claims)
+
+
+def truth_fixed_point(claims: "list[tuple[str, str, str]]") -> "pa.Table":
+    """The two unrolled integer rounds of :func:`kb_truth_discovery`,
+    pure (driver-side, claim matrix already aggregated)."""
+    n_claims: dict[str, int] = {}
+    for s, *_ in claims:
+        n_claims[s] = n_claims.get(s, 0) + 1
+    c1: dict[tuple, int] = {}
+    for s, su, ob in claims:
+        c1[(su, ob)] = c1.get((su, ob), 0) + 10000 // n_claims[s]
+    t1: dict[str, int] = {}
+    for s, su, ob in claims:
+        t1[s] = t1.get(s, 0) + c1[(su, ob)]
+    t1 = {s: v // n_claims[s] for s, v in t1.items()}
+    conf: dict[tuple, int] = {}
+    n_src: dict[tuple, int] = {}
+    for s, su, ob in claims:
+        conf[(su, ob)] = conf.get((su, ob), 0) + t1[s] // n_claims[s]
+        n_src[(su, ob)] = n_src.get((su, ob), 0) + 1
+
+    keys = sorted(conf)
+    return pa.table(
+        {
+            "subj": pa.array([k[0] for k in keys], pa.string()),
+            "obj": pa.array([k[1] for k in keys], pa.string()),
+            "n_sources": pa.array([n_src[k] for k in keys], pa.int64()),
+            "conf": pa.array([conf[k] for k in keys], pa.int64()),
+        }
+    )

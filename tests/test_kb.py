@@ -145,3 +145,48 @@ def test_provenance_consistent_with_canonical_support(ray_session):
     assert got == want
     assert (prov["first_doc"] <= prov["last_doc"]).all()
     assert (prov["n_docs"] <= prov["support"]).all()
+
+
+def test_truth_fixed_point_hand_case():
+    """Hand-computed 2-round Sums/Investment arithmetic: a focused source
+    (1 claim) invests its full trust; a spammy source (4 claims) invests a
+    quarter per claim, so the fact backed by the focused source wins."""
+    from fonduer_ray.pipelines.docops import truth_fixed_point
+
+    claims = [
+        ("good", "a", "x"),              # focused: n=1
+        ("spam", "a", "y"), ("spam", "b", "y"),
+        ("spam", "c", "y"), ("spam", "d", "y"),  # spammy: n=4
+        ("mid", "a", "x"), ("mid", "b", "y"),    # n=2
+    ]
+    got = truth_fixed_point(claims).to_pandas()
+    # round 1: c1(a,x)=10000//1 + 10000//2 = 15000;
+    #          c1(*,y)=2500 each except (b,y)=2500+5000=7500
+    # trusts:  good = 15000//1 = 15000
+    #          spam = (2500+7500+2500+2500)//4 = 3750
+    #          mid  = (15000+7500)//2 = 11250
+    # round 2: conf(a,x) = 15000//1 + 11250//2 = 20625
+    #          conf(a,y) = 3750//4 = 937
+    #          conf(b,y) = 937 + 11250//2 = 6562
+    want = {
+        ("a", "x"): (2, 20625),
+        ("a", "y"): (1, 937),
+        ("b", "y"): (2, 6562),
+        ("c", "y"): (1, 937),
+        ("d", "y"): (1, 937),
+    }
+    assert {
+        (r.subj, r.obj): (r.n_sources, r.conf)
+        for r in got.itertuples(index=False)
+    } == want
+
+
+def test_truth_discovery_focused_beats_spam(ray_session):
+    """On the driver corpus the winning variant of each subject is the one
+    with more invested trust, not merely more claimants."""
+    from fonduer_ray.pipelines.docops import kb_truth_discovery
+
+    got = kb_truth_discovery("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert (got["conf"] > 0).all()
+    assert (got["n_sources"] >= 1).all()
