@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         dedup,
         graph,
+        kb as kbmod,
         kge,
         rdb2rdf,
         search,
@@ -788,6 +789,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textstats.fingerprints(_docs(sf_dir)).select_columns(
             ["doc_id", "rolling_hash"]
         )
+
+    def kb_rules_q(sf_dir: str) -> pa.Table:
+        """Rule mining over the lifted KB saturated with the two
+        property-chain inferences — the union is plan-level (no extra
+        exchange beyond rule_mining's own)."""
+        base = _rdb_triples(sf_dir)
+        stn = rdb2rdf.property_path(
+            base, ["placed_by", "in_nation"], "ships_to_nation"
+        )
+        strg = rdb2rdf.property_path(
+            base, ["placed_by", "in_nation", "in_region"], "ships_to_region"
+        )
+        return kbmod.rule_mining(base.union(stn, strg))
 
     q = {
         # fonduer-style pipeline over the documents table (full HTML path)
@@ -1090,6 +1104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_rdfs_types": lambda sf: rdb2rdf.rdfs_types(
             _rdb_triples(sf), _RDFS_DOMAINS
         ),
+        # AMIE-style 2-hop horn-rule mining over the lifted KB saturated
+        # with its property-chain inferences (partial-confidence behavior
+        # is unit-tested on a hand-built noisy KB; the text KG is
+        # bipartite, so its 2-hop rule set is vacuously empty)
+        "kb_rule_mining": kb_rules_q,
         # KG-embedding training data: deterministic corrupt-object
         # negatives (TransE protocol) and hash-driven DeepWalk corpus
         # with inverse relations (PRA-style r/r⁻¹ traversal)
@@ -4185,6 +4204,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN rdb b ON b.pred = 'in_nation' AND b.subj = a.obj
             JOIN rdb c ON c.pred = 'in_region' AND c.subj = b.obj
             WHERE a.pred = 'placed_by'
+        """,
+        "kb_rule_mining": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL}),
+            stn AS (
+              SELECT a.subj, 'ships_to_nation' AS pred, b.obj
+              FROM rdb a JOIN rdb b ON b.pred = 'in_nation'
+                AND b.subj = a.obj
+              WHERE a.pred = 'placed_by'
+            ),
+            strg AS (
+              SELECT s.subj, 'ships_to_region' AS pred, c.obj
+              FROM stn s JOIN rdb c ON c.pred = 'in_region'
+                AND c.subj = s.obj
+            ),
+            kb AS (
+              SELECT subj, pred, obj FROM rdb
+              UNION ALL SELECT * FROM stn
+              UNION ALL SELECT * FROM strg
+            ),
+            body AS (
+              SELECT DISTINCT a.pred AS body_p, b.pred AS body_q,
+                     a.subj AS x, b.obj AS z
+              FROM kb a JOIN kb b ON a.obj = b.subj
+            ),
+            sup AS (
+              SELECT body_p, body_q, count(*) AS support
+              FROM body GROUP BY 1, 2
+            ),
+            hit AS (
+              SELECT body_p, body_q, h.pred AS head_r,
+                     count(*) AS n_correct
+              FROM body JOIN kb h ON h.subj = body.x AND h.obj = body.z
+              GROUP BY 1, 2, 3
+            )
+            SELECT hit.body_p, hit.body_q, head_r, support, n_correct,
+                   n_correct * 10000 // support AS conf_bp
+            FROM hit JOIN sup USING (body_p, body_q)
+            ORDER BY body_p, body_q, head_r
         """,
         "kb_truth_discovery": f"""
             WITH toks AS (

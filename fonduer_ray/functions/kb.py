@@ -409,3 +409,222 @@ def predicate_stats(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     parts = [d.to_pandas() for d in (tot, ns, no)]
     merged = finish(parts)
     return ray.data.from_pandas(merged)
+
+
+#: rule mining crosses over to the hash-join plan far earlier than the
+#: lookup ops: its broadcast path ships TWO python structures (adjacency +
+#: fact index) and expands bodies in python loops, while the join path is
+#: all acero/pandas kernels — measured 79s (broadcast) vs 7.4s (join) on a
+#: 781k-triple KB at 32 cpus
+RULE_BROADCAST_LIMIT = 50_000
+
+
+def rule_mining(
+    triples: "ray.data.Dataset",
+    broadcast_limit: int = RULE_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """AMIE-style 2-hop horn-rule mining (Galárraga et al., WWW 2013):
+    for every predicate pair ``(p, q)`` whose composition has at least one
+    grounding, and every head predicate ``r`` with at least one correct
+    prediction, emit the rule ``p(x,y) ∧ q(y,z) ⇒ r(x,z)`` with
+
+    - ``support`` — distinct ``(x, z)`` groundings of the body,
+    - ``n_correct`` — body groundings already present as ``r(x, z)``,
+    - ``conf_bp`` — standard confidence ``n_correct * 10000 // support``
+      (exact integer basis points).
+
+    Rules with ``n_correct = 0`` are suppressed (AMIE's head-coverage
+    pruning); bodies with no matching head never surface.
+
+    Strategy: at or below ``broadcast_limit`` triples, the out-adjacency
+    ``y -> [(q, z)]`` and the fact index ``(x, z) -> {r}`` ship ONCE via
+    ``ray.put`` and the body expansion + head check run inside
+    ``map_batches``; above it, both the bridge join and the head join run
+    as hash-partitioned ``Dataset.join``s (bit-identical — tests force the
+    join path). Either way the distinct-grounding dedup is ONE
+    ``(x, z)``-keyed hash exchange and the final per-rule aggregate is
+    tiny (bounded by |preds|^3). Columns
+    ``(body_p, body_q, head_r, support, n_correct, conf_bp)``, ordered.
+    """
+    import pandas as pd
+
+    from fonduer_ray.stages.util import (
+        get_broadcast,
+        hash_groupby,
+        join_partitions,
+    )
+
+    # pinned: the table is consumed three times (count, index build /
+    # join sides, body expansion) — without pinning the upstream plan
+    # re-executes per consumer
+    t = triples.select_columns(["subj", "pred", "obj"]).materialize()
+    n = t.count()
+
+    if n <= broadcast_limit:
+        adj: dict = {}
+        facts: dict = {}
+        for batch in t.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for s, p, o in zip(
+                batch["subj"].to_pylist(),
+                batch["pred"].to_pylist(),
+                batch["obj"].to_pylist(),
+            ):
+                adj.setdefault(s, []).append((p, o))
+                facts.setdefault((s, o), []).append(p)
+        adj_ref = ray.put(adj)
+        facts_ref = ray.put(facts)
+
+        def explode(tbl: pa.Table) -> pa.Table:
+            out_adj = get_broadcast(adj_ref)
+            ps, qs, xs, zs = [], [], [], []
+            for x, p, y in zip(
+                tbl["subj"].to_pylist(),
+                tbl["pred"].to_pylist(),
+                tbl["obj"].to_pylist(),
+            ):
+                for q, z in out_adj.get(y, ()):
+                    ps.append(p)
+                    qs.append(q)
+                    xs.append(x)
+                    zs.append(z)
+            return pa.table(
+                {
+                    "body_p": pa.array(ps, pa.string()),
+                    "body_q": pa.array(qs, pa.string()),
+                    "x": pa.array(xs, pa.string()),
+                    "z": pa.array(zs, pa.string()),
+                }
+            )
+
+        bodies = t.map_batches(explode, batch_format="pyarrow")
+
+        def dedup_and_check(df: "pd.DataFrame") -> "pd.DataFrame":
+            fx = get_broadcast(facts_ref)
+            df = df.drop_duplicates(["body_p", "body_q", "x", "z"])
+            agg: dict = {}
+            for bp, bq, x, z in df.itertuples(index=False):
+                key = (bp, bq, "")
+                agg[key] = (agg.get(key, (0, 0))[0] + 1, 0)
+                for r in fx.get((x, z), ()):
+                    k2 = (bp, bq, r)
+                    s, h = agg.get(k2, (0, 0))
+                    agg[k2] = (s, h + 1)
+            rows = [(bp, bq, r, s, h) for (bp, bq, r), (s, h) in agg.items()]
+            return pd.DataFrame(
+                rows, columns=["body_p", "body_q", "head_r", "sup", "hit"]
+            )
+
+        # per-partition aggregation: the exchange carries only
+        # |preds|^2-ish rows per partition, never raw groundings
+        partials = hash_groupby(bodies, ["x", "z"], dedup_and_check)
+    else:
+        n_parts = join_partitions()
+
+        def _renamed(names: list[str]):
+            def f(tbl: pa.Table, _n=tuple(names)) -> pa.Table:
+                return tbl.select(["subj", "pred", "obj"]).rename_columns(
+                    list(_n)
+                )
+
+            return f
+
+        # rename via an arrow map (Dataset.rename_columns chokes on
+        # pandas-backed blocks, e.g. from_pandas test inputs)
+        left = t.map_batches(
+            _renamed(["x", "body_p", "y"]), batch_format="pyarrow"
+        )
+        right = t.map_batches(
+            _renamed(["y2", "body_q", "z"]), batch_format="pyarrow"
+        )
+        bodies = left.join(
+            right,
+            "inner",
+            num_partitions=n_parts,
+            on=("y",),
+            right_on=("y2",),
+        ).select_columns(["body_p", "body_q", "x", "z"])
+
+        distinct = hash_groupby(
+            bodies,
+            ["x", "z"],
+            lambda df: df.drop_duplicates(["body_p", "body_q", "x", "z"]),
+            join_safe=True,
+        )
+        heads = t.map_batches(
+            _renamed(["hx", "head_r", "hz"]), batch_format="pyarrow"
+        )
+        joined = distinct.join(
+            heads,
+            "left_outer",
+            num_partitions=n_parts,
+            on=("x", "z"),
+            right_on=("hx", "hz"),
+        )
+
+        # support counts each distinct (x, z) grounding ONCE — derived from
+        # `distinct` directly (a pair with K matching heads would otherwise
+        # appear K times in the outer join); hits come from matched rows.
+        # Both pre-aggregate per batch so the tail exchanges rule-sized
+        # rows only.
+        def sup_agg(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = (
+                df.groupby(["body_p", "body_q"], sort=False)
+                .size()
+                .rename("sup")
+                .reset_index()
+            )
+            out["head_r"] = ""
+            out["hit"] = 0
+            return out[["body_p", "body_q", "head_r", "sup", "hit"]]
+
+        def hit_agg(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df[df["head_r"].notna()]
+            out = (
+                df.groupby(["body_p", "body_q", "head_r"], sort=False)
+                .size()
+                .rename("hit")
+                .reset_index()
+            )
+            out["sup"] = 0
+            return out[["body_p", "body_q", "head_r", "sup", "hit"]]
+
+        sup_rows = distinct.map_batches(
+            sup_agg, batch_format="pandas", batch_size=None
+        )
+        hit_rows = joined.map_batches(
+            hit_agg, batch_format="pandas", batch_size=None
+        )
+        partials = sup_rows.union(hit_rows)
+
+    # final per-rule aggregate: |preds|^2 support rows + |preds|^3 hit rows
+    sup_by: dict = {}
+    hit_by: dict = {}
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for bp, bq, r, s, h in zip(
+            b["body_p"].to_pylist(),
+            b["body_q"].to_pylist(),
+            b["head_r"].to_pylist(),
+            b["sup"].to_pylist(),
+            b["hit"].to_pylist(),
+        ):
+            if s:
+                sup_by[(bp, bq)] = sup_by.get((bp, bq), 0) + s
+            if h:
+                hit_by[(bp, bq, r)] = hit_by.get((bp, bq, r), 0) + h
+
+    keys = sorted(hit_by)
+    return pa.table(
+        {
+            "body_p": pa.array([k[0] for k in keys], pa.string()),
+            "body_q": pa.array([k[1] for k in keys], pa.string()),
+            "head_r": pa.array([k[2] for k in keys], pa.string()),
+            "support": pa.array(
+                [sup_by[(k[0], k[1])] for k in keys], pa.int64()
+            ),
+            "n_correct": pa.array([hit_by[k] for k in keys], pa.int64()),
+            "conf_bp": pa.array(
+                [hit_by[k] * 10000 // sup_by[(k[0], k[1])] for k in keys],
+                pa.int64(),
+            ),
+        }
+    )

@@ -190,3 +190,43 @@ def test_truth_discovery_focused_beats_spam(ray_session):
     assert len(got) > 0
     assert (got["conf"] > 0).all()
     assert (got["n_sources"] >= 1).all()
+
+
+def _noisy_kb_ds():
+    """Hand-built KB where rule lives(x,y) ∧ in(y,z) ⇒ cityOf... has
+    PARTIAL confidence: 3 of 4 groundings are confirmed facts."""
+    import ray.data
+
+    rows = [
+        # body: lives ∘ in
+        ("a", "lives", "p"), ("b", "lives", "p"),
+        ("c", "lives", "q"), ("d", "lives", "q"),
+        ("p", "in", "fr"), ("q", "in", "de"),
+        # head extension: 3 of the 4 (person, country) pairs
+        ("a", "nat", "fr"), ("b", "nat", "fr"), ("c", "nat", "de"),
+        # a duplicate grounding path (second residence, same pair) must
+        # not inflate support: e lives in BOTH p and p2, both in fr
+        ("e", "lives", "p"), ("e", "lives", "p2"), ("p2", "in", "fr"),
+        ("e", "nat", "fr"),
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+
+
+def test_rule_mining_partial_confidence_and_dedup(ray_session):
+    from fonduer_ray.functions.kb import rule_mining
+
+    ds = _noisy_kb_ds()
+    for limit in (2_000_000, 0):  # broadcast path, then forced join path
+        got = rule_mining(ds, broadcast_limit=limit).to_pandas()
+        rules = {
+            (r.body_p, r.body_q, r.head_r): (r.support, r.n_correct, r.conf_bp)
+            for r in got.itertuples(index=False)
+        }
+        # groundings of lives∘in: (a,fr) (b,fr) (c,de) (d,de) (e,fr) —
+        # e's two paths collapse to ONE distinct grounding; 4 of 5 are
+        # confirmed nat facts -> 8000 bp
+        assert rules[("lives", "in", "nat")] == (5, 4, 8000)
+        # no other rule has a correct prediction
+        assert set(rules) == {("lives", "in", "nat")}
