@@ -1131,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (scripts/check_oracle.py) still validates all of them locally
     # regardless of order.
     ordered = {k: q[k] for k in _NEW_IN_R5 if k in q}
+    ordered.update({k: q[k] for k in _JUDGE_TAIL if k in q})
     ordered.update(
         {
             k: v
@@ -1140,6 +1141,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     ordered.update({k: v for k, v in q.items() if k in _DRIVER_VERIFIED})
     return ordered
+
+
+#: the 17 sketch/graph queries with only judge-run local-oracle evidence —
+#: the round-4 verdict's explicit bar is that ALL 17 land inside round 5's
+#: 50-query driver window (32 _NEW_IN_R5 + 17 = 49 of 50), so they form a
+#: fixed second priority tier that later additions cannot displace
+_JUDGE_TAIL = (
+    "dup_ngram_coverage", "hll_registers", "bloom_positions",
+    "heavy_hitters", "hll_users_per_type", "cms_counters", "kmv_sketch",
+    "value_quantiles_sampled", "value_percentiles_exact",
+    "grouped_percentiles", "dedup_keep_survivors",
+    "events_sample_per_group", "graph_degrees", "graph_pagerank",
+    "graph_components", "graph_triangles", "graph_khop",
+)
 
 
 #: queries added in round 5 — no driver row exists in any prior round, so
