@@ -792,14 +792,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kb_rules_q(sf_dir: str) -> pa.Table:
         """Rule mining over the lifted KB saturated with the two
-        property-chain inferences — the union is plan-level (no extra
-        exchange beyond rule_mining's own)."""
+        property-chain inferences. The 3-hop chain extends the pinned
+        2-hop result (one extra in_region hop) instead of re-running the
+        orders-scale placed_by->in_nation attach; the union is plan-level
+        (no extra exchange beyond rule_mining's own)."""
         base = _rdb_triples(sf_dir)
         stn = rdb2rdf.property_path(
             base, ["placed_by", "in_nation"], "ships_to_nation"
-        )
+        ).materialize()
         strg = rdb2rdf.property_path(
-            base, ["placed_by", "in_nation", "in_region"], "ships_to_region"
+            base.union(stn), ["ships_to_nation", "in_region"],
+            "ships_to_region",
         )
         return kbmod.rule_mining(base.union(stn, strg))
 

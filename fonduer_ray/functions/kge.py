@@ -15,11 +15,61 @@ downstream embedding trainer.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from fonduer_ray.functions.dedup import _md5_64
+
+
+def _ranked_vocab(distinct_obj: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Global 0-based rank over a DISTINCT string column ``obj`` — the
+    string-keyed variant of ``util.ordered_prefix_sum``'s two-pass scan:
+    one range sort, per-block (first_key, n_rows) partials (driver state
+    O(#blocks)), exclusive offsets broadcast back, vectorized local
+    arange. Columns ``(idx, v)``."""
+    import ray
+
+    base = distinct_obj.sort("obj").materialize()
+    partials = []
+    for b in base.map_batches(
+        lambda t: pa.table(
+            {
+                "_first": pa.array(
+                    [t["obj"][0].as_py()] if t.num_rows else [], pa.string()
+                ),
+                "_n": pa.array([t.num_rows] if t.num_rows else [], pa.int64()),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        partials.extend(zip(b["_first"].to_pylist(), b["_n"].to_pylist()))
+    partials.sort()
+    offsets = {}
+    acc = 0
+    for first, cnt in partials:
+        offsets[first] = acc
+        acc += cnt
+    off_ref = ray.put(offsets)
+
+    def attach_rank(t: pa.Table) -> pa.Table:
+        from fonduer_ray.stages.util import get_broadcast
+
+        if t.num_rows == 0:
+            return pa.table(
+                {"idx": pa.array([], pa.int64()), "v": pa.array([], pa.string())}
+            )
+        off = get_broadcast(off_ref)[t["obj"][0].as_py()]
+        return pa.table(
+            {
+                "idx": pa.array(range(off, off + t.num_rows), pa.int64()),
+                "v": t["obj"],
+            }
+        )
+
+    return base.map_batches(
+        attach_rank, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def negative_samples(
@@ -35,61 +85,92 @@ def negative_samples(
     vocabulary has >= 2 entries).
 
     Scale shape: the object vocabulary is the predicate's DISTINCT object
-    set — built with one dedup exchange, then rank-indexed. The vocab →
-    triple attach is the guarded broadcast-vs-join lookup on the computed
-    index (object vocabularies are entity sets: usually broadcastable, and
-    the join path covers the head-heavy case). Columns
-    ``(subj, obj, obj_neg)``; ``pred`` is the argument, constant.
+    set — one dedup exchange, then a two-pass distributed rank (driver
+    state O(#blocks)). The draw resolves through TWO guarded lookups on
+    the rank key (fetch the hashed slot, bump on collision, fetch the
+    final slot) — broadcast below ``broadcast_limit``, hash-partition
+    ``Dataset.join`` above, so a head-heavy vocabulary never materializes
+    driver-side. Columns ``(subj, obj, obj_neg)``; ``pred`` is the
+    argument, constant.
     """
     from fonduer_ray.pipelines.relational import attach_lookup
-    from fonduer_ray.stages.util import hash_groupby
+    from fonduer_ray.stages.util import hash_groupby, join_partitions
 
     def only_pred(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["pred"], pred)).select(["subj", "obj"])
 
     pos = triples.map_batches(only_pred, batch_format="pyarrow")
 
-    # distinct objects via one hash exchange; global rank assigned by a
-    # driver-side sort of the (small) distinct set — the vocabulary of an
-    # entity-valued predicate is bounded by the entity table, and KGE
-    # protocols need the WHOLE vocab addressable by index anyway
     distinct_obj = hash_groupby(
         pos.select_columns(["obj"]),
         ["obj"],
         lambda df: df.drop_duplicates(["obj"]),
     )
-    vocab = sorted(r["obj"] for r in distinct_obj.take_all())
-    n_vocab = len(vocab)
+    vocab = _ranked_vocab(distinct_obj).materialize()
+    n_vocab = vocab.count()
     if n_vocab < 2:
         return pa.schema(
             [("subj", pa.string()), ("obj", pa.string()),
              ("obj_neg", pa.string())]
         ).empty_table()
-    import ray
+    # vocab feeds two raw-key joins below the guarded lookup; sanitize the
+    # scan's empty blocks once
+    vocab = vocab.repartition(join_partitions()).materialize()
 
-    vocab_ref = ray.put(vocab)
+    def slot0(t: pa.Table) -> pa.Table:
+        i0 = [
+            _md5_64(f"{s}:{o}") % n_vocab
+            for s, o in zip(t["subj"].to_pylist(), t["obj"].to_pylist())
+        ]
+        return t.append_column("i0", pa.array(i0, pa.int64()))
 
-    def draw(t: pa.Table) -> pa.Table:
-        from fonduer_ray.stages.util import get_broadcast
+    kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
+    with_v0 = attach_lookup(
+        pos.map_batches(slot0, batch_format="pyarrow"),
+        vocab.map_batches(
+            lambda t: t.rename_columns(["idx", "v0"]), batch_format="pyarrow"
+        ),
+        "i0",
+        "idx",
+        "v0",
+        **kw,
+    )
 
-        voc = get_broadcast(vocab_ref)
-        subs = t["subj"].to_pylist()
-        objs = t["obj"].to_pylist()
-        negs = []
-        for s, o in zip(subs, objs):
-            i = _md5_64(f"{s}:{o}") % n_vocab
-            if voc[i] == o:
-                i = (i + 1) % n_vocab
-            negs.append(voc[i])
+    def bump(t: pa.Table) -> pa.Table:
+        hit = pc.equal(t["v0"], t["obj"])
+        i = pc.if_else(
+            hit,
+            pc.cast(
+                # modulo via subtract: i0+1 == n_vocab only when i0 == n-1
+                pc.subtract(
+                    pc.add(t["i0"], 1),
+                    pc.multiply(
+                        pc.cast(
+                            pc.equal(t["i0"], n_vocab - 1), pa.int64()
+                        ),
+                        pa.scalar(n_vocab, pa.int64()),
+                    ),
+                ),
+                pa.int64(),
+            ),
+            t["i0"],
+        )
         return pa.table(
-            {
-                "subj": t["subj"],
-                "obj": t["obj"],
-                "obj_neg": pa.array(negs, pa.string()),
-            }
+            {"subj": t["subj"], "obj": t["obj"], "i": i}
         )
 
-    return pos.map_batches(draw, batch_format="pyarrow")
+    final = attach_lookup(
+        with_v0.map_batches(bump, batch_format="pyarrow"),
+        vocab.map_batches(
+            lambda t: t.rename_columns(["idx", "obj_neg"]),
+            batch_format="pyarrow",
+        ),
+        "i",
+        "idx",
+        "obj_neg",
+        **kw,
+    )
+    return final.select_columns(["subj", "obj", "obj_neg"])
 
 
 def indexed_adjacency(

@@ -181,15 +181,35 @@ def test_truth_fixed_point_hand_case():
     } == want
 
 
-def test_truth_discovery_focused_beats_spam(ray_session):
-    """On the driver corpus the winning variant of each subject is the one
-    with more invested trust, not merely more claimants."""
-    from fonduer_ray.pipelines.docops import kb_truth_discovery
+def test_truth_discovery_matches_brute_on_corpus(ray_session):
+    """Full brute re-derivation from the raw documents parquet: claims via
+    the same 10-token-window/distance<=3 predicate, then the reference
+    fixed point — the distributed path must agree exactly."""
+    import pyarrow.parquet as pq
 
-    got = kb_truth_discovery("/root/testdata/sf0.001").to_pandas()
-    assert len(got) > 0
-    assert (got["conf"] > 0).all()
-    assert (got["n_sources"] >= 1).all()
+    from fonduer_ray.pipelines.docops import (
+        kb_truth_discovery,
+        truth_fixed_point,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    subj_v = {"spark", "hash", "merge", "sort"}
+    obj_v = {"window", "batch", "stream", "join"}
+    claims = set()
+    for text, source in zip(docs["text"], docs["source"]):
+        toks = text.split(" ")
+        for i, a in enumerate(toks):
+            if a not in subj_v:
+                continue
+            for j in range(max(0, i - 3), min(len(toks), i + 4)):
+                if toks[j] in obj_v and i // 10 == j // 10:
+                    claims.add((source, a, toks[j]))
+    want = truth_fixed_point(sorted(claims)).to_pandas()
+    got = kb_truth_discovery(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
 
 
 def _noisy_kb_ds():

@@ -17,20 +17,25 @@ def kb(ray_session, sf_dir):
     return triples, triples.to_pandas()
 
 
-def test_negative_samples_brute(kb):
+def test_negative_samples_brute_and_join_path(kb):
     triples, df = kb
-    got = kge.negative_samples(triples, "placed_by").to_pandas()
     pos = df[df.pred == "placed_by"]
     vocab = sorted(pos["obj"].unique())
     n = len(vocab)
-    assert len(got) == len(pos)
-    by_subj = dict(zip(got["subj"], zip(got["obj"], got["obj_neg"])))
+    want = {}
     for s, o in zip(pos["subj"], pos["obj"]):
         i = _md5_64(f"{s}:{o}") % n
         if vocab[i] == o:
             i = (i + 1) % n
-        assert by_subj[s] == (o, vocab[i])
-    assert (got["obj_neg"] != got["obj"]).all()
+        want[s] = (o, vocab[i])
+    for limit in (None, 0):  # broadcast, then forced hash-join path
+        got = kge.negative_samples(
+            triples, "placed_by", broadcast_limit=limit
+        ).to_pandas()
+        assert len(got) == len(pos)
+        by_subj = dict(zip(got["subj"], zip(got["obj"], got["obj_neg"])))
+        assert by_subj == want
+        assert (got["obj_neg"] != got["obj"]).all()
 
 
 def test_indexed_adjacency_brute(ray_session):
