@@ -318,7 +318,10 @@ def run_scaling_inline() -> dict:
     lo, hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
-    n_runs = int(os.environ.get("GRAFT_BENCH_SCALING_RUNS", "2"))
+    # 3 runs per size: the median of 2 is the mean and inherits full
+    # run-to-run variance (observed ±0.07 efficiency across quiet windows);
+    # a true median of 3 rejects one outlier run per size
+    n_runs = int(os.environ.get("GRAFT_BENCH_SCALING_RUNS", "3"))
     # measure in an ambient-quiet window (bounded wait, samples recorded)
     ambient_samples = _wait_for_quiet()
     load_before = _loadavg_1m()
