@@ -250,3 +250,62 @@ def test_rule_mining_partial_confidence_and_dedup(ray_session):
         assert rules[("lives", "in", "nat")] == (5, 4, 8000)
         # no other rule has a correct prediction
         assert set(rules) == {("lives", "in", "nat")}
+
+
+def _brute_rules(rows):
+    adj = {}
+    facts = {}
+    for s, p, o in rows:
+        adj.setdefault(s, []).append((p, o))
+        facts.setdefault((s, o), set()).add(p)
+    bodies = {}
+    for s, p, o in rows:
+        for q, z in adj.get(o, ()):
+            bodies.setdefault((p, q), set()).add((s, z))
+    out = {}
+    for (p, q), grounds in bodies.items():
+        hits = {}
+        for x, z in grounds:
+            for r in facts.get((x, z), ()):
+                hits[r] = hits.get(r, 0) + 1
+        for r, n in hits.items():
+            out[(p, q, r)] = (len(grounds), n, n * 10000 // len(grounds))
+    return out
+
+
+def test_rule_mining_random_kbs_match_brute(ray_session):
+    """Randomized small KBs (dense enough for 2-hop chains and head
+    overlaps) vs a dict brute force, on BOTH plans."""
+    import numpy as np
+    import ray.data
+
+    from fonduer_ray.functions.kb import rule_mining
+
+    rng = np.random.default_rng(23)
+    ents = [f"e{i}" for i in range(8)]
+    preds = ["p", "q", "r"]
+    for trial in range(3):
+        rows = sorted(
+            {
+                (
+                    str(rng.choice(ents)),
+                    str(rng.choice(preds)),
+                    str(rng.choice(ents)),
+                )
+                for _ in range(60)
+            }
+        )
+        ds = ray.data.from_pandas(
+            pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+        ).repartition(3)
+        want = _brute_rules(rows)
+        for limit in (2_000_000, 0):
+            got = {
+                (r.body_p, r.body_q, r.head_r): (
+                    r.support, r.n_correct, r.conf_bp
+                )
+                for r in rule_mining(ds, broadcast_limit=limit)
+                .to_pandas()
+                .itertuples(index=False)
+            }
+            assert got == want, (trial, limit)
