@@ -1107,6 +1107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_rdfs_types": lambda sf: rdb2rdf.rdfs_types(
             _rdb_triples(sf), _RDFS_DOMAINS
         ),
+        # SPARQL OPTIONAL (left join): suppliers have no in_segment
+        # triple, so they surface under the unbound '(none)' marker
+        "kb_optional_segment": lambda sf: rdb2rdf.optional_segment_profile(
+            _rdb_triples(sf)
+        ),
         # AMIE-style 2-hop horn-rule mining over the lifted KB saturated
         # with its property-chain inferences (partial-confidence behavior
         # is unit-tested on a hand-built noisy KB; the text KG is
@@ -4222,6 +4227,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN rdb b ON b.pred = 'in_nation' AND b.subj = a.obj
             JOIN rdb c ON c.pred = 'in_region' AND c.subj = b.obj
             WHERE a.pred = 'placed_by'
+        """,
+        "kb_optional_segment": f"""
+            WITH rdb AS ({_RDB_TRIPLES_SQL}),
+            nat AS (SELECT subj AS ent, obj AS nation FROM rdb
+                    WHERE pred = 'in_nation'),
+            seg AS (SELECT subj AS ent, obj AS segment FROM rdb
+                    WHERE pred = 'in_segment')
+            SELECT nation, coalesce(segment, '(none)') AS segment,
+                   count(*) AS n_entities
+            FROM nat LEFT JOIN seg USING (ent)
+            GROUP BY 1, 2 ORDER BY nation, segment
         """,
         "kb_rule_mining": f"""
             WITH rdb AS ({_RDB_TRIPLES_SQL}),

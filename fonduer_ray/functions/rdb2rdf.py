@@ -332,3 +332,69 @@ def rdfs_types(
         lambda df: df.drop_duplicates(["entity", "type"]),
     )
     return deduped.sort(["entity", "type"])
+
+
+def optional_segment_profile(
+    triples: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """SPARQL OPTIONAL (left-join) over the lifted KB — the algebra piece
+    the star join / property path / aggregate queries don't exercise::
+
+        SELECT ?nation ?segment (COUNT(*) AS ?n) WHERE {
+          ?e in_nation ?nation .
+          OPTIONAL { ?e in_segment ?segment }
+        } GROUP BY ?nation ?segment
+
+    Customers bind the OPTIONAL; suppliers have no ``in_segment`` triple,
+    so they surface with the unbound marker ``(none)`` — the left-join
+    semantics OPTIONAL is defined as (SPARQL 1.1 §6).
+
+    Scale shape: two stateless pattern filters; ONE hash-partitioned
+    ``left_outer`` ``Dataset.join`` on the entity key (both sides
+    repartition-sanitized — map outputs can carry skipped-block schemas);
+    the (nation, segment) matrix is tiny so the finish is one small
+    groupby. Columns ``(nation, segment, n_entities)``, ordered.
+    """
+    from ray.data.aggregate import Count
+
+    from fonduer_ray.stages.util import join_partitions
+
+    def pat(pred: str, names: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["pred"], pred)).select(
+                ["subj", "obj"]
+            ).rename_columns(names)
+
+        return f
+
+    nat = triples.map_batches(
+        pat("in_nation", ["ent", "nation"]), batch_format="pyarrow"
+    ).repartition(join_partitions())
+    seg = triples.map_batches(
+        pat("in_segment", ["ent2", "segment"]), batch_format="pyarrow"
+    ).repartition(join_partitions())
+
+    joined = nat.join(
+        seg,
+        "left_outer",
+        num_partitions=join_partitions(),
+        on=("ent",),
+        right_on=("ent2",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": t["nation"],
+                "segment": pc.fill_null(
+                    pc.cast(t["segment"], pa.string()), "(none)"
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .groupby(["nation", "segment"])
+        .aggregate(Count(alias_name="n_entities"))
+        .sort(["nation", "segment"])
+    )

@@ -172,3 +172,26 @@ def test_rdfs_types_dedup_and_no_domain(ray_session):
     assert got == {
         ("o1", "Order"), ("c1", "Customer"), ("n1", "Nation"), ("r1", "Region")
     }
+
+
+def test_optional_segment_unbound_marker(ray_session, export_df, sf_dir):
+    """Left-join OPTIONAL semantics: every supplier (no in_segment triple)
+    lands in the '(none)' bucket; customer buckets match a brute count."""
+    got = rdb2rdf.optional_segment_profile(
+        rdb2rdf.rdb2rdf_triples(sf_dir)
+    ).to_pandas()
+    nat = export_df[export_df.pred == "in_nation"][["subj", "obj"]]
+    seg = dict(zip(export_df.loc[export_df.pred == "in_segment", "subj"],
+                   export_df.loc[export_df.pred == "in_segment", "obj"]))
+    want: dict[tuple, int] = {}
+    for ent, nation in zip(nat["subj"], nat["obj"]):
+        key = (nation, seg.get(ent, "(none)"))
+        want[key] = want.get(key, 0) + 1
+    assert {
+        (r.nation, r.segment): r.n_entities
+        for r in got.itertuples(index=False)
+    } == want
+    # suppliers exist in every profile at this sf: the unbound bucket fires
+    assert (got[got.segment == "(none)"]["n_entities"].sum()
+            == (export_df.subj.str.startswith("su")
+                & (export_df.pred == "in_nation")).sum())
